@@ -1,0 +1,52 @@
+"""Testdata loading — the Spark analog of the reference's listing-table
+registration (/root/reference/src/main.rs:131-144: directory of parquet files
+registered as a named table, schema inferred from footers).
+
+Spark's ``spark.read.parquet`` already does multi-file listing + footer schema
+merge + partition discovery; at 100 TB scale the same call reads a partitioned
+lake layout (s3://.../table/dt=.../*.parquet) with partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (schema-on-read from parquet footers)."""
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long (see session.RUNTIME_CONFS) -> microsecond timestamp.
+        # Integer DIV, not `/`: ns epochs overflow double's 53-bit mantissa.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register testdata tables as temp views for the SQL entry point —
+    parity with register_listing_table (src/main.rs:137-144)."""
+    tune(spark)
+    for name in tables:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,237 @@
+"""Aggregation operators (SURVEY §2.2 "Aggregations").
+
+Reference parity: DataFusion's partial/final HashAggregate pipeline
+(`datafusion-functions-aggregate`, reference Cargo.lock:911; partial→final
+split exercised via the DISTINCT query at /root/reference/src/main.rs:122).
+Spark produces the identical physical shape: HashAggregate(partial) →
+Exchange(hashpartitioning) → HashAggregate(final), with map-side combine.
+
+Scale notes (100 TB): group-by keys here are low-cardinality
+(returnflag/linestatus ≈ 6 groups; custkey ≈ 15M at SF 10k) so partial
+aggregation collapses the shuffle to O(groups × partitions) rows.  AQE
+coalesces the post-shuffle partitions.  Skewed keys are handled by AQE skew
+join/agg splitting (enabled in session.py).  Decimal-cast sums (see _util)
+keep results reduce-order-independent — which also matters for *correctness
+reproducibility* on an elastic cluster, not just oracle hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._util import dsum, r4, sql_dsum
+from ..io import table
+
+
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped count/sum/avg/min/max over lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        r4(F.avg("l_extendedprice"), "avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate with derived expressions.
+
+    The flagship query (SURVEY §7 M1): scan → project → filter → partial agg →
+    shuffle → final agg, the same pipeline the reference's DISTINCT lowers to.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            r4(F.avg("l_quantity"), "avg_qty"),
+            r4(F.avg("l_extendedprice"), "avg_price"),
+            r4(F.avg("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HLL++) — rows-only oracle (approximate).
+
+    At 100 TB this replaces exact distinct-count's full shuffle with a
+    fixed-size sketch mergeable map-side; relative error 5%.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"))
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_spent"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER (WHERE ...) clauses."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_discount > 0.05)"
+            " AS DOUBLE)"
+        ).alias("qty_hi_disc"),
+        F.expr("COUNT(*) FILTER (WHERE l_linestatus = 'O')").alias("n_open"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(r_name, n_name) with subtotals + grand total."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/median(exact percentile)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_quantity"), "sd_qty"),
+        r4(F.var_samp("l_discount"), "var_disc"),
+        r4(F.corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
+        r4(F.expr("percentile(l_quantity, 0.5)"), "median_qty"),
+    )
+
+
+QUERIES = {
+    "agg_global": agg_global,
+    "agg_groupby": agg_groupby,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_having": agg_having,
+    "agg_filter_clause": agg_filter_clause,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_stats": agg_stats,
+}
+
+ORACLE = {
+    "agg_global": f"""
+        SELECT COUNT(*) AS n_rows,
+               {sql_dsum('l_quantity', 'sum_qty')},
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               MIN(l_shipdate) AS min_ship,
+               MAX(l_shipdate) AS max_ship
+        FROM lineitem
+    """,
+    "agg_groupby": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity', 'sum_qty')},
+               {sql_dsum('l_extendedprice', 'sum_base_price')},
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_count_distinct": """
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "agg_having": f"""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'total_spent')}
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+    """,
+    "agg_filter_clause": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hi_disc,
+               COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+               COUNT(*) AS n_total
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_rollup": """
+        SELECT r_name, n_name, COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "agg_cube": f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               {sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "agg_stats": """
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+               ROUND(VAR_SAMP(l_discount), 4) AS var_disc,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

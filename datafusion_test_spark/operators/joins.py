@@ -1,0 +1,235 @@
+"""Join operators (SURVEY §2.2 "Joins").
+
+Reference parity: DataFusion links HashJoinExec / SortMergeJoinExec /
+NestedLoopJoinExec via `datafusion-physical-plan` (reference Cargo.lock:
+1106-1107); Spark's planner picks BroadcastHashJoin / SortMergeJoin /
+ShuffledHashJoin / BroadcastNestedLoopJoin for the same logical shapes.
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/supplier, and customer at moderate SF) are
+  broadcast — no shuffle of the fact side.  `F.broadcast()` pins it where
+  autoBroadcastJoinThreshold wouldn't see it; AQE can also demote/promote at
+  runtime.
+- Fact-fact joins (orders⋈lineitem) shuffle both sides on the key; with AQE
+  skew-join enabled, a hot key is split into multiple tasks.
+- The as-of join deliberately avoids the naive range-join explosion: it is a
+  union + window (single shuffle on the key, linear scan within partition),
+  the same strategy streaming systems use for temporal joins — O(n log n)
+  per key instead of O(n·m) pairs.
+- Pure theta joins are nested-loop by nature; we only ever broadcast the
+  small side (supplier, 100k rows at SF100) — never shuffle-NL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer (shuffle or broadcast per stats)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-side broadcast hash join nation⋈region (plan-asserted in tests)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+def _cust_orders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return c, o
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _cust_orders(spark, sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _cust_orders(spark, sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with null-extension on both sides (disjoint key ranges)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having at least one URGENT order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no URGENT order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian product region×nation."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join: supplier×customer on acctbal ordering.
+
+    Physical plan: BroadcastNestedLoopJoin with the 10-row (100k at SF100)
+    supplier side broadcast — the only sane theta strategy at scale.
+    Aggregated so the result stays small.
+    """
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(s)
+        .join(c, s.s_acctbal > c.c_acctbal)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_poorer_custs"))
+    )
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click event, the latest purchase by the same user
+    at-or-before the click timestamp.
+
+    Spark has no native AS OF join; the scalable pattern is union + window
+    (one shuffle on user_id, last-non-null carry-forward within partition)
+    rather than a range join that explodes to O(clicks × purchases) per user.
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_click"),
+            "event_id",
+            F.lit(None).cast("timestamp").alias("p_ts"),
+            F.lit(None).cast("double").alias("p_value"),
+        )
+    )
+
+    # Purchases sort before clicks at equal ts (is_click asc) => `<=` as-of.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+    )
+
+
+QUERIES = {
+    "join_inner": join_inner,
+    "join_broadcast": join_broadcast,
+    "join_left": join_left,
+    "join_right": join_right,
+    "join_full": join_full,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_cross": join_cross,
+    "join_theta": join_theta,
+    "join_asof": join_asof,
+}
+
+ORACLE = {
+    "join_inner": """
+        SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_broadcast": """
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "join_left": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN (
+            SELECT * FROM orders WHERE o_totalprice > 250000.0
+        ) o ON c_custkey = o.o_custkey
+    """,
+    "join_right": """
+        SELECT o_orderkey, o_totalprice, c_custkey, c_name
+        FROM (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+        RIGHT JOIN customer ON o.o_custkey = c_custkey
+    """,
+    "join_full": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+        FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+          ON c.c_custkey = o.o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    """,
+    "join_cross": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    "join_theta": """
+        SELECT s_suppkey, s_name, COUNT(*) AS n_poorer_custs
+        FROM supplier JOIN customer ON s_acctbal > c_acctbal
+        GROUP BY s_suppkey, s_name
+    """,
+    "join_asof": """
+        SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+}

@@ -1,0 +1,127 @@
+"""Tier A relational operators — the surface the reference exercises directly
+(SURVEY §2.1; /root/reference/src/main.rs).
+
+Each maps a concrete reference behavior onto the idiomatic Spark primitive:
+
+- scan_parquet      src/main.rs:131-144  multi-file parquet listing scan
+- project           src/main.rs:122      column-subset projection
+- distinct          src/main.rs:122      SELECT DISTINCT → hash aggregate
+- coalesce_partitions src/main.rs:150-152 CoalescePartitionsExec → coalesce(1)
+- partitioned_exec  src/main.rs:125      target_partitions → repartition(4)
+- parquet_pushdown  src/main.rs:126,131  predicate pushdown + pruning
+- collect_stream    src/main.rs:155-161  pull-based streamed collection
+- load_inmemory     src/main.rs:40-44    memory-backed scans → MEMORY_ONLY persist
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..io import table
+
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan, schema inferred from footers (src/main.rs:137-144)."""
+    return table(spark, sf_dir, "supplier")
+
+
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-subset projection, reordered (src/main.rs:122 selects 5 of 11).
+
+    Catalyst's ColumnPruning pushes this into the scan's ReadSchema, so at
+    100 TB only these 5 column chunks are read off object storage.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_orderkey")
+
+
+def distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a mixed-type column subset — the reference's one
+    query (src/main.rs:122).  Lowers to partial HashAggregate → Exchange →
+    final HashAggregate, the same partial/final shape DataFusion plans."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_quantity", "l_tax").distinct()
+
+
+def coalesce_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge all output partitions into one stream (src/main.rs:150-152).
+
+    ``coalesce(1)`` is a narrow dependency — no shuffle — exactly like
+    CoalescePartitionsExec's N→1 merge.  Only sane at the plan ROOT for
+    result collection; never mid-plan at scale (it would serialize the job).
+    """
+    return distinct(spark, sf_dir).coalesce(1)
+
+
+def partitioned_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width parallel execution: repartition(4) mirrors
+    with_target_partitions(4) (src/main.rs:125).  Round-robin shuffle; the
+    aggregation on top keeps partial/final split."""
+    li = table(spark, sf_dir, "lineitem").repartition(4)
+    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter designed to reach the parquet scan as PushedFilters and prune
+    row groups by min/max stats (src/main.rs:126,131).  Plan assertion in
+    tests/test_plans.py checks `PushedFilters:` includes these predicates."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_totalprice") > 150000.0) & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def collect_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed result collection (src/main.rs:155-161).  The DataFrame is
+    returned lazily; callers stream with toLocalIterator() — Spark fetches one
+    partition at a time, never materializing the full result on the driver."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderdate").orderBy("o_orderkey").limit(500)
+
+
+def load_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-backed table (src/main.rs:40-44, 205-223): persist MEMORY_ONLY
+    and materialize, so downstream scans never touch disk — the same property
+    the reference's InMemory object store provides (README.md:8-9)."""
+    n = table(spark, sf_dir, "nation").persist(StorageLevel.MEMORY_ONLY)
+    n.count()  # materialize the cache
+    return n
+
+
+QUERIES = {
+    "scan_parquet": scan_parquet,
+    "project": project,
+    "distinct": distinct,
+    "coalesce_partitions": coalesce_partitions,
+    "partitioned_exec": partitioned_exec,
+    "parquet_pushdown": parquet_pushdown,
+    "collect_stream": collect_stream,
+    "load_inmemory": load_inmemory,
+}
+
+ORACLE = {
+    "scan_parquet": "SELECT * FROM supplier",
+    "project": """
+        SELECT l_returnflag, l_linestatus, l_quantity, l_discount, l_orderkey
+        FROM lineitem
+    """,
+    "distinct": """
+        SELECT DISTINCT l_returnflag, l_linestatus, l_quantity, l_tax FROM lineitem
+    """,
+    "coalesce_partitions": """
+        SELECT DISTINCT l_returnflag, l_linestatus, l_quantity, l_tax FROM lineitem
+    """,
+    "partitioned_exec": """
+        SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+    """,
+    "parquet_pushdown": """
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    """,
+    "collect_stream": """
+        SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 500
+    """,
+    "load_inmemory": "SELECT * FROM nation",
+}

@@ -1,0 +1,162 @@
+"""Window-function operators (SURVEY §2.2 "Window functions").
+
+Reference parity: `datafusion-functions-window` (reference Cargo.lock:
+987-988) — ranking, offset, frame-bounded aggregates.  Spark's WindowExec
+sorts within hash-partitioned groups; at 100 TB the shuffle is one exchange
+on the partition key and the sort is external (spillable).
+
+Determinism contract: every window ORDER BY carries a unique tiebreaker
+(o_orderkey) so row_number/lag/frames are reproducible run-to-run and
+engine-to-engine — nondeterministic windows are a correctness bug at any
+scale, not just for the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._util import DEC
+from ..io import table
+
+# Deterministic per-customer order timeline.
+def _w(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o, w
+
+_ORDER = "ORDER BY o_orderdate, o_orderkey"
+
+
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, w = _w(spark, sf_dir)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, w = _w(spark, sf_dir)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total; decimal-cast so the prefix sums are engine-exact."""
+    o, w = _w(spark, sf_dir)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(frame).cast("double").alias("running_total"),
+    )
+
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, w = _w(spark, sf_dir)
+    frame = w.rowsBetween(-3, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(frame), 4).alias("moving_avg"),
+    )
+
+
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering column: count of orders within
+    10k below each order's totalprice, per orderstatus."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+    )
+
+
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, w = _w(spark, sf_dir)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
+
+
+QUERIES = {
+    "win_ranking": win_ranking,
+    "win_lag_lead": win_lag_lead,
+    "win_running_sum": win_running_sum,
+    "win_moving_avg": win_moving_avg,
+    "win_range_frame": win_range_frame,
+    "win_first_last": win_first_last,
+}
+
+ORACLE = {
+    "win_ranking": f"""
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey {_ORDER}) AS rn,
+               RANK()       OVER (PARTITION BY o_custkey {_ORDER}) AS rk,
+               DENSE_RANK() OVER (PARTITION BY o_custkey {_ORDER}) AS drk,
+               NTILE(4)     OVER (PARTITION BY o_custkey {_ORDER}) AS quartile
+        FROM orders
+    """,
+    "win_lag_lead": f"""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               LAG(o_totalprice, 1)  OVER (PARTITION BY o_custkey {_ORDER}) AS prev_price,
+               LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey {_ORDER}) AS next_price
+        FROM orders
+    """,
+    "win_running_sum": f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey {_ORDER}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    "win_moving_avg": f"""
+        SELECT o_orderkey, o_custkey,
+               ROUND(AVG(o_totalprice) OVER (
+                   PARTITION BY o_custkey {_ORDER}
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 4) AS moving_avg
+        FROM orders
+    """,
+    "win_range_frame": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               COUNT(*) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+               ) AS n_in_band
+        FROM orders
+    """,
+    "win_first_last": f"""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey {_ORDER}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+               LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey {_ORDER}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey {_ORDER}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+        FROM orders
+    """,
+}

@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+Mirrors the reference's session setup (/root/reference/src/main.rs:124-131:
+``target_partitions=4``, parquet ``pushdown_filters=true``, pruning enabled) —
+all of which are Spark defaults or simple confs — and adds the scale-oriented
+settings a 1000-executor / 100 TB deployment wants from day one:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  dynamic broadcast demotion) — the Spark analog of DataFusion's fixed
+  ``target_partitions`` but adaptive.
+- Arrow-backed Python interchange for the few Pandas-UDF operators.
+- UTC session timezone so timestamp-derived results are engine-portable
+  (oracle checks run against DuckDB).
+
+In local test mode we run ``local[N]`` with shuffle.partitions sized to the
+core count; on a real cluster the same code runs unchanged — only
+``spark.sql.shuffle.partitions`` / executor sizing move with the data volume
+(at 100 TB: partitions sized so each shuffle partition is ~128-512 MB, i.e.
+O(200k-800k) partitions via AQE's coalescing from a high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session (including one handed to us by
+# an external driver) before running declared queries.  Static confs (memory,
+# master) can only be set at build time, but these are all dynamic.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet pushdown parity with src/main.rs:126,131 (Spark defaults, pinned
+    # explicitly so the contract is visible).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    # rejects; read as long (ns) and convert in io.table (DuckDB likewise
+    # truncates ns -> us, so both engines see identical values).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build; defaults are acceptable
+    return spark
+
+
+def get_session(app_name: str = "datafusion_test_spark") -> SparkSession:
+    """Build (or reuse) a local SparkSession sized from SPARK_GRAFT_CPUS."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,136 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()[name]`` on Spark and its ``oracle_sql()[name]`` on
+DuckDB over the same sf dir, then compares row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+values normalized).  Usage:
+
+    python tools/check_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from datafusion_test_spark.io import TABLES
+from datafusion_test_spark.session import get_session
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _sortkey(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+def rows_of_spark(df):
+    cols = sorted(df.columns)
+    data = [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+    return cols, sorted(data, key=_sortkey)
+
+
+def rows_of_duck(con, sql):
+    cur = con.sql(sql)
+    cols_in_order = cur.columns
+    rows = cur.fetchall()
+    order = sorted(range(len(cols_in_order)), key=lambda i: cols_in_order[i])
+    cols = [cols_in_order[i] for i in order]
+    data = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return cols, sorted(data, key=_sortkey)
+
+
+def cells_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or math.isclose(a, b, rel_tol=0, abs_tol=0)
+    return a == b
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args)
+
+    spark = get_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            scols, srows = rows_of_spark(df)
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"rows  {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            dcols, drows = rows_of_duck(con, oracles[name])
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
+            continue
+        if scols != dcols:
+            failures.append(name)
+            print(f"FAIL  {name}: cols spark={scols} duck={dcols}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(srows, drows)):
+            if not all(cells_equal(a, b) for a, b in zip(sr, dr)):
+                bad = (i, sr, dr)
+                break
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            continue
+        passed += 1
+        print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{passed} hash-ok, {rows_only} rows-only, {len(failures)} failed"
+        + (f": {failures}" if failures else "")
+    )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
