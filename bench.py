@@ -1,0 +1,86 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints:
+    {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "rows": {...}}
+
+Queries are materialized with the noop sink (full execution, no driver-side
+result transfer), after a warm-up scan so JVM/codegen startup is excluded
+from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_test_spark import registry
+from datafusion_test_spark.io import table
+from datafusion_test_spark.session import get_session
+
+# Headline set: one per operator family, weighted toward shuffle/join/window
+# heavy shapes (the 100-TB-relevant ones).
+HEADLINE = [
+    "distinct",            # the reference's own query shape
+    "agg_groupby",         # TPC-H Q1
+    "agg_count_distinct",
+    "join_inner",
+    "join_asof",
+    "win_ranking",
+    "topk_per_group",
+    "fn_math",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "sim_topk",
+    "sim_pairwise_topk",
+    "text_topterms",
+    "text_fingerprint",
+    "stream_session",
+    "stream_tumbling",
+    "udf_pandas",
+]
+
+
+def materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    table(spark, sf_dir, "lineitem").count()
+
+    qs = registry.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Scalar function families (SURVEY §2.2 "Scalar functions").
+
+Reference parity: `datafusion-functions` (reference Cargo.lock:881-882) and
+`datafusion-functions-nested` (Cargo.lock:947-948) — the string / regex /
+date / math / conditional / cast / array / struct / json function library
+that the linked engine exposes to any SQL it parses.
+
+All implementations are built-in `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path.  Dialect drift against
+the DuckDB oracle (1-based substr, ceil return types, interval syntax,
+float-vs-double list folds) is resolved in the oracle SQL, never by changing
+engine semantics (SURVEY §7 M3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substr/upper/lower/length/trim/concat/replace/lpad."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+    )
+
+
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / regexp matching / split."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", r"[AEIOU]", "_").alias("type_masked"),
+        F.col("p_type").rlike(r"^(PROMO|LARGE)").alias("is_promo_large"),
+        F.split(F.col("p_type"), " ").alias("type_words"),
+    )
+
+
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/interval add/datediff/extract."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.expr("EXTRACT(QUARTER FROM o_orderdate)").cast("int").alias("qtr"),
+    )
+
+
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/mod/power/ln/exp/sqrt."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil("l_discount").alias("disc_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+        F.round(F.pow(F.col("l_quantity"), 2), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+        F.round(F.exp(F.col("l_discount")), 4).alias("disc_exp"),
+        F.round(F.sqrt(F.col("l_quantity")), 4).alias("qty_sqrt"),
+    )
+
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "regular")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(none)")).alias(
+            "seg_or_none"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+    )
+
+
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts among int/double/string/date/decimal (trunc-safe choices only:
+    double→int truncation vs rounding differs across engines, so integer
+    conversions go through FLOOR on both sides)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.concat(F.lit("19"), F.lit("95")).cast("int").alias("str_int"),
+    )
+
+
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array fns incl. higher-order transform/aggregate over embeddings.
+
+    The fold accumulates in DOUBLE on both engines (float-order folds are
+    deterministic left-to-right, so results are bit-identical).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("vec_sum"),
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("vec_norm2"),
+    )
+
+
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct construction + field access (rows-only oracle: DuckDB's
+    struct/map literals hash differently, so the driver records counts)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")).alias(
+                "info"
+            ),
+            F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("attrs"),
+        )
+        .select(
+            "c_custkey",
+            F.col("info.name").alias("name"),
+            F.col("info.bal").alias("bal"),
+            F.col("attrs")["segment"].alias("segment"),
+        )
+    )
+
+
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + typed cast from events.props."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+QUERIES = {
+    "fn_string": fn_string,
+    "fn_regex": fn_regex,
+    "fn_date": fn_date,
+    "fn_math": fn_math,
+    "fn_conditional": fn_conditional,
+    "fn_cast": fn_cast,
+    "fn_array": fn_array,
+    "fn_map_struct": fn_map_struct,
+    "fn_json": fn_json,
+}
+
+ORACLE = {
+    "fn_string": """
+        SELECT c_custkey,
+               substr(c_name, 1, 8) AS name8,
+               upper(c_mktsegment) AS seg_up,
+               lower(c_name) AS name_lo,
+               length(c_name) AS name_len,
+               trim('  ' || c_mktsegment || ' ') AS seg_trim,
+               concat_ws('-', c_mktsegment, c_name) AS seg_name,
+               replace(c_name, 'Customer', 'Cust') AS name_repl,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad
+        FROM customer
+    """,
+    "fn_regex": """
+        SELECT p_partkey,
+               regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+               regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
+               regexp_matches(p_type, '^(PROMO|LARGE)') AS is_promo_large,
+               str_split(p_type, ' ') AS type_words
+        FROM part
+    """,
+    "fn_date": """
+        SELECT o_orderkey,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               EXTRACT(MONTH FROM o_orderdate) AS mo,
+               EXTRACT(DAY FROM o_orderdate) AS dom,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 30 DAY AS due_ts,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr
+        FROM orders
+    """,
+    "fn_math": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS price_r1,
+               abs(l_quantity - 25) AS qty_dev,
+               CAST(ceil(l_discount) AS BIGINT) AS disc_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               l_linenumber % 3 AS ln_mod3,
+               round(pow(l_quantity, 2), 4) AS qty_sq,
+               round(ln(l_extendedprice), 4) AS price_ln,
+               round(exp(l_discount), 4) AS disc_exp,
+               round(sqrt(l_quantity), 4) AS qty_sqrt
+        FROM lineitem
+    """,
+    "fn_conditional": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'regular'
+                    ELSE 'premium' END AS tier,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_none,
+               greatest(c_acctbal, 0.0) AS bal_pos,
+               least(c_acctbal, 1000.0) AS bal_capped
+        FROM customer
+    """,
+    "fn_cast": """
+        SELECT o_orderkey,
+               CAST(o_orderkey AS DOUBLE) AS key_dbl,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+               CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST('19' || '95' AS INT) AS str_int
+        FROM orders
+    """,
+    "fn_array": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               embedding[1] AS first_val,
+               embedding[1:4] AS head4,
+               list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+                   AS vec_sum,
+               list_aggregate(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS vec_norm2
+        FROM embeddings
+    """,
+    "fn_json": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        FROM events
+    """,
+}

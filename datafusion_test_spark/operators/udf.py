@@ -1,0 +1,121 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.4).
+
+Reference parity: DataFusion exposes create_udf / create_udaf / table
+functions (`datafusion-functions-table`, reference Cargo.lock:971-972); the
+reference registers none, so this tier demonstrates the extension points.
+
+Scale notes: row-at-a-time Python UDFs pay per-row serialization — they exist
+here only as the API-parity demo (`udf_python`).  The production path is
+Arrow-vectorized pandas UDFs (`udf_pandas`: one Arrow batch per ~10k rows)
+and `applyInPandas` for grouped custom aggregates.  Built-in expressions
+remain the hot path everywhere else in this package.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..io import table
+
+
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar row-at-a-time Python UDF: discounted price.
+
+    IEEE double ops in Python match the SQL double ops bit-for-bit, so this
+    still hash-matches the arithmetic oracle.
+    """
+    discounted = F.udf(lambda p, d: p * (1.0 - d), DoubleType())
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same function as a vectorized pandas UDF (Arrow batch transfer)."""
+
+    @F.pandas_udf("double")
+    def discounted(p: pd.Series, d: pd.Series) -> pd.Series:
+        return p * (1.0 - d)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregate via applyInPandas: geometric mean of
+    extendedprice per returnflag.
+
+    Values are sorted inside the UDF before reduction so the result is
+    independent of shuffle arrival order (determinism contract).
+    Oracle: exp(avg(ln(x))).
+    """
+    import numpy as np
+
+    def geo_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(pdf["l_extendedprice"].to_numpy())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "geo_price": [round(float(np.exp(np.mean(np.log(x)))), 2)],
+            }
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").applyInPandas(
+        geo_mean, schema="l_returnflag string, geo_price double"
+    )
+
+
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function: one row per array element (posexplode),
+    1-based positions to match SQL subscripting."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "val",
+        )
+    )
+
+
+QUERIES = {
+    "udf_python": udf_python,
+    "udf_pandas": udf_pandas,
+    "udaf_grouped": udaf_grouped,
+    "udtf_explode": udtf_explode,
+}
+
+_DISC_SQL = """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS disc_price
+        FROM lineitem
+"""
+
+ORACLE = {
+    "udf_python": _DISC_SQL,
+    "udf_pandas": _DISC_SQL,
+    "udaf_grouped": """
+        SELECT l_returnflag,
+               ROUND(EXP(AVG(LN(l_extendedprice))), 2) AS geo_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "udtf_explode": """
+        SELECT vec_id, CAST(i AS INT) AS pos, embedding[i] AS val
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        WHERE vec_id < 50
+    """,
+}

@@ -1,0 +1,97 @@
+"""Shared columnar expressions for the LLM-pipeline tier.
+
+Everything here is built-in higher-order functions — no Python UDFs — so the
+similarity/dedup operators run JVM-side inside whole-stage codegen.  The
+DuckDB oracle twins fold in the same left-to-right DOUBLE order, making the
+float results bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i], accumulated in double, left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Σ a[i]², accumulated in double."""
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot` (index-based zip, double fold)."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def sql_norm2(a: str) -> str:
+    return (
+        f"list_aggregate(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_norm2(a)}) * sqrt({sql_norm2(b)})))"
+
+
+# SQL-text form of the shingle expression over a token-array column `w`.
+# IMPORTANT perf note: always evaluate this INLINE in the same select as its
+# consumer (explode/size).  Aliasing the shingle array in an intermediate
+# Project forces UnsafeArrayData serialization of the string array between
+# operators — measured 7x slower at sf0.1 than inline evaluation.
+def shingle_sql(w: str = "w", n: int = 3) -> str:
+    parts = ", ".join(f"element_at({w}, i+{k})" for k in range(n))
+    return (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def shingles_of_words(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column.  Callers must project the split() into a real column
+    first — referencing `split(text)` inside the lambda would re-split the
+    text once per element access (O(n·len) blowup observed at sf0.1)."""
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + k) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_shingles(text: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles`."""
+    w = f"string_split({text}, ' ')"
+    parts = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({w}) - {n - 1}), "
+        f"i -> {parts})) ELSE [] END"
+    )

@@ -1,0 +1,159 @@
+"""Multimodal-column operators (mandated tier, BASELINE.json:6).
+
+Media (image/audio/video) is modeled as opaque `binary` payloads with typed
+metadata — the standard lakehouse layout for multimodal training data.  The
+container has no image/audio codecs, so the DECODE step is a clearly-marked
+deterministic fake (see `_fake_decode`); everything Spark-side — schema,
+binary columns, Arrow batch plumbing through mapInPandas, partitioning — is
+real and tested.
+
+- multimodal_cols   text ⋈ embeddings ⋈ JSON-derived + numeric in one frame
+                    (SQL oracle)
+- mm_binary_meta    binary payload + typed metadata struct, columnar stats
+                    (SQL oracle — payload synthesized from text, so DuckDB
+                    can reproduce it with encode())
+- mm_decode_stub    mapInPandas Arrow-batched "decode" of binary payloads
+                    (rows-only: fake decoder, deterministic)
+
+Scale notes: binary payloads at 100 TB dominate row size — the decode
+pipeline uses mapInPandas so payload bytes stream through Arrow in batches
+and are never materialized driver-side; metadata-only queries prune the
+binary column entirely at the parquet scan (columnar projection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DataFrame mixing text, array<float>, JSON-derived and numerics:
+    documents ⋈ embeddings (doc_id = vec_id) ⋈ per-user event JSON values."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    ev = table(spark, sf_dir, "events")
+    kvals = ev.groupBy("user_id").agg(
+        F.max(F.get_json_object("props", "$.k").cast("int")).alias("max_k")
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .join(kvals, d.doc_id == kvals.user_id, "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).alias("e0"),
+            "label",
+            "max_k",
+        )
+    )
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload column + typed metadata, metadata-level stats.
+
+    Payload = utf8 bytes of `text` (stands in for image bytes); metadata =
+    struct(modality, byte length, source).  The aggregation touches only
+    metadata — the plan prunes the payload column (verified in tests).
+    """
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("modality"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+    return media.groupBy(F.col("meta.modality").alias("modality"), F.col("meta.origin").alias("origin")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DECODE STUB — the container ships no media codecs (PIL/ffmpeg absent).
+# A real deployment swaps `_fake_decode` for the codec call; the Spark-side
+# contract (Arrow batches in, typed rows out, schema below) is unchanged.
+# ---------------------------------------------------------------------------
+_DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, checksum long, width int, height int, ok boolean"
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic fake 'image decode': derives pseudo width/height and a
+    checksum from the bytes.  NOT a real decoder (no codecs in container)."""
+    n = len(payload)
+    checksum = 0
+    for b in payload[:64]:
+        checksum = (checksum * 131 + b) % 1_000_000_007
+    return {
+        "n_bytes": n,
+        "checksum": checksum,
+        "width": 16 + checksum % 240,
+        "height": 16 + (checksum // 240) % 240,
+        "ok": n > 0,
+    }
+
+
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode pipeline over binary payloads via mapInPandas.
+
+    Real plumbing: binary column streams through Arrow record batches into
+    pandas, per-batch vectorized work, typed schema out.  The decode itself
+    is `_fake_decode` (deterministic stub; see module docstring).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_cols": multimodal_cols,
+    "mm_binary_meta": mm_binary_meta,
+    "mm_decode_stub": mm_decode_stub,
+}
+
+ORACLE = {
+    "multimodal_cols": """
+        SELECT d.doc_id, d.lang, d.n_chars,
+               CAST(len(e.embedding) AS INT) AS dim,
+               e.embedding[1] AS e0,
+               e.label,
+               k.max_k
+        FROM documents d
+        JOIN embeddings e ON d.doc_id = e.vec_id
+        LEFT JOIN (
+            SELECT user_id,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY user_id
+        ) k ON d.doc_id = k.user_id
+    """,
+    "mm_binary_meta": """
+        SELECT 'text/plain' AS modality, source AS origin,
+               COUNT(*) AS n_items,
+               SUM(octet_length(encode(text))) AS total_bytes,
+               MAX(octet_length(encode(text))) AS max_bytes
+        FROM documents GROUP BY source
+    """,
+}

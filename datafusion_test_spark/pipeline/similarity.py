@@ -1,0 +1,155 @@
+"""Similarity search over `embeddings` (mandated tier, BASELINE.json:6).
+
+- sim_topk          brute-force cosine top-k vs a query vector (SQL oracle)
+- sim_pairwise_topk top-k most similar pairs, label-blocked (SQL oracle)
+- sim_ann_lsh       random-hyperplane LSH ANN — the scale path (rows-only:
+                    hash-derived planes, deterministic)
+
+Scale design (100 TB / billions of vectors):
+- Brute force is the *baseline*: one scan, top-k via TakeOrderedAndProject
+  (per-partition k-heaps, k rows to the driver) — embarrassingly parallel,
+  no shuffle.  Right answer, O(N·d) per query.
+- The scale path buckets vectors once by an r-bit random-hyperplane
+  signature (IVF-style coarse quantization); each query probes only its
+  bucket (and could probe neighbors for recall).  The expensive part — the
+  signature — is computed in one pass and would be *persisted alongside the
+  table* in a real deployment (a bucketed parquet write on `bucket`), making
+  each query a partition-pruned scan instead of a full pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ._expr import cosine, sql_cosine
+
+_DIM = 64
+
+
+def _query_vec(e):
+    """The query vector: embedding of the min vec_id row (1-row broadcast)."""
+    m = e.agg(F.min("vec_id").alias("qid"))
+    return F.broadcast(
+        e.join(F.broadcast(m), F.col("vec_id") == F.col("qid"))
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 against the query vector."""
+    e = table(spark, sf_dir, "embeddings")
+    q = _query_vec(e)
+    return (
+        e.crossJoin(q)
+        .withColumn("cos", cosine(F.col("embedding"), F.col("qvec")))
+        .select("vec_id", "label", F.round("cos", 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar pairs overall, candidate pairs blocked by label."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b"))
+        .limit(10)
+    )
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 via 8-bit random-hyperplane LSH bucketing.
+
+    Hyperplane h_j has components ±1 derived from xxhash64(j, dim-index) —
+    deterministic, no stored model.  sign(v·h_j) gives bit j; vectors are
+    compared only within the query's bucket.  Recall < 1 by design; the
+    rows-only oracle checks stability, pytest checks bucket containment and
+    overlap with the exact top-k.
+    """
+    e = table(spark, sf_dir, "embeddings")
+
+    def signature(vec):
+        bits = []
+        for j in range(8):
+            # ±1 plane component per dimension, from a hash of (j, i)
+            comp = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.lit(_DIM - 1)),
+                    lambda x, i: x.cast("double")
+                    * (
+                        (
+                            F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) * 2 - 1
+                        ).cast("double")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(comp > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out
+
+    sigd = e.withColumn("bucket", signature(F.col("embedding")))
+    q = (
+        sigd.join(
+            F.broadcast(sigd.agg(F.min("vec_id").alias("qid"))),
+            F.col("vec_id") == F.col("qid"),
+        )
+        .select(
+            F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+        )
+    )
+    return (
+        sigd.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .withColumn("cos", cosine(F.col("embedding"), F.col("qvec")))
+        .select("vec_id", "label", "bucket", F.round("cos", 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "sim_topk": sim_topk,
+    "sim_pairwise_topk": sim_pairwise_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+}
+
+ORACLE = {
+    "sim_topk": f"""
+        WITH q AS (
+            SELECT embedding AS qvec FROM embeddings
+            WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        )
+        SELECT vec_id, label,
+               ROUND({sql_cosine('embedding', 'qvec')}, 4) AS cos_sim
+        FROM embeddings, q
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 20
+    """,
+    "sim_pairwise_topk": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 10
+    """,
+}

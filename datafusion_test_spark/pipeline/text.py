@@ -1,0 +1,224 @@
+"""Text-analysis operators over `documents` (mandated tier, BASELINE.json:6).
+
+- text_stats        per-language corpus stats (SQL oracle)
+- text_tokens       token counting: whitespace + BPE-ish regex (SQL oracle)
+- text_quality      heuristic quality score (SQL oracle)
+- text_langid       stopword-overlap language ID (SQL oracle)
+- text_fingerprint  polynomial rolling-hash fingerprint (SQL oracle)
+- text_topterms     top-5 terms per language (SQL oracle)
+
+All pure built-in expressions (split / explode / regexp / higher-order
+folds) — no Python in the hot path, so at 100 TB these run inside
+whole-stage codegen, shuffling only for the per-language aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._util import dsum, r4, sql_dsum
+from ..io import table
+
+# BPE-ish word/number/punctuation tokenizer (shared by Spark and oracle).
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny per-language stopword lists for the n-gram/stopword langid heuristic.
+_STOP = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.withColumn("n_tokens", F.size(F.split("text", " ")))
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        r4(F.avg("n_tokens"), "avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts: whitespace tokens vs regex (BPE-ish) tokens."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("re_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, mean word length, alpha ratio.
+
+    The score formula is arbitrary but fixed; what matters is that it is a
+    deterministic columnar expression both engines evaluate identically.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    alpha_chars = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    mean_wlen = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_words.alias("n_words"),
+            F.round(mean_wlen, 4).alias("mean_word_len"),
+            F.round(alpha_chars / F.col("n_chars").cast("double"), 4).alias("alpha_ratio"),
+            F.round(
+                F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+                + F.least(alpha_chars / F.col("n_chars").cast("double"), F.lit(1.0)) * 0.5,
+                4,
+            ).alias("quality"),
+        )
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID; argmax over per-language hit counts,
+    alphabetical tiebreak, 'und' (undetermined) when no stopword hits."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in stops]))).alias(
+                f"hits_{lg}"
+            )
+            for lg, stops in _STOP.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in _STOP])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in sorted(_STOP):  # alphabetical tiebreak
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), best.alias("best_hits")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint:
+    h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) mod 1e9+7).
+
+    Engine-portable (pure integer arithmetic), catches exact dups cheaply;
+    grouped to fingerprint-collision classes.
+    """
+    d = table(spark, sf_dir, "documents")
+    # substring with a dynamic start needs expr(): substr(text, i, 1)
+    fp = F.expr(
+        "aggregate(transform(sequence(1, length(text)), "
+        "i -> ascii(substr(text, i, 1))), 0L, "
+        "(acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent terms per language (count desc, term asc)."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    counts = terms.filter(F.col("term") != "").groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "n", "rk")
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_topterms": text_topterms,
+}
+
+_STOP_SQL = {lg: "[" + ", ".join(f"'{s}'" for s in stops) + "]" for lg, stops in _STOP.items()}
+_HITS_SQL = ",\n               ".join(
+    f"len(list_intersect(string_split(lower(text), ' '), {_STOP_SQL[lg]})) AS hits_{lg}"
+    for lg in _STOP
+)
+_BEST_SQL = "greatest(" + ", ".join(f"hits_{lg}" for lg in _STOP) + ")"
+_PRED_SQL = "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' " + " ".join(
+    f"WHEN hits_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in sorted(_STOP)
+) + " END"
+
+ORACLE = {
+    "text_stats": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+               MAX(len(string_split(text, ' '))) AS max_tokens,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+    "text_tokens": f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_tokens,
+               length(text) AS chars
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               ROUND(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS mean_word_len,
+               ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / CAST(n_chars AS DOUBLE), 4) AS alpha_ratio,
+               ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                     + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / CAST(n_chars AS DOUBLE), 1.0) * 0.5, 4) AS quality
+        FROM documents
+    """,
+    "text_langid": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+               {_HITS_SQL}
+            FROM documents
+        )
+        SELECT doc_id, lang, {_PRED_SQL} AS pred_lang, {_BEST_SQL} AS best_hits
+        FROM scored
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(text)),
+                                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007
+               ) AS fingerprint
+        FROM documents
+    """,
+    "text_topterms": """
+        WITH counts AS (
+            SELECT lang, term, COUNT(*) AS n FROM (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            ) WHERE term != ''
+            GROUP BY lang, term
+        )
+        SELECT lang, term, n, rk FROM (
+            SELECT lang, term, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+            FROM counts
+        ) WHERE rk <= 5
+    """,
+}

@@ -1,0 +1,162 @@
+"""Data generation, parquet write, and bootstrap (SURVEY §2.1 Tier A).
+
+Reference parity:
+- generate_random_table  src/main.rs:225-282 — 11 columns: A,B,C Float64
+  uniform [0,1); D Boolean; E..K Utf8 10-char alphanumeric; N files × M rows
+- write_parquet          src/main.rs:249-262 — Arrow writer per file
+- find_or_generate       src/main.rs:166-185 — reuse on-disk files else
+  generate (idempotent bootstrap)
+- cancel_query           src/main.rs:56-105 — cancellation race (harness in
+  ../cancel.py)
+
+The generator is fully columnar — `spark.range` + `rand(seed)` + a base62
+character-table lookup, zero Python UDFs — so at 100 TB it generates
+partition-parallel at scan speed (the reference generates 35M rows the same
+way, vectorized per RecordBatch).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..session import tune
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_STRING_COLS = ["E", "F", "G", "H", "I", "J", "K"]
+
+
+def _rand_string(seed: int):
+    """10-char base62 string, columnar: 10 independent char lookups."""
+    chars = [
+        F.element_at(
+            F.split(F.lit(_B62), ""),
+            (F.floor(F.rand(seed * 1000 + k) * 62).cast("int") + 1),
+        )
+        for k in range(10)
+    ]
+    return F.concat(*chars)
+
+
+def generate_random_table(
+    spark: SparkSession, n_rows: int = 100_000, seed: int = 42
+) -> DataFrame:
+    """The reference's synthetic table (schema src/main.rs:233-245,
+    generators src/main.rs:273-282), scaled by n_rows."""
+    df = spark.range(n_rows)
+    for i, c in enumerate(["A", "B", "C"]):
+        df = df.withColumn(c, F.rand(seed + i))  # f64 uniform [0,1)
+    df = df.withColumn("D", F.rand(seed + 3) < 0.5)  # fair coin
+    for j, c in enumerate(_STRING_COLS):
+        df = df.withColumn(c, _rand_string(seed + 10 + j))
+    return df.drop("id")
+
+
+def find_or_generate(
+    spark: SparkSession,
+    data_dir: str,
+    n_files: int = 2,
+    rows_per_file: int = 50_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Idempotent bootstrap (src/main.rs:166-185): if `data_dir` already
+    holds parquet files, scan them; otherwise generate n_files × rows_per_file
+    and write them, then scan.  Raises if generation produced nothing
+    (src/main.rs:173-180's panic)."""
+    tune(spark)
+    has_parquet = os.path.isdir(data_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(data_dir)
+    )
+    if not has_parquet:
+        for fnum in range(1, n_files + 1):  # 1.parquet..N.parquet layout
+            generate_random_table(spark, rows_per_file, seed + fnum).coalesce(
+                1
+            ).write.mode("append").parquet(data_dir)
+        if not any(f.endswith(".parquet") for f in os.listdir(data_dir)):
+            raise RuntimeError(f"generation produced no parquet files in {data_dir}")
+    return spark.read.parquet(data_dir)
+
+
+# --- declared queries() entries -------------------------------------------
+
+
+def q_generate_random_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference query over freshly generated data:
+    SELECT DISTINCT A,B,C,D,E summarized (src/main.rs:122) — rows-only
+    (random data; schema/count checked)."""
+    df = generate_random_table(spark, n_rows=20_000, seed=7)
+    return df.select("A", "B", "C", "D", "E").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min("A").alias("min_a"),
+        F.max("A").alias("max_a"),
+    )
+
+
+def q_find_or_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap contract: generate into a temp dir, then a second call must
+    reuse (identical counts).  Returns the verification frame."""
+    base = tempfile.mkdtemp(prefix="dfts_bootstrap_")
+    data_dir = os.path.join(base, "data")
+    try:
+        first = find_or_generate(spark, data_dir, n_files=2, rows_per_file=5_000)
+        n_first = first.count()
+        again = find_or_generate(spark, data_dir, n_files=2, rows_per_file=5_000)
+        n_again = again.count()
+        return spark.createDataFrame(
+            [(n_first, n_again, n_first == n_again)],
+            "n_first long, n_again long, reused boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_write_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip write (src/main.rs:249-262): write lineitem to a scratch
+    dir, re-read, return the re-read frame — the SQL oracle hash-matching
+    the original proves lossless write."""
+    out = tempfile.mkdtemp(prefix="dfts_writepq_")
+    path = os.path.join(out, "lineitem_rt")
+    li = table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").parquet(path)
+    rt = spark.read.parquet(path)
+    # note: scratch dir is leaked for the lifetime of the process (the
+    # returned DataFrame lazily re-reads it); OS tmp cleanup handles it.
+    return rt
+
+
+def q_cancel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cancellation race per wait in {25, 50} ms over a heavy DISTINCT
+    (the reference's experiment at reduced sweep; full sweep in bench).
+    rows-only: latencies are environment-dependent."""
+    from ..cancel import sweep
+
+    def heavy():
+        return (
+            generate_random_table(spark, n_rows=300_000, seed=3)
+            .select("A", "B", "C", "D", "E")
+            .distinct()
+        )
+
+    results = sweep(spark, heavy, [25, 50])
+    return spark.createDataFrame(
+        [(w, c >= 0, bool(e)) for (w, c, e) in results],
+        "wait_ms int, measured boolean, interrupted boolean",
+    )
+
+
+QUERIES = {
+    "generate_random_table": q_generate_random_table,
+    "find_or_generate": q_find_or_generate,
+    "write_parquet": q_write_parquet,
+    "cancel_query": q_cancel_query,
+}
+
+ORACLE = {
+    # write_parquet round-trip must hash-match the source table exactly.
+    "write_parquet": "SELECT * FROM lineitem",
+}

@@ -1,0 +1,179 @@
+"""Streaming surface, batch-equivalence tier (SURVEY §2.3).
+
+The reference is batch-only (its "stream" is DataFusion's pull-based
+RecordBatch stream, src/main.rs:155-161); the driver testdata nonetheless
+ships an `events` table for a streaming tier.  Strategy: every windowing
+operator is defined ONCE as a transformation that works identically on a
+batch DataFrame and a streaming DataFrame (Structured Streaming's unified
+model).  Here they run in batch mode against the DuckDB oracle; the
+micro-batch path (readStream → watermark → window → memory sink, late-data
+scenarios) is exercised in tests/test_streaming.py with the same functions.
+
+Scale notes: event-time windows + watermarks bound state: at 100 TB/day the
+state store holds only open windows per key; sliding windows multiply state
+by (length/slide); session windows merge on overlap.  Watermark delay is the
+lateness SLA — state is dropped past it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._util import DEC
+from ..io import table
+
+
+def _events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def tumbling(df: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type (works batch & streaming)."""
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding(df: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes."""
+    return (
+        df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch gaps-and-islands sessionization (30-min inactivity gap) —
+    semantically equal to F.session_window (checked in pytest)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = df.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def dedup_by_id(df: DataFrame) -> DataFrame:
+    """Dedup by event_id; aggregation form so the kept row is deterministic
+    even if duplicates exist (streaming twin: withWatermark +
+    dropDuplicates(["event_id"]), tests/test_streaming.py)."""
+    return df.groupBy("event_id").agg(
+        F.min("ts").alias("ts"),
+        F.min("user_id").alias("user_id"),
+        F.min("event_type").alias("event_type"),
+    )
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling(_events(spark, sf_dir))
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding(_events(spark, sf_dir))
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_batch(_events(spark, sf_dir)).drop("session_seq")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_by_id(_events(spark, sf_dir))
+
+
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-gated tumbling agg.  In batch mode withWatermark is a
+    no-op (rows-only entry); the actual late-data-drop semantics are
+    asserted in tests/test_streaming.py with an ordered micro-batch feed."""
+    ev = _events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return tumbling(ev)
+
+
+QUERIES = {
+    "stream_tumbling": stream_tumbling,
+    "stream_sliding": stream_sliding,
+    "stream_session": stream_session,
+    "stream_dedup": stream_dedup,
+    "stream_watermark_late": stream_watermark_late,
+}
+
+ORACLE = {
+    "stream_tumbling": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "stream_sliding": """
+        SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+                    - i * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events, UNNEST(generate_series(0, 3)) AS t(i)
+        GROUP BY 1, 2
+    """,
+    "stream_session": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        ) > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
+    "stream_dedup": """
+        SELECT event_id,
+               MIN(ts) AS ts,
+               MIN(user_id) AS user_id,
+               MIN(event_type) AS event_type
+        FROM events GROUP BY event_id
+    """,
+}

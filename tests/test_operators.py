@@ -1,0 +1,154 @@
+"""Operator shape/edge unit tests at sf0.001 (SURVEY §5): empty inputs,
+null handling, duplicate keys, determinism — the cases the oracle
+differential can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_test_spark.io import TABLES, table
+from datafusion_test_spark.operators import aggregates, joins, setops, windows
+from datafusion_test_spark.pipeline import dedup, similarity, text
+
+
+def test_all_tables_load(spark, sf_dir):
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        assert df.count() > 0, name
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    assert dict(table(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+
+
+def test_agg_groupby_totals_consistent(spark, sf_dir):
+    rows = aggregates.agg_groupby(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    assert sum(r["count_order"] for r in rows) == li.count()
+    assert all(r["sum_disc_price"] <= r["sum_base_price"] for r in rows)
+
+
+def test_agg_on_empty_input(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(F.lit(False))
+    out = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    assert out == []
+    glob = li.agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")).collect()
+    assert glob[0]["n"] == 0 and glob[0]["s"] is None
+
+
+def test_outer_join_null_extension(spark, sf_dir):
+    out = joins.join_full(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    # orders of non-qualifying customers are null-extended on the left side
+    assert out.filter(F.col("c_custkey").isNull()).count() > 0
+    # full join covers both inputs entirely
+    assert out.count() >= c.count() and out.count() >= o.count()
+
+
+def test_semi_plus_anti_partition_customers(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    n_semi = joins.join_semi(spark, sf_dir).count()
+    n_anti = joins.join_anti(spark, sf_dir).count()
+    assert n_semi + n_anti == c.count()
+
+
+def test_asof_values_at_or_before(spark, sf_dir):
+    out = joins.join_asof(spark, sf_dir).filter(F.col("asof_ts").isNotNull())
+    assert out.filter(F.col("asof_ts") > F.col("ts")).count() == 0
+
+
+def test_union_setop_algebra(spark, sf_dir):
+    ua = setops.union_all(spark, sf_dir).count()
+    _, hi, urgent = setops._split(spark, sf_dir)
+    assert ua == hi.count() + urgent.count()
+    inter = setops.intersect(spark, sf_dir)
+    exc = setops.except_(spark, sf_dir)
+    urgent_keys = urgent.select().count()  # touch
+    assert inter.intersect(exc).count() == 0  # disjoint by definition
+
+
+def test_window_ranking_determinism(spark, sf_dir):
+    a = windows.win_ranking(spark, sf_dir).collect()
+    b = windows.win_ranking(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_running_sum_monotone_per_customer(spark, sf_dir):
+    out = windows.win_running_sum(spark, sf_dir)
+    w_bad = out.groupBy("o_custkey").agg(
+        (F.max("running_total") - F.sum(F.lit(0.0))).alias("mx")
+    )
+    # max running total equals the customer's total (prefix-sum invariant)
+    joined = (
+        out.groupBy("o_custkey").agg(F.max("running_total").alias("mx"))
+        .join(
+            table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("tot")
+            ),
+            "o_custkey",
+        )
+    )
+    assert joined.filter(F.abs(F.col("mx") - F.col("tot")) > 1e-6).count() == 0
+
+
+def test_dedup_exact_partitions_docs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    out = dedup.dedup_exact(spark, sf_dir)
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == d.count()
+
+
+def test_minhash_candidates_have_high_jaccard_recall(spark, sf_dir):
+    """LSH candidates should cover the high-similarity pairs the exact
+    3-gram Jaccard finds (recall check at 0.6 threshold)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.9
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash(spark, sf_dir).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.8, (recall, len(exact), len(cand))
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, dedup.dedup_simhash(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup.dedup_simhash(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_sim_topk_self_is_top(spark, sf_dir):
+    rows = similarity.sim_topk(spark, sf_dir).collect()
+    # The query vector is vec_id=min; its self-similarity must rank first.
+    assert rows[0]["cos_sim"] == 1.0
+
+
+def test_sim_ann_subset_of_bruteforce_bucket(spark, sf_dir):
+    ann = similarity.sim_ann_lsh(spark, sf_dir).collect()
+    assert len(ann) >= 1  # query's own bucket contains at least itself
+    assert ann[0]["cos_sim"] == 1.0
+
+
+def test_text_langid_schema_and_domain(spark, sf_dir):
+    out = text.text_langid(spark, sf_dir)
+    langs = {r["pred_lang"] for r in out.collect()}
+    assert langs <= {"de", "en", "es", "fr", "zh", "und"}
+
+
+def test_fingerprint_equal_for_equal_text(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = text.text_fingerprint(spark, sf_dir)
+    joined = d.select("doc_id", "text").join(fp, "doc_id")
+    groups = joined.groupBy("text").agg(
+        F.countDistinct("fingerprint").alias("nfp")
+    )
+    assert groups.filter(F.col("nfp") > 1).count() == 0

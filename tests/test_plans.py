@@ -1,0 +1,69 @@
+"""Plan-shape assertions (SURVEY §4): the optimizations the reference
+explicitly enables (pushdown src/main.rs:126, pruning :131, partitioning
+:125, coalesce :150-152) must be visible in our physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_test_spark.io import table
+from datafusion_test_spark.operators import joins, relational, sorting
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = relational.parquet_pushdown(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(o_totalprice,150000.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = relational.project(spark, sf_dir)
+    plan = _plan(df)
+    # ReadSchema must contain only the 5 projected columns, not all 11.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema
+    assert "l_partkey" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_strategy(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(joins.join_broadcast(spark, sf_dir))
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in _plan(joins.join_semi(spark, sf_dir))
+    assert "LeftAnti" in _plan(joins.join_anti(spark, sf_dir))
+
+
+def test_coalesce_partitions_is_one(spark, sf_dir):
+    df = relational.coalesce_partitions(spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_partitioned_exec_partition_count(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").repartition(4)
+    assert li.rdd.getNumPartitions() == 4
+
+
+def test_limit_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(sorting.limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_distinct_is_partial_final_aggregate(spark, sf_dir):
+    plan = _plan(relational.distinct(spark, sf_dir))
+    # partial+final HashAggregate split with an exchange between
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10).select(
+        "l_orderkey"
+    )
+    # whole-stage codegen shows as "*(stage)" markers in the plan string
+    assert "*(1)" in _plan(df)

@@ -1,0 +1,74 @@
+"""Generator / bootstrap / cancellation tests (SURVEY §2.1 Tier A parity)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datafusion_test_spark.cancel import cancel_once, markdown_table
+from datafusion_test_spark.sources.generate import (
+    find_or_generate,
+    generate_random_table,
+)
+
+
+def test_generated_schema_matches_reference(spark):
+    """11 columns: A,B,C double; D boolean; E..K string (src/main.rs:233-245)."""
+    df = generate_random_table(spark, n_rows=1000, seed=1)
+    dtypes = dict(df.dtypes)
+    assert [c for c, _ in df.dtypes] == list("ABCDEFGHIJK")
+    assert all(dtypes[c] == "double" for c in "ABC")
+    assert dtypes["D"] == "boolean"
+    assert all(dtypes[c] == "string" for c in "EFGHIJK")
+
+
+def test_generated_domains(spark):
+    df = generate_random_table(spark, n_rows=5000, seed=2)
+    stats = df.agg(
+        F.min("A").alias("mn"),
+        F.max("A").alias("mx"),
+        F.min(F.length("E")).alias("lmin"),
+        F.max(F.length("E")).alias("lmax"),
+        F.sum(F.when(F.col("E").rlike("^[0-9A-Za-z]{10}$"), 0).otherwise(1)).alias("bad"),
+        F.sum(F.when(F.col("D"), 1).otherwise(0)).alias("ntrue"),
+    ).collect()[0]
+    assert 0.0 <= stats["mn"] and stats["mx"] < 1.0
+    assert stats["lmin"] == 10 and stats["lmax"] == 10 and stats["bad"] == 0
+    assert 0.4 < stats["ntrue"] / 5000 < 0.6  # fair coin
+
+
+def test_generator_deterministic_for_seed(spark):
+    a = generate_random_table(spark, 1000, seed=9).agg(F.sum("A")).collect()[0][0]
+    b = generate_random_table(spark, 1000, seed=9).agg(F.sum("A")).collect()[0][0]
+    assert a == b
+
+
+def test_find_or_generate_idempotent(spark, tmp_path):
+    d = str(tmp_path / "data")
+    first = find_or_generate(spark, d, n_files=2, rows_per_file=1000)
+    n1 = first.count()
+    files1 = sorted(os.listdir(d))
+    second = find_or_generate(spark, d, n_files=2, rows_per_file=1000)
+    assert second.count() == n1 == 2000
+    assert sorted(os.listdir(d)) == files1  # nothing regenerated
+
+
+def test_cancel_query_interrupts(spark):
+    """The reference's experiment (src/main.rs:56-105): a heavy DISTINCT
+    cancelled mid-flight must stop and report a finite cancel duration."""
+
+    def heavy():
+        return (
+            generate_random_table(spark, 400_000, seed=5)
+            .select("A", "B", "C", "D", "E")
+            .distinct()
+        )
+
+    wait_ms, cancel_ms, interrupted = cancel_once(spark, heavy, 50)
+    assert wait_ms == 50
+    assert cancel_ms < 60_000  # finite, bounded teardown
+    assert interrupted  # query was actually cancelled, not completed
+
+    md = markdown_table([(wait_ms, cancel_ms, interrupted)])
+    assert md.splitlines()[0] == "| Wait time (ms) | Cancel duration (ms) |"

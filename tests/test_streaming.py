@@ -1,0 +1,150 @@
+"""Structured Streaming micro-batch tests (SURVEY §2.3/§5): the same window
+transformations used in the batch tier run in streaming mode against a file
+source + memory sink; batch-equivalence and late-data semantics."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_test_spark.io import table
+from datafusion_test_spark.streaming import batch_windows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events as a stream-source directory with µs timestamps (the raw file
+    is a single ns-timestamp parquet, which FileStreamSource can't use)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream_over_events(spark, events_dir, transform, name, extra=None):
+    """readStream the events dir, apply transform, drain to a memory sink,
+    return the sink table."""
+    schema = spark.read.parquet(events_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    out = transform(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(extra or "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_dir):
+    ev = table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in batch_windows.tumbling(ev).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in _run_stream_over_events(
+            spark, events_dir, batch_windows.tumbling, "t_tumbling"
+        ).collect()
+    }
+    assert batch == streamed
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_dir, events_dir):
+    """Feed events UNION ALL events (every id duplicated); stateful
+    dropDuplicates must emit each event_id once."""
+    ev = table(spark, sf_dir, "events")
+    n_ids = ev.select("event_id").distinct().count()
+
+    schema = spark.read.parquet(events_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    # two copies of the same source => duplicates across micro-batch input
+    doubled = src.union(src)
+    dedup = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup").select("event_id").distinct().count()
+    total = spark.table("t_dedup").count()
+    assert got == n_ids
+    assert total == n_ids  # no duplicate rows emitted
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Two ordered micro-batches: batch 2 advances the watermark far past
+    batch 3's late event; the late event must not create/update a window."""
+    src_dir = str(tmp_path / "stream_src")
+    spark.createDataFrame([], "ts timestamp, k string").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    agg = (
+        spark.readStream.schema("ts timestamp, k string")
+        .parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def feed(rows):
+            spark.createDataFrame(rows, "ts timestamp, k string").write.mode(
+                "append"
+            ).parquet(src_dir)
+
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 5)
+        feed([(t0, "a")])
+        time.sleep(4)
+        # advance event time (and watermark) to 06:00
+        feed([(dt.datetime(2024, 1, 1, 6, 0), "a")])
+        time.sleep(4)
+        # late event back at 00:10 — behind watermark (06:00 - 10min)
+        feed([(dt.datetime(2024, 1, 1, 0, 10), "a")])
+        time.sleep(4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("t_late").collect()
+    first_hour = [r for r in rows if r["w"]["start"].hour == 0]
+    # the 00:00 window must only ever have counted 1 event (the late one dropped)
+    assert all(r["count"] == 1 for r in first_hour)
+
+
+def test_session_window_builtin_matches_gaps_and_islands(spark, sf_dir):
+    """F.session_window (the streaming-native form) must agree with the
+    batch gaps-and-islands implementation on session boundaries."""
+    ev = table(spark, sf_dir, "events")
+    builtin = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    ours = batch_windows.sessionize_batch(ev).select(
+        "user_id", "session_start", "n_events"
+    )
+    a = {tuple(r) for r in builtin.collect()}
+    b = {tuple(r) for r in ours.collect()}
+    assert a == b
