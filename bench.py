@@ -57,10 +57,18 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
-    # Warm-up: JVM, codegen, parquet footer caches.
-    table(spark, sf_dir, "lineitem").count()
-
+    # Warm-up: JVM, whole-stage-codegen compilation, parquet footer caches —
+    # run every headline query once at the smallest SF so the measured runs
+    # time execution, not JIT compilation.
     qs = registry.queries()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                materialize(qs[name](spark, warm_dir))
+            except Exception:
+                pass
+    table(spark, sf_dir, "lineitem").count()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

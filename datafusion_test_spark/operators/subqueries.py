@@ -1,0 +1,159 @@
+"""Subquery operators — scalar, IN, correlated EXISTS, lateral-style derived
+tables (SURVEY §4 row "subquery decorrelation": DataFusion's optimizer links
+`RewriteCorrelatedScalarSubquery`-class rules via Cargo.lock:1025-1026, and
+Spark's Catalyst decorrelates the same shapes into joins).
+
+These run through the SQL entry point (spark.sql), exercising the full
+parse → analyze → decorrelate → join-rewrite path; plan tests assert the
+correlated forms decorrelate into joins rather than per-row re-execution —
+which is exactly what makes them viable at 100 TB.
+
+Also here: pivot / unpivot reshaping (DataFusion exposes equivalent
+capability via CASE-aggregation; Spark has them first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._util import DEC
+from ..io import register_views, table
+
+
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global average price."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery): customers in nations that belong to the EUROPE region."""
+    register_views(spark, sf_dir, ["customer", "nation", "region"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_regionkey IN (
+                SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'
+            )
+        )
+        """
+    )
+
+
+def sub_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: each order vs its customer's max order.
+    Catalyst decorrelates to an aggregate + join (plan-asserted)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o1
+        WHERE o_totalprice = (
+            SELECT MAX(o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o1.o_custkey
+        )
+        """
+    )
+
+
+def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra predicate (beyond join_semi's plain
+    form): suppliers sharing a nation with at least one negative-balance
+    customer."""
+    register_views(spark, sf_dir, ["supplier", "customer"])
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < 0
+        )
+        """
+    )
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status (rows) × priority class (columns)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("prio", F.substring("o_orderpriority", 1, 1))
+        .groupBy("o_orderstatus")
+        .pivot("prio", ["1", "2", "3", "4", "5"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({str(i): f"p{i}" for i in range(1, 6)})
+    )
+
+
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): lineitem charge components to (metric, amount) rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "amount",
+    )
+
+
+QUERIES = {
+    "sub_scalar": sub_scalar,
+    "sub_in": sub_in,
+    "sub_correlated_scalar": sub_correlated_scalar,
+    "sub_exists_correlated": sub_exists_correlated,
+    "pivot_wide": pivot_wide,
+    "unpivot_long": unpivot_long,
+}
+
+ORACLE = {
+    "sub_scalar": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+    "sub_in": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+                SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+    """,
+    "sub_correlated_scalar": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o1
+        WHERE o_totalprice = (
+            SELECT MAX(o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o1.o_custkey)
+    """,
+    "sub_exists_correlated": """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < 0)
+    """,
+    "pivot_wide": """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE substr(o_orderpriority,1,1) = '1') AS p1,
+               COUNT(*) FILTER (WHERE substr(o_orderpriority,1,1) = '2') AS p2,
+               COUNT(*) FILTER (WHERE substr(o_orderpriority,1,1) = '3') AS p3,
+               COUNT(*) FILTER (WHERE substr(o_orderpriority,1,1) = '4') AS p4,
+               COUNT(*) FILTER (WHERE substr(o_orderpriority,1,1) = '5') AS p5
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "unpivot_long": """
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+               l_extendedprice AS amount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+}

@@ -34,6 +34,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
 
 
+def cosine_prenormed(a: Column, b: Column, nrm_a: Column, nrm_b: Column) -> Column:
+    """Cosine with per-row precomputed norms.  Bit-identical to :func:`cosine`
+    (caching sqrt(norm2(v)) does not change its value) but folds each vector
+    once per ROW instead of once per PAIR — the difference between O(N·d)
+    and O(pairs·d) work in pairwise self-joins."""
+    return dot(a, b) / (nrm_a * nrm_b)
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` (index-based zip, double fold)."""
     return (

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
-from ._expr import cosine, sql_cosine
+from ._expr import cosine, cosine_prenormed, norm2, sql_cosine
 
 _DIM = 64
 
@@ -51,8 +51,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 most similar pairs overall, candidate pairs blocked by label."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    """Top-10 most similar pairs overall, candidate pairs blocked by label.
+
+    Norms are folded once per row (O(N·d)), not per pair (O(pairs·d)) —
+    bit-identical result, ~3x less fold work in the self-join.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(norm2(F.col("embedding"))).alias("nrm"),
+    )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -63,9 +72,15 @@ def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                cosine_prenormed(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a.nrm"),
+                    F.col("b.nrm"),
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b"))
         .limit(10)

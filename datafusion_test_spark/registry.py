@@ -22,6 +22,7 @@ _MODULES = [
     "datafusion_test_spark.operators.windows",
     "datafusion_test_spark.operators.sorting",
     "datafusion_test_spark.operators.setops",
+    "datafusion_test_spark.operators.subqueries",
     "datafusion_test_spark.operators.udf",
     "datafusion_test_spark.functions.scalar",
     "datafusion_test_spark.sources.generate",

@@ -7,7 +7,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_test_spark.io import table
-from datafusion_test_spark.operators import joins, relational, sorting
+from datafusion_test_spark.operators import joins, relational, sorting, subqueries
+from datafusion_test_spark.plans import introspect
 
 
 def _plan(df) -> str:
@@ -59,6 +60,27 @@ def test_distinct_is_partial_final_aggregate(spark, sf_dir):
     # partial+final HashAggregate split with an exchange between
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning" in plan
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Correlated scalar/EXISTS subqueries must plan as joins (decorrelated),
+    not per-row re-execution — the property that makes them scale."""
+    for df in (
+        subqueries.sub_correlated_scalar(spark, sf_dir),
+        subqueries.sub_exists_correlated(spark, sf_dir),
+    ):
+        assert introspect.join_strategies(df), introspect.plan_string(df)
+
+
+def test_introspect_helpers(spark, sf_dir):
+    df = relational.parquet_pushdown(spark, sf_dir)
+    assert any("o_totalprice" in p for p in introspect.pushed_filters(df))
+    assert introspect.read_schema(df) == [
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    assert introspect.num_shuffles(joins.join_broadcast(spark, sf_dir)) == 0
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
