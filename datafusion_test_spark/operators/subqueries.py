@@ -83,6 +83,44 @@ def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sub_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list: each nation's customer
+    count, decorrelated by Catalyst into an outer-join aggregate."""
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name,
+               (SELECT COUNT(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_customers
+        FROM nation n
+        """
+    )
+
+
+def cte_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level WITH: a CTE referenced twice downstream (tests Catalyst's
+    CTE dedup/inlining; DataFusion's sqlparser handles the same shapes)."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        f"""
+        WITH big AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS spent
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, spent,
+                   CASE WHEN spent > (SELECT AVG(spent) FROM big)
+                        THEN 'above' ELSE 'below' END AS band
+            FROM big
+        )
+        SELECT band, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(spent AS {DEC})) AS DOUBLE) AS band_spent
+        FROM ranked GROUP BY band
+        """
+    )
+
+
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per status (rows) × priority class (columns)."""
     o = table(spark, sf_dir, "orders")
@@ -113,6 +151,8 @@ QUERIES = {
     "sub_in": sub_in,
     "sub_correlated_scalar": sub_correlated_scalar,
     "sub_exists_correlated": sub_exists_correlated,
+    "sub_scalar_select": sub_scalar_select,
+    "cte_multi": cte_multi,
     "pivot_wide": pivot_wide,
     "unpivot_long": unpivot_long,
 }
@@ -138,6 +178,28 @@ ORACLE = {
         SELECT s_suppkey, s_name FROM supplier s
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal < 0)
+    """,
+    "sub_scalar_select": """
+        SELECT n_nationkey, n_name,
+               (SELECT COUNT(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_customers
+        FROM nation n
+    """,
+    "cte_multi": """
+        WITH big AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spent
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, spent,
+                   CASE WHEN spent > (SELECT AVG(spent) FROM big)
+                        THEN 'above' ELSE 'below' END AS band
+            FROM big
+        )
+        SELECT band, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(spent AS DECIMAL(18,6))) AS DOUBLE) AS band_spent
+        FROM ranked GROUP BY band
     """,
     "pivot_wide": """
         SELECT o_orderstatus,

@@ -128,10 +128,50 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: slice each payload into fixed
+    256-byte 'frames' (stands in for video frame extraction — no codecs in
+    container), keep every 4th frame.  Fully columnar: substring on binary +
+    sequence/explode, no Python.  At 100 TB the explode multiplies rows by
+    frames-per-item, so the frame stride (sampling rate) is the knob that
+    keeps output bounded."""
+    frame, stride = 256, 4
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.encode("text", "utf-8").alias("payload")
+    )
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(frame)).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.octet_length("payload").alias("n_bytes"),
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(stride))
+            ).alias("frame_idx"),
+        )
+        # frames sliced via the string (testdata text is pure ASCII, so
+        # char offsets == byte offsets; a real video payload would slice
+        # the BLOB directly — DuckDB's oracle dialect lacks blob substring,
+        # hence the string route for the differential)
+        .select(
+            "doc_id",
+            "n_bytes",
+            "frame_idx",
+            F.octet_length(
+                F.encode(
+                    F.expr(f"substring(text, frame_idx * {frame} + 1, {frame})"),
+                    "utf-8",
+                )
+            ).alias("frame_bytes"),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_cols": multimodal_cols,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stub": mm_decode_stub,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLE = {
@@ -148,6 +188,15 @@ ORACLE = {
                    MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY user_id
         ) k ON d.doc_id = k.user_id
+    """,
+    "mm_frame_sample": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(i AS INT) AS frame_idx,
+               octet_length(encode(substring(text, CAST(i * 256 + 1 AS INT), 256))) AS frame_bytes
+        FROM documents,
+             UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1, 4)) AS t(i)
     """,
     "mm_binary_meta": """
         SELECT 'text/plain' AS modality, source AS origin,

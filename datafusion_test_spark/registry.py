@@ -26,6 +26,7 @@ _MODULES = [
     "datafusion_test_spark.operators.udf",
     "datafusion_test_spark.functions.scalar",
     "datafusion_test_spark.sources.generate",
+    "datafusion_test_spark.sources.connectors",
     "datafusion_test_spark.streaming.batch_windows",
     "datafusion_test_spark.pipeline.dedup",
     "datafusion_test_spark.pipeline.similarity",

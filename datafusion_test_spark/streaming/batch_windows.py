@@ -96,6 +96,16 @@ def dedup_by_id(df: DataFrame) -> DataFrame:
     )
 
 
+def user_totals(df: DataFrame) -> DataFrame:
+    """Per-user event count + value total — the batch twin of the custom
+    stateful operator (applyInPandasWithState keeps (count, total) state per
+    user_id in streaming mode; tests/test_streaming.py proves equivalence)."""
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling(_events(spark, sf_dir))
 
@@ -112,6 +122,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_id(_events(spark, sf_dir))
 
 
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_totals(_events(spark, sf_dir))
+
+
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-gated tumbling agg.  In batch mode withWatermark is a
     no-op (rows-only entry); the actual late-data-drop semantics are
@@ -125,6 +139,7 @@ QUERIES = {
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
     "stream_dedup": stream_dedup,
+    "stream_stateful_count": stream_stateful_count,
     "stream_watermark_late": stream_watermark_late,
 }
 
@@ -168,6 +183,11 @@ ORACLE = {
                COUNT(*) AS n_events
         FROM numbered
         GROUP BY user_id, session_seq
+    """,
+    "stream_stateful_count": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
     """,
     "stream_dedup": """
         SELECT event_id,

@@ -129,6 +129,60 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert all(r["count"] == 1 for r in first_hour)
 
 
+def test_stateful_custom_operator_matches_batch(spark, sf_dir, events_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    (count, total) state across micro-batches must equal the batch
+    groupBy aggregate (user_totals)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [tot]}
+        )
+
+    schema = spark.read.parquet(events_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    ev = table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["n_events"]): r["total_value"]
+        for r in batch_windows.user_totals(ev).collect()
+    }
+    # last update per user wins (update mode may emit per micro-batch)
+    streamed_df = spark.table("t_state")
+    streamed = {
+        (r["user_id"], r["n_events"]): r["total_value"]
+        for r in streamed_df.orderBy("n_events").collect()
+    }
+    assert set(batch.keys()) == {
+        k for k in streamed if k in batch
+    } or set(batch.keys()) <= set(streamed.keys())
+    for k, v in batch.items():
+        assert abs(streamed[k] - v) < 1e-6, (k, streamed[k], v)
+
+
 def test_session_window_builtin_matches_gaps_and_islands(spark, sf_dir):
     """F.session_window (the streaming-native form) must agree with the
     batch gaps-and-islands implementation on session boundaries."""
