@@ -166,8 +166,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting: the probe side (lineitem) gets a
+    deterministic salt in [0, S); the build side (orders) is replicated S
+    ways; the join key becomes (key, salt), spreading a hot key over S
+    tasks.
+
+    Result is identical to the plain equi join (oracle proves it).  At
+    100 TB this is the manual fallback when AQE's skew-join splitting can't
+    help (e.g. skewed aggregation feeding a join, or a build side too big to
+    broadcast); S trades replication cost against the hottest key's task
+    time.  AQE skew handling stays on (session.py) — salting composes.
+    """
+    S = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S)).cast("int")
+    )
+    o = table(spark, sf_dir, "orders").crossJoin(
+        spark.range(S).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
+    "join_skew_salted": join_skew_salted,
     "join_broadcast": join_broadcast,
     "join_left": join_left,
     "join_right": join_right,
@@ -180,6 +212,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_skew_salted": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "join_inner": """
         SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         FROM orders JOIN customer ON o_custkey = c_custkey

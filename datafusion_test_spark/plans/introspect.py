@@ -34,8 +34,9 @@ def pushed_filters(df: DataFrame) -> list[str]:
 def read_schema(df: DataFrame) -> list[str]:
     """Columns actually read from parquet (column-pruning proof)."""
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan_string(df)):
-        cols += [c.split(":")[0] for c in m.group(1).split(",") if c]
+    # tolerate Spark's "..." elision of long scan descriptions
+    for m in re.finditer(r"ReadSchema: struct<([^>]*?)(?:>|\.\.\.)", plan_string(df)):
+        cols += [c.split(":")[0] for c in m.group(1).split(",") if c and ":" in c]
     return sorted(set(cols))
 
 
