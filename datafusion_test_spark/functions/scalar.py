@@ -257,6 +257,14 @@ ORACLE = {
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS vec_norm2
         FROM embeddings
     """,
+    # struct/map construction + field access collapses to the underlying
+    # columns — the oracle states that semantic identity, hash-checking the
+    # Spark-side construction/access mechanics
+    "fn_map_struct": """
+        SELECT c_custkey, c_name AS name, c_acctbal AS bal,
+               c_mktsegment AS segment
+        FROM customer
+    """,
     "fn_json": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INT) AS k_int

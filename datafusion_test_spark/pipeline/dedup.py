@@ -279,6 +279,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
+    # SURVEY §2.5's declared name for the MinHash-LSH strategy
+    "dedup_near": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embed_cosine": dedup_embed_cosine,
 }

@@ -149,8 +149,30 @@ def q_cancel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bench_cancel_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1's bench_cancel_table: a reduced 3-point sweep returning
+    the (wait, cancel) table as rows (the full 10..=60 sweep + markdown
+    output lives in tools/cancel_bench.py -> BENCH.md).  rows-only: latency
+    is environment-dependent."""
+    from ..cancel import sweep
+
+    def heavy():
+        return (
+            generate_random_table(spark, n_rows=300_000, seed=13)
+            .select("A", "B", "C", "D", "E")
+            .distinct()
+        )
+
+    results = sweep(spark, heavy, [20, 40, 60])
+    return spark.createDataFrame(
+        [(w, c >= 0, bool(e)) for (w, c, e) in results],
+        "wait_ms int, measured boolean, interrupted boolean",
+    )
+
+
 QUERIES = {
     "generate_random_table": q_generate_random_table,
+    "bench_cancel_table": q_bench_cancel_table,
     "find_or_generate": q_find_or_generate,
     "write_parquet": q_write_parquet,
     "cancel_query": q_cancel_query,

@@ -184,6 +184,18 @@ ORACLE = {
         FROM numbered
         GROUP BY user_id, session_seq
     """,
+    # withWatermark is a no-op in batch mode, so the batch result equals the
+    # plain tumbling aggregation — hash-checkable; the streaming late-drop
+    # semantics are asserted in tests/test_streaming.py
+    "stream_watermark_late": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
     "stream_stateful_count": """
         SELECT user_id, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
