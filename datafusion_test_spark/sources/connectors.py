@@ -48,13 +48,29 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (orders partitionBy o_orderstatus) and
+    re-read — the 100 TB lakehouse layout.  Filters on the partition column
+    become PartitionFilters (directory pruning, zero data read for pruned
+    partitions; asserted in tests/test_plans.py).  Oracle hash-matches the
+    source table, proving the layout round-trip is lossless."""
+    out = os.path.join(tempfile.mkdtemp(prefix="dfts_part_"), "orders_part")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    rt = spark.read.parquet(out)
+    # partition column comes back as the last column; restore source order
+    return rt.select(*o.columns)
+
+
 QUERIES = {
+    "write_partitioned": write_partitioned,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_json_roundtrip": scan_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
 }
 
 ORACLE = {
+    "write_partitioned": "SELECT * FROM orders",
     "scan_csv_roundtrip": "SELECT * FROM customer",
     "scan_json_roundtrip": "SELECT * FROM events",
     "scan_orc_roundtrip": "SELECT * FROM orders",
