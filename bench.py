@@ -31,19 +31,27 @@ HEADLINE = [
     "agg_count_distinct",
     "join_inner",
     "join_asof",
+    "join_skew_salted",
+    "sub_correlated_scalar",
     "win_ranking",
     "topk_per_group",
     "fn_math",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embed_cosine",
     "sim_topk",
     "sim_pairwise_topk",
     "text_topterms",
     "text_fingerprint",
     "stream_session",
     "stream_tumbling",
+    "stream_stateful_count",
     "udf_pandas",
+    "write_partitioned",
+    "scan_orc_roundtrip",
+    "mm_frame_sample",
 ]
 
 

@@ -152,10 +152,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # Purchases sort before clicks at equal ts (is_click asc) => `<=` as-of.
+    # Purchases sort before clicks at equal ts (is_click asc) => `<=` as-of;
+    # event_id as final tiebreak keeps the window total-ordered even if the
+    # data ever contains duplicate (user_id, ts) rows.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_click")
+        .orderBy("ts", "is_click", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
