@@ -187,7 +187,7 @@ ORACLE = {
                substr(c_name, 1, 8) AS name8,
                upper(c_mktsegment) AS seg_up,
                lower(c_name) AS name_lo,
-               length(c_name) AS name_len,
+               CAST(length(c_name) AS INT) AS name_len,
                trim('  ' || c_mktsegment || ' ') AS seg_trim,
                concat_ws('-', c_mktsegment, c_name) AS seg_name,
                replace(c_name, 'Customer', 'Cust') AS name_repl,
@@ -204,12 +204,12 @@ ORACLE = {
     """,
     "fn_date": """
         SELECT o_orderkey,
-               EXTRACT(YEAR FROM o_orderdate) AS yr,
-               EXTRACT(MONTH FROM o_orderdate) AS mo,
-               EXTRACT(DAY FROM o_orderdate) AS dom,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+               CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
                o_orderdate + INTERVAL 30 DAY AS due_ts,
-               date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
                CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr
         FROM orders
     """,

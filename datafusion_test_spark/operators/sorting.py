@@ -76,8 +76,8 @@ ORACLE = {
     "topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
-                   ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
             FROM orders
         ) WHERE rn <= 3
     """,

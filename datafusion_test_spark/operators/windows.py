@@ -113,10 +113,10 @@ QUERIES = {
 ORACLE = {
     "win_ranking": f"""
         SELECT o_orderkey, o_custkey,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey {_ORDER}) AS rn,
-               RANK()       OVER (PARTITION BY o_custkey {_ORDER}) AS rk,
-               DENSE_RANK() OVER (PARTITION BY o_custkey {_ORDER}) AS drk,
-               NTILE(4)     OVER (PARTITION BY o_custkey {_ORDER}) AS quartile
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey {_ORDER}) AS INT) AS rn,
+               CAST(RANK()       OVER (PARTITION BY o_custkey {_ORDER}) AS INT) AS rk,
+               CAST(DENSE_RANK() OVER (PARTITION BY o_custkey {_ORDER}) AS INT) AS drk,
+               CAST(NTILE(4)     OVER (PARTITION BY o_custkey {_ORDER}) AS INT) AS quartile
         FROM orders
     """,
     "win_lag_lead": f"""

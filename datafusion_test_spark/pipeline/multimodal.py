@@ -191,9 +191,9 @@ ORACLE = {
     """,
     "mm_frame_sample": """
         SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                CAST(i AS INT) AS frame_idx,
-               octet_length(encode(substring(text, CAST(i * 256 + 1 AS INT), 256))) AS frame_bytes
+               CAST(octet_length(encode(substring(text, CAST(i * 256 + 1 AS INT), 256))) AS INT) AS frame_bytes
         FROM documents,
              UNNEST(generate_series(0,
                  CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1, 4)) AS t(i)
@@ -201,8 +201,8 @@ ORACLE = {
     "mm_binary_meta": """
         SELECT 'text/plain' AS modality, source AS origin,
                COUNT(*) AS n_items,
-               SUM(octet_length(encode(text))) AS total_bytes,
-               MAX(octet_length(encode(text))) AS max_bytes
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
         FROM documents GROUP BY source
     """,
 }

@@ -163,22 +163,22 @@ ORACLE = {
     "text_stats": """
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
-               MAX(len(string_split(text, ' '))) AS max_tokens,
+               CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
                COUNT(DISTINCT source) AS n_sources
         FROM documents GROUP BY lang
     """,
     "text_tokens": f"""
         SELECT doc_id,
-               len(string_split(text, ' ')) AS ws_tokens,
-               len(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_tokens,
-               length(text) AS chars
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INT) AS re_tokens,
+               CAST(length(text) AS INT) AS chars
         FROM documents
     """,
     "text_quality": """
         SELECT doc_id, lang,
-               len(string_split(text, ' ')) AS n_words,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
                ROUND(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                      / len(string_split(text, ' ')), 4) AS mean_word_len,
                ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -194,7 +194,7 @@ ORACLE = {
                {_HITS_SQL}
             FROM documents
         )
-        SELECT doc_id, lang, {_PRED_SQL} AS pred_lang, {_BEST_SQL} AS best_hits
+        SELECT doc_id, lang, {_PRED_SQL} AS pred_lang, CAST({_BEST_SQL} AS INT) AS best_hits
         FROM scored
     """,
     "text_fingerprint": """
@@ -217,7 +217,7 @@ ORACLE = {
         )
         SELECT lang, term, n, rk FROM (
             SELECT lang, term, n,
-                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rk
             FROM counts
         ) WHERE rk <= 5
     """,

@@ -183,6 +183,30 @@ def test_stateful_custom_operator_matches_batch(spark, sf_dir, events_dir):
         assert abs(streamed[k] - v) < 1e-6, (k, streamed[k], v)
 
 
+def test_streaming_parquet_sink_roundtrip(spark, sf_dir, events_dir, tmp_path):
+    """File sink: stream events through a transformation into a parquet
+    sink with checkpointing; the landed files must contain the full input
+    (exactly-once within one availableNow run)."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(events_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        src.select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    src_count = spark.read.parquet(events_dir).count()
+    assert landed.count() == src_count
+    assert landed.select("event_id").distinct().count() == src_count
+
+
 def test_session_window_builtin_matches_gaps_and_islands(spark, sf_dir):
     """F.session_window (the streaming-native form) must agree with the
     batch gaps-and-islands implementation on session boundaries."""
