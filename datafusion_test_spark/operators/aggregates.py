@@ -143,6 +143,20 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer sorted list of order keys.
+
+    collect_list's element order is shuffle-arrival-dependent, so the
+    result is always wrapped in sort_array — the only deterministic (and
+    therefore engine-portable) form of list aggregation.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr/median(exact percentile)."""
     li = table(spark, sf_dir, "lineitem")
@@ -164,6 +178,7 @@ QUERIES = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
+    "agg_collect": agg_collect,
     "agg_stats": agg_stats,
 }
 
@@ -225,6 +240,12 @@ ORACLE = {
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "agg_collect": """
+        SELECT o_custkey,
+               list_sort(array_agg(o_orderkey)) AS order_keys,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
     """,
     "agg_stats": """
         SELECT l_returnflag,

@@ -123,17 +123,25 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     sigd = e.withColumn("bucket", signature(F.col("embedding")))
+    # Multiprobe: search the query's bucket plus all Hamming-distance-1
+    # neighbor buckets (9 probes of 256) — the standard recall/cost knob:
+    # a vector whose signature differs by one marginal hyperplane is still
+    # found without widening the scan to the full table.
     q = (
         sigd.join(
             F.broadcast(sigd.agg(F.min("vec_id").alias("qid"))),
             F.col("vec_id") == F.col("qid"),
         )
         .select(
-            F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+            F.col("embedding").alias("qvec"),
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+            ).alias("probes"),
         )
     )
     return (
-        sigd.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        sigd.join(F.broadcast(q), F.expr("array_contains(probes, bucket)"))
         .withColumn("cos", cosine(F.col("embedding"), F.col("qvec")))
         .select("vec_id", "label", "bucket", F.round("cos", 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

@@ -136,6 +136,15 @@ def test_sim_ann_subset_of_bruteforce_bucket(spark, sf_dir):
     ann = similarity.sim_ann_lsh(spark, sf_dir).collect()
     assert len(ann) >= 1  # query's own bucket contains at least itself
     assert ann[0]["cos_sim"] == 1.0
+    # approximate results must be a subset of the candidate space scored
+    # identically to the exact operator: every (vec_id, cos) pair in the ANN
+    # output must appear with the same score in the brute-force ranking
+    exact = {
+        r["vec_id"]: r["cos_sim"] for r in similarity.sim_topk(spark, sf_dir).collect()
+    }
+    for r in ann:
+        if r["vec_id"] in exact:
+            assert exact[r["vec_id"]] == r["cos_sim"]
 
 
 def test_text_langid_schema_and_domain(spark, sf_dir):
