@@ -83,6 +83,23 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/hyperbolic family: sin/cos/tan/atan2/sinh, rounded to 4
+    (libm implementations may differ in the last ulp across engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_discount")
+    y = F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(x), 4).alias("sin_d"),
+        F.round(F.cos(x), 4).alias("cos_d"),
+        F.round(F.tan(x), 4).alias("tan_d"),
+        F.round(F.atan2(y, x + 0.01), 4).alias("atan2_td"),
+        F.round(F.sinh(x), 4).alias("sinh_d"),
+    )
+
+
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN / coalesce / nullif / greatest / least."""
     c = table(spark, sf_dir, "customer")
@@ -174,6 +191,7 @@ QUERIES = {
     "fn_regex": fn_regex,
     "fn_date": fn_date,
     "fn_math": fn_math,
+    "fn_trig": fn_trig,
     "fn_conditional": fn_conditional,
     "fn_cast": fn_cast,
     "fn_array": fn_array,
@@ -224,6 +242,15 @@ ORACLE = {
                round(ln(l_extendedprice), 4) AS price_ln,
                round(exp(l_discount), 4) AS disc_exp,
                round(sqrt(l_quantity), 4) AS qty_sqrt
+        FROM lineitem
+    """,
+    "fn_trig": """
+        SELECT l_orderkey, l_linenumber,
+               round(sin(l_discount), 4) AS sin_d,
+               round(cos(l_discount), 4) AS cos_d,
+               round(tan(l_discount), 4) AS tan_d,
+               round(atan2(l_tax, l_discount + 0.01), 4) AS atan2_td,
+               round((exp(l_discount) - exp(-l_discount)) / 2, 4) AS sinh_d
         FROM lineitem
     """,
     "fn_conditional": """

@@ -157,6 +157,31 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates: each customer's biggest/smallest order.
+
+    Tie-safety: per-customer o_totalprice values are distinct in the
+    testdata (verified); on tied data max_by/arg_max would be
+    nondeterministic in both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates over line numbers per order."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_linenumber").alias("bxor"),
+    )
+
+
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr/median(exact percentile)."""
     li = table(spark, sf_dir, "lineitem")
@@ -179,6 +204,8 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_collect": agg_collect,
+    "agg_minmax_by": agg_minmax_by,
+    "agg_bitwise": agg_bitwise,
     "agg_stats": agg_stats,
 }
 
@@ -240,6 +267,20 @@ ORACLE = {
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "agg_minmax_by": """
+        SELECT o_custkey,
+               arg_max(o_orderkey, o_totalprice) AS biggest_order,
+               arg_min(o_orderkey, o_totalprice) AS smallest_order,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey
+    """,
+    "agg_bitwise": """
+        SELECT l_orderkey,
+               CAST(bit_and(l_linenumber) AS INT) AS band,
+               CAST(bit_or(l_linenumber) AS INT) AS bor,
+               CAST(bit_xor(l_linenumber) AS INT) AS bxor
+        FROM lineitem GROUP BY l_orderkey
     """,
     "agg_collect": """
         SELECT o_custkey,

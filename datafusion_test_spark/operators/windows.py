@@ -101,8 +101,23 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: percent_rank / cume_dist.
+
+    Both are exact rationals ((rank-1)/(n-1), rank/n) computed identically
+    as doubles in both engines — no rounding needed for the oracle."""
+    o, w = _w(spark, sf_dir)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 QUERIES = {
     "win_ranking": win_ranking,
+    "win_percent": win_percent,
     "win_lag_lead": win_lag_lead,
     "win_running_sum": win_running_sum,
     "win_moving_avg": win_moving_avg,
@@ -111,6 +126,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_percent": f"""
+        SELECT o_orderkey, o_custkey,
+               PERCENT_RANK() OVER (PARTITION BY o_custkey {_ORDER}) AS pct_rank,
+               CUME_DIST()    OVER (PARTITION BY o_custkey {_ORDER}) AS cume
+        FROM orders
+    """,
     "win_ranking": f"""
         SELECT o_orderkey, o_custkey,
                CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey {_ORDER}) AS INT) AS rn,
