@@ -100,6 +100,17 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests: md5 / sha256 — algorithm-defined, so the
+    hex strings match across engines exactly (no float caveats)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("md5_name"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_name"),
+    )
+
+
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN / coalesce / nullif / greatest / least."""
     c = table(spark, sf_dir, "customer")
@@ -192,6 +203,7 @@ QUERIES = {
     "fn_date": fn_date,
     "fn_math": fn_math,
     "fn_trig": fn_trig,
+    "fn_hash": fn_hash,
     "fn_conditional": fn_conditional,
     "fn_cast": fn_cast,
     "fn_array": fn_array,
@@ -243,6 +255,12 @@ ORACLE = {
                round(exp(l_discount), 4) AS disc_exp,
                round(sqrt(l_quantity), 4) AS qty_sqrt
         FROM lineitem
+    """,
+    "fn_hash": """
+        SELECT c_custkey,
+               md5(c_name) AS md5_name,
+               sha256(c_name) AS sha256_name
+        FROM customer
     """,
     "fn_trig": """
         SELECT l_orderkey, l_linenumber,

@@ -182,6 +182,17 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative aggregate: compound tax factor per order (<=7 items per
+    group, so the double product is well-conditioned; round(4) absorbs
+    reduce-order ulps)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.product(1 + F.col("l_tax")), 4).alias("tax_factor"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr/median(exact percentile)."""
     li = table(spark, sf_dir, "lineitem")
@@ -206,6 +217,7 @@ QUERIES = {
     "agg_collect": agg_collect,
     "agg_minmax_by": agg_minmax_by,
     "agg_bitwise": agg_bitwise,
+    "agg_product": agg_product,
     "agg_stats": agg_stats,
 }
 
@@ -274,6 +286,12 @@ ORACLE = {
                arg_min(o_orderkey, o_totalprice) AS smallest_order,
                MAX(o_totalprice) AS max_price
         FROM orders GROUP BY o_custkey
+    """,
+    "agg_product": """
+        SELECT l_orderkey,
+               ROUND(product(1 + l_tax), 4) AS tax_factor,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey
     """,
     "agg_bitwise": """
         SELECT l_orderkey,
