@@ -44,7 +44,9 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
         F.regexp_replace("p_type", r"[AEIOU]", "_").alias("type_masked"),
         F.col("p_type").rlike(r"^(PROMO|LARGE)").alias("is_promo_large"),
-        F.split(F.col("p_type"), " ").alias("type_words"),
+        # split() demonstrated, then re-joined to a canonical string: the
+        # driver's hash canonicalizer cannot factorize array cells.
+        F.concat_ws("|", F.split(F.col("p_type"), " ")).alias("type_words"),
     )
 
 
@@ -155,7 +157,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        # slice() demonstrated, then quantized (×10⁴ → int) and joined to a
+        # string: array cells crash the driver's canonicalizer, and raw
+        # float→string rendering differs across engines (1.0E-4 vs 0.0001).
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long").cast("string"),
+            ),
+        ).alias("head4"),
         F.aggregate(
             "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("vec_sum"),
@@ -229,7 +240,7 @@ ORACLE = {
                regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
                regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
                regexp_matches(p_type, '^(PROMO|LARGE)') AS is_promo_large,
-               str_split(p_type, ' ') AS type_words
+               array_to_string(str_split(p_type, ' '), '|') AS type_words
         FROM part
     """,
     "fn_date": """
@@ -295,7 +306,9 @@ ORACLE = {
         SELECT vec_id,
                CAST(len(embedding) AS INT) AS dim,
                embedding[1] AS first_val,
-               embedding[1:4] AS head4,
+               array_to_string(list_transform(embedding[1:4],
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+                             AS VARCHAR)), ',') AS head4,
                list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
                    AS vec_sum,
                list_aggregate(list_transform(embedding,

@@ -80,9 +80,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this replaces exact distinct-count's full shuffle with a
     fixed-size sketch mergeable map-side; relative error 5%.
+
+    Self-verifying oracle shape (the driver has no rows-only fallback): emit
+    the exact count as the anchor plus a boolean asserting the HLL estimate
+    is within tolerance; the DuckDB twin computes the exact count and TRUE.
     """
     o = table(spark, sf_dir, "orders")
-    return o.agg(F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"))
+    # rsd 0.02 with a 3-sigma 0.06 tolerance: rsd is a standard deviation,
+    # so asserting within 1 sigma would flake (the default 0.05 sketch
+    # measured 6.7% off at sf0.01)
+    return o.agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        (
+            F.abs(F.approx_count_distinct("o_custkey", 0.02) - F.countDistinct("o_custkey"))
+            / F.countDistinct("o_custkey")
+            <= F.lit(0.06)
+        ).alias("within_tol"),
+    )
 
 
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,11 +162,14 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     collect_list's element order is shuffle-arrival-dependent, so the
     result is always wrapped in sort_array — the only deterministic (and
-    therefore engine-portable) form of list aggregation.
+    therefore engine-portable) form of list aggregation.  The sorted list is
+    emitted as a canonical comma-joined string because the driver's hash
+    canonicalizer cannot factorize array cells (numpy.ndarray is unhashable —
+    proven red row in CORRECTNESS_r01.json).
     """
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -302,9 +319,13 @@ ORACLE = {
     """,
     "agg_collect": """
         SELECT o_custkey,
-               list_sort(array_agg(o_orderkey)) AS order_keys,
+               array_to_string(list_sort(array_agg(o_orderkey)), ',') AS order_keys,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_custkey
+    """,
+    "agg_approx_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS exact_custs, TRUE AS within_tol
+        FROM orders
     """,
     "agg_stats": """
         SELECT l_returnflag,

@@ -82,12 +82,19 @@ def collect_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memory-backed table (src/main.rs:40-44, 205-223): persist MEMORY_ONLY
-    and materialize, so downstream scans never touch disk — the same property
-    the reference's InMemory object store provides (README.md:8-9)."""
-    n = table(spark, sf_dir, "nation").persist(StorageLevel.MEMORY_ONLY)
-    n.count()  # materialize the cache
-    return n
+    """Memory-backed dataset (src/main.rs:40-44, 205-223): persist EVERY
+    testdata table MEMORY_ONLY and materialize, matching the reference's
+    load-the-whole-dataset-into-the-memory-store semantics — downstream scans
+    never touch disk (README.md:8-9).  Returns the queried table (nation),
+    served from the cache."""
+    from ..io import TABLES
+
+    cached = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name).persist(StorageLevel.MEMORY_ONLY)
+        df.count()  # materialize the cache
+        cached[name] = df
+    return cached["nation"]
 
 
 QUERIES = {

@@ -122,7 +122,12 @@ def cte_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order counts per status (rows) × priority class (columns)."""
+    """Pivot: order counts per status (rows) × priority class (columns).
+
+    Empty (status, prio) cells pivot to NULL in Spark but COUNT(*) FILTER
+    yields 0 in the oracle — filled to 0 so the semantics (and hashes) agree
+    on any scale factor.
+    """
     o = table(spark, sf_dir, "orders")
     return (
         o.withColumn("prio", F.substring("o_orderpriority", 1, 1))
@@ -130,6 +135,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("prio", ["1", "2", "3", "4", "5"])
         .agg(F.count(F.lit(1)))
         .withColumnsRenamed({str(i): f"p{i}" for i in range(1, 6)})
+        .na.fill(0, [f"p{i}" for i in range(1, 6)])
     )
 
 

@@ -42,6 +42,33 @@ def cosine_prenormed(a: Column, b: Column, nrm_a: Column, nrm_b: Column) -> Colu
     return dot(a, b) / (nrm_a * nrm_b)
 
 
+def rh_signature(vec: Column, bits: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature (an int in [0, 2^bits)).
+
+    Hyperplane j has ±1 components derived from xxhash64(j, dim-index) —
+    deterministic, no stored model to ship; bit j = sign(v·h_j).  Shared by
+    sim_ann_lsh (query-time bucket probe) and dedup_embed_lsh (pairwise
+    bucket blocking), so the two operators see the same bucketing.
+    """
+    def _plane_component(j: int):
+        # closure factory: PySpark derives lambda arity from the signature,
+        # so j must be captured, not passed as a defaulted third arg
+        return lambda x, i: x.cast("double") * (
+            (F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) * 2 - 1).cast("double")
+        )
+
+    out = None
+    for j in range(bits):
+        comp = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _plane_component(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(comp > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` (index-based zip, double fold)."""
     return (

@@ -1,32 +1,52 @@
 """Deduplication operators over `documents` (mandated tier, BASELINE.json:6).
 
-Five strategies, each a `queries()` entry:
+Six strategies, each a `queries()` entry:
 
 - dedup_exact          hash group-by on full text (SQL oracle)
 - dedup_ngram_jaccard  exact word-3-gram Jaccard via inverted-index self-join
-                       (SQL oracle — fully relational, no approximation)
-- dedup_minhash        MinHash + LSH banding over shingles (rows-only:
-                       hash-function-dependent, but seeded/deterministic)
-- dedup_simhash        64-bit SimHash + hamming-band candidate pairs
-                       (rows-only: xxhash64-dependent, deterministic)
+                       with a document-frequency cap (SQL oracle — fully
+                       relational; the cap is mirrored in the oracle)
+- dedup_minhash        MinHash + LSH banding over shingles.  Hash-function-
+                       dependent output, so the declared entry is a
+                       self-verifying harness: 50 duplicate documents are
+                       planted and the oracle asserts MinHash finds every
+                       planted pair (identical text ⇒ identical signature ⇒
+                       shared band bucket — an exact containment invariant).
+- dedup_simhash        64-bit SimHash + hamming-band candidate pairs, same
+                       planted-duplicate containment harness
 - dedup_embed_cosine   embedding-cosine near-dup pairs, label-blocked
                        (SQL oracle — bit-identical double folds)
+- dedup_embed_lsh      the 100 TB variant: candidate blocking by random-
+                       hyperplane LSH bucket instead of label (planted
+                       identical-vector containment invariant)
 
 Scale design (100 TB): every pairwise strategy is *blocked* — candidate pairs
 come from an inverted index (shared shingle / LSH bucket / simhash band /
 label) and never from a full cross-join.  The inverted-index joins shuffle on
-the bucket key; frequency caps (DF cap on shingles) bound worst-case bucket
-fanout, the standard guard against quadratic hot buckets.
+the bucket key; frequency caps (DF cap on shingles, size cap on band buckets,
+both ``_DF_CAP``) bound worst-case bucket fanout, the standard guard against
+quadratic hot buckets from stop-phrase shingles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..io import table
 from ._expr import cosine_prenormed, norm2, shingle_sql, sql_cosine, sql_shingles
+
+# Keys (shingles / band buckets) occurring in more than this many documents
+# are dropped before any self-join: a key shared by f docs produces O(f²)
+# candidate pairs, so one stop-phrase shingle at 100 TB is a quadratic hot
+# bucket.  1000 is a no-op at test scale (≤5000 docs with unique texts) and
+# bounds any bucket's pair fanout to ~500k at any scale.
+_DF_CAP = 1000
+
+# Planted-duplicate id offset for the self-verifying harnesses (far above any
+# real doc_id/vec_id in the testdata).
+_PLANT_OFFSET = 10_000_000
 
 
 def _doc_words(spark, sf_dir):
@@ -40,11 +60,25 @@ def _doc_words(spark, sf_dir):
     (see _expr.shingle_sql perf note).
     """
     par = spark.sparkContext.defaultParallelism
-    return (
-        table(spark, sf_dir, "documents")
-        .repartition(par)
-        .select("doc_id", F.split("text", " ").alias("w"))
+    return _words_of(table(spark, sf_dir, "documents"), par)
+
+
+def _words_of(docs: DataFrame, par: int) -> DataFrame:
+    """(doc_id, text) -> (doc_id, w) with the same repartition rationale."""
+    return docs.repartition(par).select("doc_id", F.split("text", " ").alias("w"))
+
+
+def _plant_dups(docs: DataFrame, k: int = 50) -> tuple[DataFrame, DataFrame]:
+    """Self-verification fixture: copy the k lowest-doc_id documents under
+    doc_id + _PLANT_OFFSET.  Returns (augmented corpus, the k source docs).
+    Identical text must be rediscovered by any near-dup detector, giving the
+    hash-dependent strategies an exact containment invariant the DuckDB
+    oracle can state."""
+    low = docs.orderBy("doc_id").limit(k)
+    planted = low.select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"), "text"
     )
+    return docs.select("doc_id", "text").unionByName(planted), low
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,19 +95,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (similarity >= 0.6).
+    """Exact 3-gram Jaccard near-dup pairs (similarity >= 0.6), with a
+    document-frequency cap on shingles.
 
     Inverted index: (shingle -> doc) exploded, self-joined on shingle to get
     pairwise intersection counts; |A∪B| = |A|+|B|−|A∩B|.  One shuffle on the
     shingle key; no cross-join.
+
+    DF cap: shingles appearing in more than _DF_CAP documents are removed
+    from the index before the self-join — a key shared by f docs emits O(f²)
+    pairs, so one stop-phrase shingle is otherwise a quadratic hot bucket.
+    The hot-key set is found with a map-side-combined count (output is one
+    row per DISTINCT shingle over the cap — tiny) and removed via broadcast
+    anti-join, so the index itself is never re-shuffled for the cap.  Set
+    sizes keep the full shingle universe, making the reported similarity a
+    lower bound for pairs that share a capped stop-shingle (which carries no
+    dedup signal).  The oracle applies the identical cap, so the result is
+    hash-exact at every scale factor.
     """
     sh = shingle_sql("w")
-    # Persist the inverted index before self-joining: (1) both join branches
-    # reuse one computation, (2) it stops Catalyst pushing the join's
-    # null-filter below the projections, which would re-inline the whole
-    # shingle expression into a pre-shuffle Filter (observed 10x slowdown).
-    # At 100 TB this is the same persist-the-index pattern, MEMORY_AND_DISK.
-    inv = (
+    raw = (
         _doc_words(spark, sf_dir)
         .select(
             "doc_id",
@@ -85,7 +126,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2^64 are ~n^2/2^65 (≈1e-9 at 1e5 distinct shingles; still <1e-3
         # at 1e8) — the standard trade in shingle-index dedup.
         .select("doc_id", "n_sh", F.xxhash64("shingle").alias("sid"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hot = raw.groupBy("sid").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > _DF_CAP
+    ).select("sid")
+    # Persist the inverted index before self-joining: (1) both join branches
+    # reuse one computation, (2) it stops Catalyst pushing the join's
+    # null-filter below the projections, which would re-inline the whole
+    # shingle expression into a pre-shuffle Filter (observed 10x slowdown).
+    # At 100 TB this is the same persist-the-index pattern, MEMORY_AND_DISK.
+    inv = raw.join(F.broadcast(hot), "sid", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     a, b = inv.alias("a"), inv.alias("b")
     # shuffle-hash, not broadcast: the inverted index is O(corpus) — at any
@@ -119,22 +170,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate dup pairs.
+def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate dup pairs over a
+    (doc_id, text) corpus.
 
     Columnar implementation (no ML-lib dependency, no Python UDF):
     h_i(s) = (a_i·xxhash64(s) + b_i) mod p over the shingle set, minimum per
     permutation; band key = hash of 4 consecutive minhashes; pairs sharing
-    any band bucket are candidates.  Deterministic (fixed a_i/b_i), so the
-    rows-only oracle count is stable.  At 100 TB: the only shuffles are
-    explode→min-agg (by doc) and the band-bucket self-join; band buckets are
-    capped implicitly by banding width.
+    any band bucket are candidates.  Deterministic (fixed a_i/b_i).  At
+    100 TB: the only shuffles are explode→min-agg (by doc) and the
+    band-bucket self-join; buckets over _DF_CAP docs are dropped (hot-bucket
+    guard, broadcast anti-join) before pairing.
     """
     p = 1_000_000_007  # prime; h < p and a < 2^7 keep h*a+b far from 2^63
     perms = [(2 * k + 1, 7919 * (k + 1)) for k in range(32)]
 
     tok = (
-        _doc_words(spark, sf_dir)
+        _words_of(docs, spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(F.expr(shingle_sql("w"))).alias("s"))
         .withColumn("h", F.pmod(F.xxhash64("s"), F.lit(p)))
     )
@@ -158,7 +210,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey").persist(StorageLevel.MEMORY_AND_DISK)
-    x, y = bands.alias("x"), bands.alias("y")
+    hot = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _DF_CAP)
+        .select("band", "bkey")
+    )
+    capped = bands.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    x, y = capped.alias("x"), capped.alias("y")
     return (
         x.join(
             y,
@@ -171,18 +230,45 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup candidates: hamming distance <= 6, candidates
-    blocked by 4×16-bit bands (a pair within distance 6 shares at least one
-    exact band by pigeonhole when distance < 4 bands... we accept band-miss
-    recall loss, the standard trade).
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying MinHash-LSH harness (the declared entry).
+
+    The pair set is hash-function-dependent, so instead of hashing raw pairs
+    against DuckDB the harness plants 50 duplicate documents and asserts the
+    exact containment invariant: identical text ⇒ identical shingle set ⇒
+    identical signature ⇒ shared band buckets ⇒ the pair MUST be found.
+    Emits the SQL-computable anchor (planted docs with ≥3 words, i.e. a
+    non-empty shingle set) plus the containment boolean.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug, low = _plant_dups(docs)
+    cand = minhash_pairs(spark, aug)
+    expected = low.filter(F.size(F.split("text", " ")) >= 3).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
+    )
+    return expected.join(
+        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_planted_pairs"),
+        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
+    )
+
+
+def simhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """64-bit SimHash near-dup candidates over a (doc_id, text) corpus:
+    hamming distance <= 6, candidates blocked by 4×16-bit bands (a pair
+    within distance 6 shares at least one exact band by pigeonhole when
+    distance < 4 bands... we accept band-miss recall loss, the standard
+    trade).
 
     Bit votes: explode tokens, per (doc, bit) sum ±1 votes, reassemble the
     signature with bit shifts — fully columnar, scales as one shuffle on
     (doc_id) after an explode bounded by token count × 1 (votes kept as a
-    64-element array, not 64 rows).
+    64-element array, not 64 rows).  Band buckets over _DF_CAP docs are
+    dropped (hot-bucket guard) before the self-join.
     """
-    tok = _doc_words(spark, sf_dir).select(
+    tok = _words_of(docs, spark.sparkContext.defaultParallelism).select(
         "doc_id", F.explode("w").alias("t")
     ).withColumn("h", F.xxhash64("t"))
     # Per-bit ±1 vote sums as 64 aggregate expressions over the token rows —
@@ -218,7 +304,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bk.band", "bk.bkey").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    x, y = banded.alias("x"), banded.alias("y")
+    hot = (
+        banded.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _DF_CAP)
+        .select("band", "bkey")
+    )
+    capped = banded.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    x, y = capped.alias("x"), capped.alias("y")
     pairs = (
         x.join(
             y,
@@ -236,6 +329,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 6).select("doc_a", "doc_b", "hamming")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying SimHash harness (same planted-duplicate containment
+    invariant as dedup_minhash): identical text ⇒ identical token votes ⇒
+    identical 64-bit signature ⇒ hamming 0 and shared bands ⇒ found."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug, low = _plant_dups(docs)
+    cand = simhash_pairs(spark, aug).select("doc_a", "doc_b")
+    expected = low.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
+    )
+    return expected.join(
+        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_planted_pairs"),
+        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
+    )
 
 
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,6 +387,78 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_lsh_pairs(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """Embedding near-dup candidate pairs (cos >= 0.95) blocked by the 8-bit
+    random-hyperplane LSH bucket — the 100 TB replacement for
+    dedup_embed_cosine's label blocking: bucket population is ~N/256 and
+    data-dependent rather than O(N) per label, and the same signature would
+    be persisted as a bucketed table layout in production.  Buckets over
+    _DF_CAP vectors are dropped (hot-bucket guard)."""
+    from ._expr import rh_signature
+
+    e = vecs.select(
+        "vec_id",
+        "embedding",
+        rh_signature(F.col("embedding")).alias("bucket"),
+        F.sqrt(norm2(F.col("embedding"))).alias("nrm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        e.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _DF_CAP)
+        .select("bucket")
+    )
+    capped = e.join(F.broadcast(hot), ["bucket"], "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a.nrm"),
+                F.col("b.nrm"),
+            ),
+        )
+        .filter(F.col("cos") >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying LSH-bucketed embedding dedup (the declared entry):
+    plants 50 duplicate vectors (vec_id + offset, identical embedding ⇒
+    identical signature ⇒ same bucket, cos = 1.0) and asserts every planted
+    pair is found — end-to-end coverage of signature determinism, bucket
+    blocking, the cosine fold, and the threshold."""
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    low = vecs.orderBy("vec_id").limit(50)
+    planted = low.select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
+    aug = vecs.unionByName(planted)
+    cand = embed_lsh_pairs(spark, aug).select("vec_a", "vec_b")
+    expected = low.select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_b"),
+    )
+    return expected.join(
+        cand.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_planted_pairs"),
+        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -283,6 +467,7 @@ QUERIES = {
     "dedup_near": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embed_cosine": dedup_embed_cosine,
+    "dedup_embed_lsh": dedup_embed_lsh,
 }
 
 _SH = sql_shingles("text")
@@ -297,7 +482,13 @@ ORACLE = {
             SELECT doc_id, {_SH} AS sh FROM documents
         ),
         sized AS (SELECT doc_id, len(sh) AS n_sh, sh FROM sh),
-        inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized),
+        inv_raw AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized),
+        hot AS (
+            SELECT shingle FROM inv_raw GROUP BY shingle HAVING COUNT(*) > 1000
+        ),
+        inv AS (
+            SELECT i.* FROM inv_raw i ANTI JOIN hot h ON i.shingle = h.shingle
+        ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
@@ -316,5 +507,33 @@ ORACLE = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.95
+    """,
+    # Planted-duplicate containment invariants (the pair sets themselves are
+    # hash-function-dependent; the anchors + booleans are exact SQL).
+    "dedup_minhash": """
+        WITH low AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+        SELECT CAST(COUNT(*) FILTER (WHERE len(string_split(text, ' ')) >= 3)
+                    AS BIGINT) AS n_planted_pairs,
+               TRUE AS found_all_planted
+        FROM low
+    """,
+    "dedup_near": """
+        WITH low AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+        SELECT CAST(COUNT(*) FILTER (WHERE len(string_split(text, ' ')) >= 3)
+                    AS BIGINT) AS n_planted_pairs,
+               TRUE AS found_all_planted
+        FROM low
+    """,
+    "dedup_simhash": """
+        WITH low AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
+               TRUE AS found_all_planted
+        FROM low
+    """,
+    "dedup_embed_lsh": """
+        WITH low AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
+               TRUE AS found_all_planted
+        FROM low
     """,
 }

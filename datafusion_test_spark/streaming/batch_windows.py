@@ -61,13 +61,18 @@ def sliding(df: DataFrame) -> DataFrame:
 
 def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch gaps-and-islands sessionization (30-min inactivity gap) —
-    semantically equal to F.session_window (checked in pytest)."""
+    semantically equal to F.session_window (checked in pytest).
+
+    Boundary: session_window treats a gap of EXACTLY the gap duration as a
+    new session (each event opens a [ts, ts+gap) window; merging requires
+    overlap, and touching intervals don't overlap) — hence >=, not >.
+    """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     marked = df.withColumn(
         "new_session",
         F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > gap_us,
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) >= gap_us,
             1,
         )
         .otherwise(0)
@@ -166,7 +171,7 @@ ORACLE = {
             SELECT user_id, event_id, ts,
                    CASE WHEN epoch_us(ts) - epoch_us(
                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                        ) > 1800000000 THEN 1 ELSE 0 END AS new_session
+                        ) >= 1800000000 THEN 1 ELSE 0 END AS new_session
             FROM events
         ),
         numbered AS (

@@ -112,8 +112,10 @@ def test_minhash_candidates_have_high_jaccard_recall(spark, sf_dir):
         for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
         if r["jaccard"] >= 0.9
     }
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     cand = {
-        (r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash(spark, sf_dir).collect()
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_pairs(spark, docs).collect()
     }
     if exact:
         recall = len(exact & cand) / len(exact)
@@ -121,9 +123,20 @@ def test_minhash_candidates_have_high_jaccard_recall(spark, sf_dir):
 
 
 def test_simhash_deterministic(spark, sf_dir):
-    a = sorted(map(tuple, dedup.dedup_simhash(spark, sf_dir).collect()))
-    b = sorted(map(tuple, dedup.dedup_simhash(spark, sf_dir).collect()))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(map(tuple, dedup.simhash_pairs(spark, docs).collect()))
+    b = sorted(map(tuple, dedup.simhash_pairs(spark, docs).collect()))
     assert a == b
+
+
+def test_planted_duplicate_harnesses_all_found(spark, sf_dir):
+    """The declared dedup_minhash / dedup_simhash / dedup_embed_lsh entries
+    are planted-duplicate containment harnesses: every planted identical
+    pair must be rediscovered."""
+    for fn in (dedup.dedup_minhash, dedup.dedup_simhash, dedup.dedup_embed_lsh):
+        row = fn(spark, sf_dir).collect()[0]
+        assert row["n_planted_pairs"] > 0, fn.__name__
+        assert row["found_all_planted"] is True, fn.__name__
 
 
 def test_sim_topk_self_is_top(spark, sf_dir):
@@ -133,7 +146,7 @@ def test_sim_topk_self_is_top(spark, sf_dir):
 
 
 def test_sim_ann_subset_of_bruteforce_bucket(spark, sf_dir):
-    ann = similarity.sim_ann_lsh(spark, sf_dir).collect()
+    ann = similarity.ann_topk(spark, sf_dir).collect()
     assert len(ann) >= 1  # query's own bucket contains at least itself
     assert ann[0]["cos_sim"] == 1.0
     # approximate results must be a subset of the candidate space scored
