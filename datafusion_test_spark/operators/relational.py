@@ -97,8 +97,37 @@ def load_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached["nation"]
 
 
+def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE: seeded 10% Bernoulli sample of lineitem.
+
+    At 100 TB sampling happens at the scan (per-row Bernoulli inside the
+    columnar reader, no shuffle) — the standard way to cheapen exploratory
+    aggregates and stats collection.  Self-verifying shape (sampled rows are
+    RNG-dependent): exact total as anchor, sample fraction within binomial
+    bounds (±0.03 absolute is >8 sigma at sf0.001's 6k rows), and
+    seed-determinism (two same-seed samples are identical).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    tot = li.agg(F.count(F.lit(1)).alias("n_total"))
+    s1 = li.sample(fraction=0.1, seed=42).agg(F.count(F.lit(1)).alias("n_s1"))
+    s2 = li.sample(fraction=0.1, seed=42).agg(F.count(F.lit(1)).alias("n_s2"))
+    return (
+        tot.crossJoin(s1)
+        .crossJoin(s2)
+        .select(
+            "n_total",
+            (
+                (F.col("n_s1") >= 0.07 * F.col("n_total"))
+                & (F.col("n_s1") <= 0.13 * F.col("n_total"))
+            ).alias("frac_ok"),
+            (F.col("n_s1") == F.col("n_s2")).alias("deterministic"),
+        )
+    )
+
+
 QUERIES = {
     "scan_parquet": scan_parquet,
+    "tablesample": tablesample,
     "project": project,
     "distinct": distinct,
     "coalesce_partitions": coalesce_partitions,
@@ -131,4 +160,8 @@ ORACLE = {
         SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 500
     """,
     "load_inmemory": "SELECT * FROM nation",
+    "tablesample": """
+        SELECT COUNT(*) AS n_total, TRUE AS frac_ok, TRUE AS deterministic
+        FROM lineitem
+    """,
 }

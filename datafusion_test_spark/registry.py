@@ -28,6 +28,7 @@ _MODULES = [
     "datafusion_test_spark.sources.generate",
     "datafusion_test_spark.sources.connectors",
     "datafusion_test_spark.streaming.batch_windows",
+    "datafusion_test_spark.streaming.sinks",
     "datafusion_test_spark.pipeline.dedup",
     "datafusion_test_spark.pipeline.similarity",
     "datafusion_test_spark.pipeline.text",
@@ -105,6 +106,8 @@ _PRIORITY = [
     "cancel_query",
     "bench_cancel_table",
     # --- slots 51+: extension families (connectors, subquery/CTE/pivot) ---
+    "stream_foreach_batch",
+    "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",
     "scan_json_roundtrip",

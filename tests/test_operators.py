@@ -129,6 +129,20 @@ def test_simhash_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_df_cap_drops_hot_buckets(spark, sf_dir, monkeypatch):
+    """The hot-bucket guard: with the cap forced to 1, a corpus of three
+    identical docs (every shingle/bucket has frequency 3 > 1) must yield
+    ZERO candidate pairs; with the default cap the pairs appear."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    assert dedup.minhash_pairs(spark, docs).count() == 3  # all pairs found
+    monkeypatch.setattr(dedup, "_DF_CAP", 1)
+    assert dedup.minhash_pairs(spark, docs).count() == 0
+    assert dedup.simhash_pairs(spark, docs).count() == 0
+
+
 def test_planted_duplicate_harnesses_all_found(spark, sf_dir):
     """The declared dedup_minhash / dedup_simhash / dedup_embed_lsh entries
     are planted-duplicate containment harnesses: every planted identical
