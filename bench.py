@@ -33,6 +33,9 @@ HEADLINE = [
     "join_asof",
     "join_skew_salted",
     "sub_correlated_scalar",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q10_shape",
     "win_ranking",
     "topk_per_group",
     "fn_math",

@@ -1,0 +1,138 @@
+"""Composite analytic queries — TPC-H-shaped end-to-end pipelines.
+
+The reference's single query exercises one operator chain
+(scan→project→distinct→coalesce, /root/reference/src/main.rs:122); a user of
+the engine it links (the full DataFusion surface, Cargo.lock:714-1156) runs
+multi-join star-schema analytics.  These entries compose the already-declared
+primitives (broadcast dim joins, shuffled fact joins, decimal-sum aggregates,
+top-k) into the canonical TPC-H shapes Q3 / Q5 / Q10, adapted to the
+testdata's column subset.
+
+Scale notes (100 TB): dimension tables (customer/supplier/nation/region) are
+broadcast — zero shuffle for every dim edge; the only exchanges are the
+orders⋈lineitem fact-fact join (shuffle on orderkey, the natural co-location
+key a production lake would bucket both tables on) and the final group-by.
+Revenue sums go through DECIMAL(18,6) so plan-order is irrelevant to the
+result (_util.dsum), and every top-k ends in TakeOrderedAndProject — k rows
+per partition to the driver, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._util import dsum, sql_dsum
+from ..io import table
+
+
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (shipping priority): top-10 open BUILDING-segment orders by
+    pending revenue — broadcast dim filter, fact-fact equi-join, grouped
+    decimal revenue, deterministic top-k."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 (local supplier volume): ASIA revenue per nation where the
+    supplying and ordering nations match — the 6-table star join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 (returned items): top-20 customers by revenue lost to returns."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "lost_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "tpch_q3_shape": tpch_q3_shape,
+    "tpch_q5_shape": tpch_q5_shape,
+    "tpch_q10_shape": tpch_q10_shape,
+}
+
+ORACLE = {
+    "tpch_q3_shape": f"""
+        SELECT l_orderkey, o_orderdate,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "tpch_q5_shape": f"""
+        SELECT n_name,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "tpch_q10_shape": f"""
+        SELECT c_custkey, c_name, n_name,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'lost_revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """,
+}

@@ -23,6 +23,7 @@ _MODULES = [
     "datafusion_test_spark.operators.sorting",
     "datafusion_test_spark.operators.setops",
     "datafusion_test_spark.operators.subqueries",
+    "datafusion_test_spark.operators.composite",
     "datafusion_test_spark.operators.udf",
     "datafusion_test_spark.functions.scalar",
     "datafusion_test_spark.sources.generate",
@@ -112,6 +113,9 @@ _PRIORITY = [
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
     "scan_orc_roundtrip",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q10_shape",
     "sub_scalar",
     "sub_in",
     "sub_correlated_scalar",
