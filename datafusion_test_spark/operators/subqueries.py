@@ -152,8 +152,51 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4+): a generated month spine left-joined to
+    order counts — the canonical gaps-free time series.  The recursion depth
+    is the spine length (24), independent of data volume, so this is
+    scale-safe: the spine is a tiny broadcast side against the fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE'1995-01-01'
+            UNION ALL
+            SELECT add_months(m, 1) FROM months WHERE m < DATE'1996-12-01'
+        )
+        SELECT m, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )
+
+
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
+    customer's 2 most recent orders.  Catalyst plans this as a decorrelated
+    window top-n, not per-row re-execution (same rewrite class as the
+    scalar-subquery decorrelation above) — which is what makes it viable
+    over a 100 TB orders table."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_orderdate
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_orderdate FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
 QUERIES = {
     "sub_scalar": sub_scalar,
+    "cte_recursive": cte_recursive,
+    "join_lateral": join_lateral,
     "sub_in": sub_in,
     "sub_correlated_scalar": sub_correlated_scalar,
     "sub_exists_correlated": sub_exists_correlated,
@@ -164,6 +207,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cte_recursive": """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+            WHERE m < DATE '1996-12-01'
+        )
+        SELECT m, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+    """,
+    "join_lateral": """
+        SELECT c_custkey, t.o_orderkey, t.o_orderdate
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_orderdate FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+        ) t
+    """,
     "sub_scalar": """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)

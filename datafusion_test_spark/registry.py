@@ -122,6 +122,8 @@ _PRIORITY = [
     "sub_exists_correlated",
     "sub_scalar_select",
     "cte_multi",
+    "cte_recursive",
+    "join_lateral",
     "pivot_wide",
     "unpivot_long",
 ]
