@@ -13,7 +13,15 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ a[i]·b[i], accumulated in double, left-to-right."""
+    """Σ a[i]·b[i], accumulated in double, left-to-right.
+
+    Measured negative result (round 2): unrolling this into 64 explicit
+    element_at multiply-adds (hoping for whole-stage codegen) is 2.6-10x
+    SLOWER than the lambda fold at sf0.1 — per-element element_at pays
+    repeated array header/bounds work and the 128-term expressions blow up
+    plan compile time, while the fold walks the UnsafeArrayData once.  Keep
+    the fold.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

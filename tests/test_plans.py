@@ -72,6 +72,26 @@ def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
         assert introspect.join_strategies(df), introspect.plan_string(df)
 
 
+def test_composite_star_join_broadcasts_dims(spark, sf_dir):
+    """tpch_q5_shape: every dimension edge must be broadcast; the only
+    exchanges are the aggregate's partial/final split (and AQE artifacts),
+    never a dim-join shuffle."""
+    from datafusion_test_spark.operators import composite
+
+    df = composite.tpch_q5_shape(spark, sf_dir)
+    plan = introspect.plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    """join_lateral's per-row ORDER BY/LIMIT must plan as a decorrelated
+    window top-n (WindowGroupLimit), not nested-loop re-execution."""
+    df = subqueries.join_lateral(spark, sf_dir)
+    plan = introspect.plan_string(df)
+    assert "WindowGroupLimit" in plan
+
+
 def test_introspect_helpers(spark, sf_dir):
     df = relational.parquet_pushdown(spark, sf_dir)
     assert any("o_totalprice" in p for p in introspect.pushed_filters(df))
