@@ -108,6 +108,7 @@ _PRIORITY = [
     "bench_cancel_table",
     # --- slots 51+: extension families (connectors, subquery/CTE/pivot) ---
     "stream_foreach_batch",
+    "stream_stateful_run",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",

@@ -63,13 +63,83 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stateful_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, executed for real: per-user
+    (count, total) state via applyInPandasWithState over a micro-batch read
+    of events, availableNow trigger, memory sink.  The final state per user
+    must equal the batch aggregate — checked exactly by the SQL oracle
+    (update-mode emissions are cumulative, so the row with the max count is
+    the final state; max_by picks it).
+
+    At 100 TB/day this is the custom-operator escape hatch for semantics
+    windows can't express (e.g. per-entity session models): state lives in
+    the state store partitioned by key, and each micro-batch touches only
+    keys present in the batch.
+    """
+    tune(spark)
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [tot]}
+        )
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"dfts_stateful_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    emitted = spark.table(qname)
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
+    )
+
+
 QUERIES = {
     "stream_foreach_batch": stream_foreach_batch,
+    "stream_stateful_run": stream_stateful_run,
 }
 
 ORACLE = {
     "stream_foreach_batch": """
         SELECT COUNT(*) AS n_events, TRUE AS sink_complete, TRUE AS batched
         FROM events
+    """,
+    # Python-side float accumulation differs from the decimal sum only in
+    # ~1e-12 ulps; round(4) absorbs it on both sides.
+    "stream_stateful_run": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS total_value
+        FROM events GROUP BY user_id
     """,
 }
