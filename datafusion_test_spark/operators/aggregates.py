@@ -210,6 +210,25 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP, Spark 4) +
+    exact median per customer.  WITHIN GROUP ordering makes the
+    concatenation deterministic (equal keys concatenate equal strings), the
+    same discipline as sort_array in agg_collect."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               listagg(o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+               round(median(o_totalprice), 4) AS med_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        """
+    )
+
+
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr/median(exact percentile)."""
     li = table(spark, sf_dir, "lineitem")
@@ -235,6 +254,7 @@ QUERIES = {
     "agg_minmax_by": agg_minmax_by,
     "agg_bitwise": agg_bitwise,
     "agg_product": agg_product,
+    "agg_listagg": agg_listagg,
     "agg_stats": agg_stats,
 }
 
@@ -326,6 +346,13 @@ ORACLE = {
     "agg_approx_distinct": """
         SELECT COUNT(DISTINCT o_custkey) AS exact_custs, TRUE AS within_tol
         FROM orders
+    """,
+    "agg_listagg": """
+        SELECT o_custkey,
+               string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+               ROUND(median(o_totalprice), 4) AS med_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
     """,
     "agg_stats": """
         SELECT l_returnflag,

@@ -142,8 +142,45 @@ def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile — the data-quality snapshot every ingestion
+    run records before training: row/null/distinct counts and value ranges.
+    All map-side-combinable aggregates; one reduce at any scale."""
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        r4(F.avg("n_chars"), "avg_chars"),
+    )
+
+
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: at most 50 documents per language, selected
+    in md5-of-id order — a deterministic pseudorandom draw both engines
+    compute identically (md5 is algorithm-defined, unlike each engine's
+    internal hash).  This is the language-rebalancing step of a training
+    pipeline; at 100 TB it is one window over a lang-partitioned shuffle,
+    with WindowGroupLimit pruning each partition to k rows early."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("lang", "doc_id", "rk")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_profile": text_profile,
+    "text_sample_stratified": text_sample_stratified,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -162,6 +199,28 @@ _PRED_SQL = "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' " + " ".join(
 ) + " END"
 
 ORACLE = {
+    "text_profile": """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT doc_id) AS n_ids,
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_texts,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(MIN(n_chars) AS INT) AS min_chars,
+               CAST(MAX(n_chars) AS INT) AS max_chars,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents
+    """,
+    "text_sample_stratified": """
+        SELECT lang, doc_id, rk FROM (
+            SELECT lang, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INT) AS rk
+            FROM documents
+        ) WHERE rk <= 50
+    """,
     "text_stats": """
         SELECT lang,
                COUNT(*) AS n_docs,

@@ -109,6 +109,9 @@ _PRIORITY = [
     # --- slots 51+: extension families (connectors, subquery/CTE/pivot) ---
     "stream_foreach_batch",
     "stream_stateful_run",
+    "agg_listagg",
+    "text_profile",
+    "text_sample_stratified",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",
