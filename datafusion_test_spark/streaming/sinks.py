@@ -22,8 +22,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from itertools import count as _count
+
 from ..io import table
 from ..session import tune
+
+_RUN_SEQ = _count()
 
 
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +108,7 @@ def stream_stateful_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    qname = f"dfts_stateful_{abs(hash(sf_dir)) % 100000}"
+    qname = f"dfts_stateful_{next(_RUN_SEQ)}"
     q = (
         out.writeStream.format("memory")
         .queryName(qname)
