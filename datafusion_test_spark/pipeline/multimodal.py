@@ -129,6 +129,43 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
 
 
+_FEATURE_CLASSES = [
+    ("f_lower", r"[a-z]"),
+    ("f_upper", r"[A-Z]"),
+    ("f_digit", r"[0-9]"),
+    ("f_space", r" "),
+    ("f_punct", r"[^A-Za-z0-9 ]"),
+]
+
+
+def mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas:
+    a fixed-width byte-class histogram per item (the deterministic stand-in
+    for an image/audio embedding model — no codecs/models in the container;
+    a real deployment swaps the histogram for the model forward pass, the
+    Spark-side contract is identical: binary in, fixed-width typed vector
+    out, one Arrow batch at a time).  Counts are exact integers, so the
+    DuckDB oracle recomputes them with regexp_extract_all.
+    """
+    import re
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    patterns = [(name, re.compile(rx)) for name, rx in _FEATURE_CLASSES]
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [bytes(p).decode("utf-8") for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"].values}
+            for name, rx in patterns:
+                out[name] = [len(rx.findall(t)) for t in texts]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"{n} long" for n, _ in _FEATURE_CLASSES)
+    return d.mapInPandas(featurize, schema=schema)
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: slice each payload into fixed
     256-byte 'frames' (stands in for video frame extraction — no codecs in
@@ -172,6 +209,7 @@ QUERIES = {
     "multimodal_cols": multimodal_cols,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stub": mm_decode_stub,
+    "mm_feature_stub": mm_feature_stub,
     "mm_frame_sample": mm_frame_sample,
 }
 
@@ -217,6 +255,15 @@ ORACLE = {
                CAST(16 + (checksum // 240) % 240 AS INT) AS height,
                n_bytes > 0 AS ok
         FROM c
+    """,
+    "mm_feature_stub": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS f_lower,
+               CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS f_upper,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS f_digit,
+               CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS f_space,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS f_punct
+        FROM documents
     """,
     "mm_binary_meta": """
         SELECT 'text/plain' AS modality, source AS origin,

@@ -112,6 +112,7 @@ _PRIORITY = [
     "agg_listagg",
     "text_profile",
     "text_sample_stratified",
+    "mm_feature_stub",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",
