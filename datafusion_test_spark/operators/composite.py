@@ -89,10 +89,38 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (large-volume orders): aggregate the fact table, filter on the
+    aggregate (HAVING), then join the qualifying keys BACK to the facts —
+    the aggregate-as-semi-join-filter shape.  At 100 TB the qualifying-key
+    set after HAVING is small, so Spark (with AQE) broadcasts it into the
+    second fact pass instead of re-shuffling lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 180.0)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 QUERIES = {
     "tpch_q3_shape": tpch_q3_shape,
     "tpch_q5_shape": tpch_q5_shape,
     "tpch_q10_shape": tpch_q10_shape,
+    "tpch_q18_shape": tpch_q18_shape,
 }
 
 ORACLE = {
@@ -121,6 +149,18 @@ ORACLE = {
         WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
+    """,
+    "tpch_q18_shape": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   {sql_dsum('l_quantity', 'total_qty')}
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE) > 180.0
+        )
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 100
     """,
     "tpch_q10_shape": f"""
         SELECT c_custkey, c_name, n_name,

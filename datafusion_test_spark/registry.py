@@ -121,6 +121,7 @@ _PRIORITY = [
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q10_shape",
+    "tpch_q18_shape",
     "sub_scalar",
     "sub_in",
     "sub_correlated_scalar",
