@@ -129,6 +129,25 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert all(r["count"] == 1 for r in first_hour)
 
 
+def test_streaming_session_window_equals_batch(spark, sf_dir, events_dir):
+    """F.session_window in STREAMING mode (complete output) must produce the
+    same per-user session set as the batch session_window aggregation —
+    state-store session merging equals the one-shot computation."""
+    def sessions(df):
+        return df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    streamed = _run_stream_over_events(
+        spark, events_dir, sessions, "t_sess_stream"
+    ).select("w.start", "w.end", "user_id", "n_events")
+    ev = table(spark, sf_dir, "events")
+    batch = sessions(ev).select("w.start", "w.end", "user_id", "n_events")
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+
+
 def test_stateful_custom_operator_matches_batch(spark, sf_dir, events_dir):
     """Custom stateful operator via applyInPandasWithState: per-user
     (count, total) state across micro-batches must equal the batch
