@@ -64,8 +64,15 @@ def _doc_words(spark, sf_dir):
 
 
 def _words_of(docs: DataFrame, par: int) -> DataFrame:
-    """(doc_id, text) -> (doc_id, w) with the same repartition rationale."""
-    return docs.repartition(par).select("doc_id", F.split("text", " ").alias("w"))
+    """(doc_id, text) -> (doc_id, w), repartitioned ONLY if the scan is
+    under-parallel.  The testdata is a single small parquet file -> one
+    input split, which would serialize the CPU-heavy shingle work onto one
+    core; on a real lake the scan already has thousands of splits and the
+    round-robin shuffle would be pure waste, so it is skipped (repartition
+    always shuffles — it is never a no-op)."""
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs.select("doc_id", F.split("text", " ").alias("w"))
 
 
 def _plant_dups(docs: DataFrame, k: int = 50) -> tuple[DataFrame, DataFrame]:
