@@ -113,7 +113,7 @@ def q_generate_random_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.min(F.length("E")) == 10)
             & (F.max(F.length("E")) == 10)
-            & (F.max(F.col("E").rlike("^[0-9A-Za-z]{10}$").cast("int")) == 1)
+            & (F.min(F.col("E").rlike("^[0-9A-Za-z]{10}$").cast("int")) == 1)
         ).alias("e_len_ok"),
     )
     return summary.crossJoin(dist).select(
