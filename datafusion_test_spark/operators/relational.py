@@ -86,7 +86,12 @@ def load_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata table MEMORY_ONLY and materialize, matching the reference's
     load-the-whole-dataset-into-the-memory-store semantics — downstream scans
     never touch disk (README.md:8-9).  Returns the queried table (nation),
-    served from the cache."""
+    served from the cache.
+
+    The other nine caches are dropped before returning: Spark's CacheManager
+    would otherwise substitute InMemoryRelation into EVERY later query in
+    the session, silently bypassing the parquet scan paths (pushdown,
+    pruning) that other declared entries exist to exercise."""
     from ..io import TABLES
 
     cached = {}
@@ -94,6 +99,9 @@ def load_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = table(spark, sf_dir, name).persist(StorageLevel.MEMORY_ONLY)
         df.count()  # materialize the cache
         cached[name] = df
+    for name, df in cached.items():
+        if name != "nation":
+            df.unpersist()
     return cached["nation"]
 
 

@@ -75,6 +75,36 @@ def _words_of(docs: DataFrame, par: int) -> DataFrame:
     return docs.select("doc_id", F.split("text", " ").alias("w"))
 
 
+def _drop_hot(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Hot-bucket guard: remove rows whose key group exceeds _DF_CAP members.
+    The over-cap key set is found with a map-side-combined count (output is
+    one row per distinct hot key — tiny) and removed via broadcast
+    left_anti, so ``df`` itself is never re-shuffled for the cap."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _DF_CAP)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
+def _containment_summary(
+    expected: DataFrame, cand: DataFrame, keys: list[str]
+) -> DataFrame:
+    """(n_planted_pairs, found_all_planted): every expected planted pair must
+    appear among the candidates.  Assumes no planted pair is suppressed by
+    the _DF_CAP guard — true by orders of magnitude on the testdata (largest
+    band bucket ≈ duplicate-group size ≪ 1000); a corpus where a planted
+    pair's EVERY shared bucket is hot would need cap-aware exclusion here."""
+    return expected.join(
+        cand.withColumn("hit", F.lit(1)), keys, "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_planted_pairs"),
+        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
+    )
+
+
 def _plant_dups(docs: DataFrame, k: int = 50) -> tuple[DataFrame, DataFrame]:
     """Self-verification fixture: copy the k lowest-doc_id documents under
     doc_id + _PLANT_OFFSET.  Returns (augmented corpus, the k source docs).
@@ -134,17 +164,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at 1e8) — the standard trade in shingle-index dedup.
         .select("doc_id", "n_sh", F.xxhash64("shingle").alias("sid"))
     )
-    hot = raw.groupBy("sid").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") > _DF_CAP
-    ).select("sid")
     # Persist the inverted index before self-joining: (1) both join branches
     # reuse one computation, (2) it stops Catalyst pushing the join's
     # null-filter below the projections, which would re-inline the whole
     # shingle expression into a pre-shuffle Filter (observed 10x slowdown).
     # At 100 TB this is the same persist-the-index pattern, MEMORY_AND_DISK.
-    inv = raw.join(F.broadcast(hot), "sid", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    inv = _drop_hot(raw, ["sid"]).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = inv.alias("a"), inv.alias("b")
     # shuffle-hash, not broadcast: the inverted index is O(corpus) — at any
     # real scale collecting it to the driver is wrong, and even at sf0.1 the
@@ -217,13 +242,7 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey").persist(StorageLevel.MEMORY_AND_DISK)
-    hot = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > _DF_CAP)
-        .select("band", "bkey")
-    )
-    capped = bands.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    capped = _drop_hot(bands, ["band", "bkey"])
     x, y = capped.alias("x"), capped.alias("y")
     return (
         x.join(
@@ -254,12 +273,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
     )
-    return expected.join(
-        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_planted_pairs"),
-        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
-    )
+    return _containment_summary(expected, cand, ["doc_a", "doc_b"])
 
 
 def simhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -311,13 +325,7 @@ def simhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "bk.band", "bk.bkey").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hot = (
-        banded.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > _DF_CAP)
-        .select("band", "bkey")
-    )
-    capped = banded.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    capped = _drop_hot(banded, ["band", "bkey"])
     x, y = capped.alias("x"), capped.alias("y")
     pairs = (
         x.join(
@@ -349,12 +357,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
     )
-    return expected.join(
-        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_planted_pairs"),
-        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
-    )
+    return _containment_summary(expected, cand, ["doc_a", "doc_b"])
 
 
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,20 +405,18 @@ def embed_lsh_pairs(spark: SparkSession, vecs: DataFrame) -> DataFrame:
     be persisted as a bucketed table layout in production.  Buckets over
     _DF_CAP vectors are dropped (hot-bucket guard)."""
     from ._expr import rh_signature
+    from .similarity import _DIM
 
+    # dim passed explicitly: rh_signature zip_withs against sequence(0,dim-1),
+    # and a mismatch would null-pad the fold, collapsing every vector into
+    # bucket 0 (one quadratic bucket) with no error pointing at the cause.
     e = vecs.select(
         "vec_id",
         "embedding",
-        rh_signature(F.col("embedding")).alias("bucket"),
+        rh_signature(F.col("embedding"), dim=_DIM).alias("bucket"),
         F.sqrt(norm2(F.col("embedding"))).alias("nrm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    hot = (
-        e.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > _DF_CAP)
-        .select("bucket")
-    )
-    capped = e.join(F.broadcast(hot), ["bucket"], "left_anti")
+    capped = _drop_hot(e, ["bucket"])
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(

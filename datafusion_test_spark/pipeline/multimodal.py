@@ -237,8 +237,12 @@ ORACLE = {
              UNNEST(generate_series(0,
                  CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1, 4)) AS t(i)
     """,
-    # the fake decode is pure integer arithmetic over the (ASCII) payload
-    # bytes, so DuckDB reproduces checksum/width/height exactly
+    # the fake decode is pure integer arithmetic over the payload bytes, so
+    # DuckDB reproduces checksum/width/height exactly.  NOTE: the oracle
+    # folds per CHARACTER (ascii(substr(...))) while _fake_decode folds per
+    # UTF-8 BYTE — identical only because the testdata text is pure ASCII
+    # (same assumption as mm_frame_sample's char-offset slicing; a non-ASCII
+    # corpus would need a byte-level oracle)
     "mm_decode_stub": """
         WITH c AS (
             SELECT doc_id,

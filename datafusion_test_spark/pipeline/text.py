@@ -206,8 +206,8 @@ ORACLE = {
                    AS null_texts,
                COUNT(DISTINCT lang) AS n_langs,
                COUNT(DISTINCT source) AS n_sources,
-               CAST(MIN(n_chars) AS INT) AS min_chars,
-               CAST(MAX(n_chars) AS INT) AS max_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
                ROUND(AVG(n_chars), 4) AS avg_chars
         FROM documents
     """,

@@ -33,7 +33,13 @@ def spark_jars_dir() -> str:
 
 
 def build(force: bool = False) -> str:
-    if os.path.exists(JAR) and not force:
+    # rebuild when the source is newer than the jar, not just when missing —
+    # otherwise rule edits silently test the stale committed binary
+    if (
+        os.path.exists(JAR)
+        and not force
+        and os.path.getmtime(JAR) >= os.path.getmtime(SRC)
+    ):
         return JAR
     jars = spark_jars_dir()
     if not glob.glob(os.path.join(jars, "scala-compiler-*.jar")):
