@@ -36,6 +36,7 @@ HEADLINE = [
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q10_shape",
+    "tpch_q18_shape",
     "win_ranking",
     "topk_per_group",
     "fn_math",

@@ -166,6 +166,39 @@ def mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(featurize, schema=schema)
 
 
+_RESIZE_BYTES = 256
+
+
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads via mapInPandas: every
+    payload truncated-or-zero-padded to a fixed 256 bytes — the stand-in
+    for image resize-to-fixed-resolution (no codecs in container; a real
+    deployment swaps the slice for the resample call, keeping the
+    bytes-in/fixed-bytes-out contract and batch shape).  Verified by exact
+    integers: output length is constant and the byte-sum checksum equals
+    the SQL fold over the first 256 payload bytes (zero padding adds 0).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                resized = b[:_RESIZE_BYTES].ljust(_RESIZE_BYTES, b"\0")
+                rows.append((int(doc_id), len(b), len(resized), sum(resized)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orig_bytes", "resized_bytes", "byte_sum"]
+            )
+
+    return d.mapInPandas(
+        resize,
+        schema="doc_id long, orig_bytes int, resized_bytes int, byte_sum long",
+    )
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: slice each payload into fixed
     256-byte 'frames' (stands in for video frame extraction — no codecs in
@@ -210,6 +243,7 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stub": mm_decode_stub,
     "mm_feature_stub": mm_feature_stub,
+    "mm_resize_stub": mm_resize_stub,
     "mm_frame_sample": mm_frame_sample,
 }
 
@@ -259,6 +293,18 @@ ORACLE = {
                CAST(16 + (checksum // 240) % 240 AS INT) AS height,
                n_bytes > 0 AS ok
         FROM c
+    """,
+    # byte-sum fold over the first 256 (ASCII) payload bytes; zero padding
+    # contributes nothing, so the resized checksum equals the truncated fold
+    "mm_resize_stub": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+               CAST(256 AS INT) AS resized_bytes,
+               CAST(coalesce(list_aggregate(
+                   list_transform(generate_series(1, least(256, length(text))),
+                                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+                   'sum'), 0) AS BIGINT) AS byte_sum
+        FROM documents
     """,
     "mm_feature_stub": """
         SELECT doc_id,

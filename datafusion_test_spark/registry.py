@@ -113,6 +113,7 @@ _PRIORITY = [
     "text_profile",
     "text_sample_stratified",
     "mm_feature_stub",
+    "mm_resize_stub",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",
