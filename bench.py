@@ -33,6 +33,8 @@ HEADLINE = [
     "join_asof",
     "join_skew_salted",
     "sub_correlated_scalar",
+    "tpch_q1_shape",
+    "tpch_q4_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q10_shape",

@@ -22,8 +22,90 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .._util import dsum, sql_dsum
+from .._util import dsum, r4, sql_dsum
 from ..io import table
+
+
+def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (pricing summary): the canonical full-scan aggregate — one pass
+    over the fact table, grouped by two low-cardinality flags, eight
+    aggregates.  At 100 TB this is the best case for Spark: predicate and
+    the 6-column projection push to the parquet scan, partial aggregation
+    combines map-side, and the single shuffle moves ~6 groups × partials.
+    Decimal-cast sums (charge = price·(1-disc)·(1+tax) is ≤6-decimal, so
+    DECIMAL(18,6) is exact) keep the result reduce-order independent."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
+            ),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            r4(F.avg("l_quantity"), "avg_qty"),
+            r4(F.avg("l_extendedprice"), "avg_price"),
+            r4(F.avg("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (order-priority checking), adapted: count orders per priority
+    having at least one lineitem shipped after the order date (the
+    testdata has no commit/receipt dates; l_shipdate > o_orderdate is the
+    same EXISTS shape).  A LEFT SEMI join — Spark never materializes the
+    match multiplicity, and both sides shuffle on orderkey, the natural
+    bucket key, so on a bucketed lake this runs shuffle-free."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 (promotion effect): revenue share of PROMO-type parts in one
+    ship-month.  Broadcast dim join + a single global two-sum aggregate;
+    the percentage is a division of two decimal-exact sums, so it is
+    bit-identical across engines before the final round."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-06-01"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), "promo_rev"),
+            dsum(rev, "total_rev"),
+        )
+        .select(
+            F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 4).alias(
+                "promo_pct"
+            ),
+            "promo_rev",
+            "total_rev",
+        )
+    )
 
 
 def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +199,9 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "tpch_q1_shape": tpch_q1_shape,
+    "tpch_q4_shape": tpch_q4_shape,
+    "tpch_q14_shape": tpch_q14_shape,
     "tpch_q3_shape": tpch_q3_shape,
     "tpch_q5_shape": tpch_q5_shape,
     "tpch_q10_shape": tpch_q10_shape,
@@ -124,6 +209,44 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tpch_q1_shape": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity', 'sum_qty')},
+               {sql_dsum('l_extendedprice', 'sum_base_price')},
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q4_shape": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q14_shape": f"""
+        WITH s AS (
+            SELECT
+                {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_rev')},
+                {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_rev')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+              AND l_shipdate <  TIMESTAMP '1998-07-01'
+        )
+        SELECT ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct,
+               promo_rev, total_rev
+        FROM s
+    """,
     "tpch_q3_shape": f"""
         SELECT l_orderkey, o_orderdate,
                {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}

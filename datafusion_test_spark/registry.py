@@ -119,6 +119,9 @@ _PRIORITY = [
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
     "scan_orc_roundtrip",
+    "tpch_q1_shape",
+    "tpch_q4_shape",
+    "tpch_q14_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q10_shape",
