@@ -84,6 +84,30 @@ def test_composite_star_join_broadcasts_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q1_full_scan_aggregate_plan(spark, sf_dir):
+    """tpch_q1_shape: the shipdate predicate and the 6-column projection
+    must reach the parquet scan, and the aggregate must split
+    partial/final (map-side combine) around a single exchange."""
+    from datafusion_test_spark.operators import composite
+
+    df = composite.tpch_q1_shape(spark, sf_dir)
+    plan = introspect.plan_string(df)
+    assert any("l_shipdate" in p for p in introspect.pushed_filters(df)), plan
+    read = introspect.read_schema(df)
+    assert "l_partkey" not in read and "l_orderkey" not in read, read
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """tpch_q4_shape: the EXISTS must plan as a LEFT SEMI join (match
+    multiplicity never materialized), not a nested-loop re-execution."""
+    from datafusion_test_spark.operators import composite
+
+    df = composite.tpch_q4_shape(spark, sf_dir)
+    plan = introspect.plan_string(df)
+    assert "LeftSemi" in plan, plan
+
+
 def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
     """join_lateral's per-row ORDER BY/LIMIT must plan as a decorrelated
     window top-n (WindowGroupLimit), not nested-loop re-execution."""
