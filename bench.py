@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_embed_lsh",
     "sim_topk",
     "sim_pairwise_topk",
+    "sim_pairwise_lsh",
     "text_topterms",
     "text_fingerprint",
     "stream_session",

@@ -398,26 +398,30 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_lsh_pairs(spark: SparkSession, vecs: DataFrame) -> DataFrame:
-    """Embedding near-dup candidate pairs (cos >= 0.95) blocked by the 8-bit
+    """Embedding near-dup candidate pairs (cos >= 0.95) blocked by the
     random-hyperplane LSH bucket — the 100 TB replacement for
-    dedup_embed_cosine's label blocking: bucket population is ~N/256 and
-    data-dependent rather than O(N) per label, and the same signature would
-    be persisted as a bucketed table layout in production.  Buckets over
-    _DF_CAP vectors are dropped (hot-bucket guard)."""
-    from ._expr import rh_signature
+    dedup_embed_cosine's label blocking: bucket population is ~N/2^bits and
+    data-dependent rather than O(N) per label (signature width scales with
+    corpus size, _expr.lsh_bits), and the same signature would be persisted
+    as a bucketed table layout in production.  Buckets over _DF_CAP vectors
+    are dropped (hot-bucket guard)."""
+    from ._expr import lsh_bits, rh_signature
     from .similarity import _DIM
 
+    bits = lsh_bits(vecs.count())
     # dim passed explicitly: rh_signature zip_withs against sequence(0,dim-1),
     # and a mismatch would null-pad the fold, collapsing every vector into
     # bucket 0 (one quadratic bucket) with no error pointing at the cause.
     e = vecs.select(
         "vec_id",
         "embedding",
-        rh_signature(F.col("embedding"), dim=_DIM).alias("bucket"),
+        rh_signature(F.col("embedding"), bits=bits, dim=_DIM).alias("bucket"),
         F.sqrt(norm2(F.col("embedding"))).alias("nrm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     capped = _drop_hot(e, ["bucket"])
-    a, b = capped.alias("a"), capped.alias("b")
+    # shuffle_hash: the build side is the FULL vector table (O(N)·d doubles)
+    # — never broadcast-safe at scale, same refusal as the shingle index join
+    a, b = capped.alias("a"), capped.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

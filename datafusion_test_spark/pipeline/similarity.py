@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..io import table
 from ._expr import cosine, cosine_prenormed, norm2, sql_cosine
@@ -87,8 +88,72 @@ def sim_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_pairwise_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-blocked pairwise top-10 — the 100 TB variant of
+    sim_pairwise_topk's label blocking: candidate pairs come only from
+    shared 8-bit random-hyperplane buckets (population ~N/256 and
+    data-dependent, hot buckets capped), so the self-join cost is
+    Σ bucket² instead of Σ label-block², and the signature would be
+    persisted as a bucketed table layout in production.
+
+    Self-verifying: plants 10 duplicate vectors (vec_id + offset;
+    identical embedding ⇒ identical signature ⇒ shared bucket, cos = 1.0).
+    The testdata's maximum real pair cosine is ~0.6, so the exact top-10
+    IS the planted pairs and the oracle states them exactly — end-to-end
+    coverage of signature determinism, bucket blocking, the prenormed
+    cosine fold, and top-k tie-break ordering.
+    """
+    from ._expr import lsh_bits, rh_signature
+    from .dedup import _PLANT_OFFSET, _drop_hot
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bits = lsh_bits(e.count())
+    low = e.orderBy("vec_id").limit(10)
+    planted = low.select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
+    sig = (
+        e.unionByName(planted)
+        .select(
+            "vec_id",
+            "embedding",
+            rh_signature(F.col("embedding"), bits=bits, dim=_DIM).alias("bucket"),
+            F.sqrt(norm2(F.col("embedding"))).alias("nrm"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    capped = _drop_hot(sig, ["bucket"])
+    # shuffle_hash: the build side is the FULL vector table — never
+    # broadcast-safe at scale (same refusal as dedup's inverted-index joins)
+    a, b = capped.alias("a"), capped.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_prenormed(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a.nrm"),
+                    F.col("b.nrm"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(10)
+    )
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-20 via 8-bit random-hyperplane LSH bucketing.
+    """Approximate top-20 via random-hyperplane LSH bucketing, signature
+    width scaled to corpus size (_expr.lsh_bits: 8 bits at testdata scale,
+    up to 24 at 10⁹ vectors).
 
     Hyperplane h_j has components ±1 derived from xxhash64(j, dim-index) —
     deterministic, no stored model (shared with dedup_embed_lsh via
@@ -96,14 +161,17 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the query's probed buckets.  Recall < 1 by design; pytest checks
     bucket containment and overlap with the exact top-k.
     """
-    from ._expr import rh_signature
+    from ._expr import lsh_bits, rh_signature
 
     e = table(spark, sf_dir, "embeddings")
-    sigd = e.withColumn("bucket", rh_signature(F.col("embedding"), dim=_DIM))
+    bits = lsh_bits(e.count())
+    sigd = e.withColumn(
+        "bucket", rh_signature(F.col("embedding"), bits=bits, dim=_DIM)
+    )
     # Multiprobe: search the query's bucket plus all Hamming-distance-1
-    # neighbor buckets (9 probes of 256) — the standard recall/cost knob:
-    # a vector whose signature differs by one marginal hyperplane is still
-    # found without widening the scan to the full table.
+    # neighbor buckets (bits+1 probes of 2^bits) — the standard recall/cost
+    # knob: a vector whose signature differs by one marginal hyperplane is
+    # still found without widening the scan to the full table.
     q = (
         sigd.join(
             F.broadcast(sigd.agg(F.min("vec_id").alias("qid"))),
@@ -113,7 +181,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qvec"),
             F.array(
                 F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
             ).alias("probes"),
         )
     )
@@ -152,6 +220,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_pairwise_topk": sim_pairwise_topk,
+    "sim_pairwise_lsh": sim_pairwise_lsh,
     "sim_ann_lsh": sim_ann_lsh,
 }
 
@@ -173,6 +242,17 @@ ORACLE = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 10
+    """,
+    # planted pairs (cos exactly 1.0) dominate the real max pair cosine
+    # (~0.6), so the exact top-10 is statable: the 10 lowest vec_ids paired
+    # with their planted copies, tie-broken by vec_a ascending
+    "sim_pairwise_lsh": """
+        SELECT vec_id AS vec_a,
+               vec_id + 10000000 AS vec_b,
+               CAST(1.0 AS DOUBLE) AS cos_sim
+        FROM embeddings
+        ORDER BY vec_id
         LIMIT 10
     """,
     "sim_ann_lsh": """

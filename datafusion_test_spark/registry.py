@@ -114,6 +114,7 @@ _PRIORITY = [
     "text_sample_stratified",
     "mm_feature_stub",
     "mm_resize_stub",
+    "sim_pairwise_lsh",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",

@@ -153,6 +153,27 @@ def test_planted_duplicate_harnesses_all_found(spark, sf_dir):
         assert row["found_all_planted"] is True, fn.__name__
 
 
+def test_lsh_bits_scales_with_corpus():
+    """Signature width: floor of 8 bits at test scale, grows ~log2(N) so
+    expected bucket population stays ~128, capped at 24."""
+    from datafusion_test_spark.pipeline._expr import lsh_bits
+
+    assert lsh_bits(0) == 8
+    assert lsh_bits(2_000) == 8  # testdata scale: identical to round 1
+    assert lsh_bits(128 * (2**10)) == 10
+    assert lsh_bits(10**9) == 23
+    assert lsh_bits(10**12) == 24  # hi clamp
+
+
+def test_sim_pairwise_lsh_top10_is_planted(spark, sf_dir):
+    """sim_pairwise_lsh: the 10 planted cos-1.0 pairs must be the exact
+    top-10 (real max pair cosine ~0.6)."""
+    rows = similarity.sim_pairwise_lsh(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["cos_sim"] == 1.0 for r in rows)
+    assert all(r["vec_b"] == r["vec_a"] + 10_000_000 for r in rows)
+
+
 def test_sim_topk_self_is_top(spark, sf_dir):
     rows = similarity.sim_topk(spark, sf_dir).collect()
     # The query vector is vec_id=min; its self-similarity must rank first.

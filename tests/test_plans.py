@@ -108,6 +108,15 @@ def test_q4_exists_plans_as_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
+def test_lsh_bucket_self_join_never_broadcasts(spark, sf_dir):
+    """The LSH bucket self-join's build side is the full O(N) vector table
+    — it must plan as a shuffled hash join (hinted), not a broadcast."""
+    from datafusion_test_spark.pipeline import similarity
+
+    plan = introspect.plan_string(similarity.sim_pairwise_lsh(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+
+
 def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
     """join_lateral's per-row ORDER BY/LIMIT must plan as a decorrelated
     window top-n (WindowGroupLimit), not nested-loop re-execution."""
