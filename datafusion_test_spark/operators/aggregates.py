@@ -240,6 +240,33 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (percentile_approx, a GK-style mergeable rank
+    sketch) — the 100 TB replacement for exact percentile's sort/collect:
+    fixed-size state, combines map-side, one row out.
+
+    Self-verifying oracle shape (same pattern as agg_approx_distinct): the
+    EXACT p50/p95 are the hash anchors; booleans assert the sketch lands
+    inside the exact [p-0.01, p+0.01] rank bracket — ~100x looser than the
+    sketch's 1e-4 rank-error bound at accuracy=10000, so it cannot flake.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ap50 = F.expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+    ap95 = F.expr("percentile_approx(l_extendedprice, 0.95, 10000)")
+    return li.agg(
+        r4(F.expr("percentile(l_extendedprice, 0.5)"), "exact_p50"),
+        r4(F.expr("percentile(l_extendedprice, 0.95)"), "exact_p95"),
+        (
+            (ap50 >= F.expr("percentile(l_extendedprice, 0.49)"))
+            & (ap50 <= F.expr("percentile(l_extendedprice, 0.51)"))
+        ).alias("p50_ok"),
+        (
+            (ap95 >= F.expr("percentile(l_extendedprice, 0.94)"))
+            & (ap95 <= F.expr("percentile(l_extendedprice, 0.96)"))
+        ).alias("p95_ok"),
+    )
+
+
 QUERIES = {
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
@@ -256,6 +283,7 @@ QUERIES = {
     "agg_product": agg_product,
     "agg_listagg": agg_listagg,
     "agg_stats": agg_stats,
+    "agg_approx_quantile": agg_approx_quantile,
 }
 
 ORACLE = {
@@ -361,5 +389,12 @@ ORACLE = {
                ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
                ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_approx_quantile": """
+        SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS exact_p95,
+               TRUE AS p50_ok,
+               TRUE AS p95_ok
+        FROM lineitem
     """,
 }

@@ -110,6 +110,7 @@ _PRIORITY = [
     "stream_foreach_batch",
     "stream_stateful_run",
     "agg_listagg",
+    "agg_approx_quantile",
     "text_profile",
     "text_sample_stratified",
     "mm_feature_stub",
