@@ -52,6 +52,7 @@ HEADLINE = [
     "sim_pairwise_topk",
     "sim_pairwise_lsh",
     "text_topterms",
+    "pipeline_prep",
     "text_fingerprint",
     "stream_session",
     "stream_tumbling",

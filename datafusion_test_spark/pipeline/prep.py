@@ -1,0 +1,127 @@
+"""End-to-end training-data preparation pipeline over `documents` — the
+composite that chains the LLM-data tier's primitives the way a production
+corpus-prep job would (mandated tier, BASELINE.json:6):
+
+    exact dedup  →  quality filter  →  language ID  →  per-language summary
+
+One declared entry (`pipeline_prep`) with an exact SQL oracle: every stage
+is a deterministic columnar expression shared with the stage operators
+(dedup_exact's min-doc_id keeper, text_quality's score formula,
+text_langid's stopword argmax), so the DuckDB twin states the whole funnel.
+
+Scale design (100 TB): two shuffles total — the dedup window partitions by
+the full `text` (identical texts co-locate; group size = duplicate count,
+bounded), and the final per-language aggregate is a ~5-group map-side
+combine.  Quality scoring and language ID are pure whole-stage-codegen
+projections between them; nothing Python, nothing collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from .text import _STOP, _STOP_SQL
+
+_MIN_QUALITY = 0.5
+
+
+def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel summary per detected language: documents surviving
+    dedup + quality gate, with corpus token totals."""
+    d = table(spark, sf_dir, "documents")
+
+    # 1. exact dedup — deterministic keeper: the min doc_id per text
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    kept = d.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+    # 2. quality gate — text_quality's fixed formula, same threshold both
+    # engines
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    quality = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(alpha / F.col("n_chars").cast("double"), F.lit(1.0)) * 0.5
+    )
+    scored = kept.withColumn("n_words", n_words).filter(
+        F.round(quality, 4) >= F.lit(_MIN_QUALITY)
+    )
+
+    # 3. language ID — text_langid's stopword argmax (alphabetical
+    # tiebreak, 'und' when no hits), inlined so the funnel stays one plan
+    lw = F.split(F.lower(F.col("text")), " ")
+    hits = {
+        lg: F.size(F.array_intersect(lw, F.array(*[F.lit(s) for s in stops])))
+        for lg, stops in _STOP.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in sorted(_STOP):
+        pred = pred.when(hits[lg] == best, F.lit(lg))
+    tagged = scored.withColumn("pred_lang", pred).filter(
+        F.col("pred_lang") != "und"
+    )
+
+    # 4. funnel summary per (detected, labeled) language — the labeled lang
+    # keeps the output discriminating even though the stopword heuristic
+    # tags the synthetic corpus mostly 'en'
+    return (
+        tagged.groupBy("pred_lang", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("pred_lang", "lang")
+    )
+
+
+QUERIES = {"pipeline_prep": pipeline_prep}
+
+_HITS_SQL = ",\n                   ".join(
+    f"len(list_intersect(string_split(lower(text), ' '), {_STOP_SQL[lg]})) AS hits_{lg}"
+    for lg in _STOP
+)
+_BEST_SQL = "greatest(" + ", ".join(f"hits_{lg}" for lg in _STOP) + ")"
+_PRED_SQL = (
+    "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' "
+    + " ".join(f"WHEN hits_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in sorted(_STOP))
+    + " END"
+)
+
+ORACLE = {
+    "pipeline_prep": f"""
+        WITH deduped AS (
+            SELECT doc_id, text, lang, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        ),
+        gated AS (
+            SELECT doc_id, text, lang,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_words
+            FROM deduped
+            WHERE ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                        + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                / CAST(n_chars AS DOUBLE), 1.0) * 0.5, 4)
+                  >= {_MIN_QUALITY}
+        ),
+        scored AS (
+            SELECT doc_id, lang, n_words,
+                   {_HITS_SQL}
+            FROM gated
+        ),
+        tagged AS (
+            SELECT doc_id, lang, n_words, {_PRED_SQL} AS pred_lang FROM scored
+        )
+        SELECT pred_lang, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc
+        FROM tagged
+        WHERE pred_lang <> 'und'
+        GROUP BY pred_lang, lang
+        ORDER BY pred_lang, lang
+    """,
+}

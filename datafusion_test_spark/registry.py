@@ -33,6 +33,7 @@ _MODULES = [
     "datafusion_test_spark.pipeline.dedup",
     "datafusion_test_spark.pipeline.similarity",
     "datafusion_test_spark.pipeline.text",
+    "datafusion_test_spark.pipeline.prep",
     "datafusion_test_spark.pipeline.multimodal",
 ]
 
@@ -116,6 +117,7 @@ _PRIORITY = [
     "mm_feature_stub",
     "mm_resize_stub",
     "sim_pairwise_lsh",
+    "pipeline_prep",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",
