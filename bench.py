@@ -31,6 +31,7 @@ HEADLINE = [
     "agg_count_distinct",
     "join_inner",
     "join_asof",
+    "join_range",
     "join_skew_salted",
     "sub_correlated_scalar",
     "tpch_q1_shape",

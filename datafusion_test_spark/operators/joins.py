@@ -168,6 +168,53 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join with NO equi key, bucketed: for each click
+    event, the count and decimal-exact value sum of ALL events (any user)
+    in the 10 minutes starting at the click.
+
+    Spark's physical plan for a bare `r.ts BETWEEN l.ts AND l.ts+10min`
+    predicate is a nested-loop join — O(|L|·|R|) comparisons, the classic
+    range-join scale-killer.  The 100 TB pattern is interval bucketing:
+    floor both sides to 10-minute bins; a left window spans at most 2 bins,
+    so the anchor side explodes ×2 and the join becomes an EQUI join on the
+    bin plus a residual timestamp filter — one hash shuffle, per-bin
+    comparisons bounded by bin population (time-uniform by construction;
+    a skewed bin would fall to AQE skew splitting).  The oracle states the
+    naive inequality join directly.
+    """
+    ev = table(spark, sf_dir, "events")
+    binno = (F.unix_timestamp("ts") / 600).cast("long")
+    anchors = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts"))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    (F.unix_timestamp("a_ts") / 600).cast("long"),
+                    (F.unix_timestamp("a_ts") / 600).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    probes = ev.select(F.col("ts").alias("r_ts"), "value", binno.alias("bin"))
+    return (
+        anchors.join(probes, "bin")
+        .filter(
+            (F.col("r_ts") >= F.col("a_ts"))
+            & (F.col("r_ts") < F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_next10m"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join via key salting: the probe side (lineitem) gets a
     deterministic salt in [0, S); the build side (orders) is replicated S
@@ -211,6 +258,7 @@ QUERIES = {
     "join_cross": join_cross,
     "join_theta": join_theta,
     "join_asof": join_asof,
+    "join_range": join_range,
 }
 
 ORACLE = {
@@ -271,5 +319,15 @@ ORACLE = {
         ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    # the naive inequality join the bucketed Spark plan must equal exactly
+    "join_range": """
+        SELECT l.event_id AS anchor_id,
+               COUNT(*) AS n_next10m,
+               CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') l
+        JOIN events r
+          ON r.ts >= l.ts AND r.ts < l.ts + INTERVAL 10 MINUTE
+        GROUP BY l.event_id
     """,
 }

@@ -118,6 +118,7 @@ _PRIORITY = [
     "mm_resize_stub",
     "sim_pairwise_lsh",
     "pipeline_prep",
+    "join_range",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",

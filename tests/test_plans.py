@@ -108,6 +108,15 @@ def test_q4_exists_plans_as_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
+def test_range_join_is_bucketed_equi_not_nested_loop(spark, sf_dir):
+    """join_range: the interval predicate must ride an equi join on the
+    time bin — never a nested-loop/cartesian plan."""
+    plan = introspect.plan_string(joins.join_range(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+
+
 def test_lsh_bucket_self_join_never_broadcasts(spark, sf_dir):
     """The LSH bucket self-join's build side is the full O(N) vector table
     — it must plan as a shuffled hash join (hinted), not a broadcast."""
