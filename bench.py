@@ -57,6 +57,7 @@ HEADLINE = [
     "text_fingerprint",
     "stream_session",
     "stream_tumbling",
+    "rollup_timeseries",
     "stream_stateful_count",
     "udf_pandas",
     "write_partitioned",

@@ -52,6 +52,21 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same function as an Arrow-optimized Python UDF (`useArrow=True`,
+    Spark 3.5+): row-at-a-time Python semantics but Arrow-batched transfer —
+    the drop-in accelerator when a legacy `F.udf` can't be rewritten as a
+    pandas UDF.  Completes the UDF tier: python / arrow / pandas / grouped /
+    table-valued."""
+    discounted = F.udf(lambda p, d: p * (1.0 - d), DoubleType(), useArrow=True)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
 def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped custom aggregate via applyInPandas: geometric mean of
     extendedprice per returnflag.
@@ -95,6 +110,7 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "udf_python": udf_python,
     "udf_pandas": udf_pandas,
+    "udf_arrow": udf_arrow,
     "udaf_grouped": udaf_grouped,
     "udtf_explode": udtf_explode,
 }
@@ -108,6 +124,7 @@ _DISC_SQL = """
 ORACLE = {
     "udf_python": _DISC_SQL,
     "udf_pandas": _DISC_SQL,
+    "udf_arrow": _DISC_SQL,
     "udaf_grouped": """
         SELECT l_returnflag,
                ROUND(EXP(AVG(LN(l_extendedprice))), 2) AS geo_price

@@ -119,6 +119,8 @@ _PRIORITY = [
     "sim_pairwise_lsh",
     "pipeline_prep",
     "join_range",
+    "rollup_timeseries",
+    "udf_arrow",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",

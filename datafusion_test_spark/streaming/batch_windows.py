@@ -111,6 +111,34 @@ def user_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (the continuous-aggregate
+    pattern of time-series stores): minute / hour / day summaries of the
+    event stream in a SINGLE scan + SINGLE shuffle via GROUPING SETS over
+    pre-derived time buckets.  At 100 TB this replaces three separate
+    scan+aggregate jobs; partial aggregation combines map-side at every
+    resolution simultaneously, and the output is exactly the rollup table
+    a production deployment would persist and incrementally refresh."""
+    _events(spark, sf_dir).select(
+        F.date_trunc("minute", F.col("ts")).alias("b_minute"),
+        F.date_trunc("hour", F.col("ts")).alias("b_hour"),
+        F.date_trunc("day", F.col("ts")).alias("b_day"),
+        "value",
+    ).createOrReplaceTempView("dfts_ev_buckets")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(b_minute) = 0 THEN 'minute'
+                    WHEN grouping(b_hour) = 0 THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               coalesce(b_minute, b_hour, b_day) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM dfts_ev_buckets
+        GROUP BY GROUPING SETS ((b_minute), (b_hour), (b_day))
+        """
+    )
+
+
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling(_events(spark, sf_dir))
 
@@ -146,9 +174,31 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_stateful_count": stream_stateful_count,
     "stream_watermark_late": stream_watermark_late,
+    "rollup_timeseries": rollup_timeseries,
 }
 
 ORACLE = {
+    # three resolutions stated as a UNION ALL — value-identical to the
+    # single-pass GROUPING SETS plan on the Spark side
+    "rollup_timeseries": """
+        SELECT 'minute' AS resolution,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'hour',
+               CAST(date_trunc('hour', ts) AS TIMESTAMP),
+               COUNT(*),
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day',
+               CAST(date_trunc('day', ts) AS TIMESTAMP),
+               COUNT(*),
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        FROM events GROUP BY 2
+    """,
     "stream_tumbling": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
