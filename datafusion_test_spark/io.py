@@ -44,6 +44,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallel(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan has fewer splits than cores.
+
+    Single-row-group testdata files cannot be split, so a scan-heavy
+    aggregate would otherwise run its whole map side on one core (measured:
+    TPC-H Q1 at sf0.1 is 2.0 s single-split vs 1.45 s repartitioned).  On a
+    real lake the scan already has thousands of splits and this is a no-op
+    check — repartition always shuffles, so it must never run
+    unconditionally (same policy as pipeline.dedup._words_of)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register testdata tables as temp views for the SQL entry point —
     parity with register_listing_table (src/main.rs:137-144)."""

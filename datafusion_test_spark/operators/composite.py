@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .._util import dsum, r4, sql_dsum
-from ..io import table
+from ..io import parallel, table
 
 
 def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,9 +33,14 @@ def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-column projection push to the parquet scan, partial aggregation
     combines map-side, and the single shuffle moves ~6 groups × partials.
     Decimal-cast sums (charge = price·(1-disc)·(1+tax) is ≤6-decimal, so
-    DECIMAL(18,6) is exact) keep the result reduce-order independent."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2000-09-02")
+    DECIMAL(18,6) is exact) keep the result reduce-order independent.
+    io.parallel: the testdata file is one unsplittable row group, so the
+    map side is repartitioned to cores (skipped on a many-split lake)."""
+    li = parallel(
+        spark,
+        table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2000-09-02")
+        ),
     )
     return (
         li.groupBy("l_returnflag", "l_linestatus")

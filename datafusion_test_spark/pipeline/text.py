@@ -108,6 +108,50 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every training-data pipeline runs
+    before anything else: emails and phone numbers replaced by typed
+    placeholders, with per-document match counts and a post-scrub
+    cleanliness check.
+
+    The raw corpus contains no PII (verified: zero '@'/'555' rows), so 20
+    planted rows (doc_id + offset) carry deterministic PII built by the
+    same concat expression in both engines — the scrub is then fully
+    exact-oracle-checked end to end (match counts, scrubbed length, and a
+    no-residual-PII boolean per row).  Pure regexp expressions: at 100 TB
+    this is a map-only pass inside whole-stage codegen, no shuffle.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        d.orderBy("doc_id")
+        .limit(20)
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-0100"),
+            ).alias("text"),
+        )
+    )
+    aug = d.unionByName(planted)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        (~scrubbed.rlike(_EMAIL_RE) & ~scrubbed.rlike(_PHONE_RE)).alias("clean"),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint:
     h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) mod 1e9+7).
@@ -186,6 +230,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_topterms": text_topterms,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 _STOP_SQL = {lg: "[" + ", ".join(f"'{s}'" for s in stops) + "]" for lg, stops in _STOP.items()}
@@ -198,7 +243,36 @@ _PRED_SQL = "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' " + " ".join(
     f"WHEN hits_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in sorted(_STOP)
 ) + " END"
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+
 ORACLE = {
+    "text_pii_scrub": f"""
+        WITH planted AS (
+            SELECT doc_id + 10000000 AS doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-0100' AS text
+            FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+        ),
+        aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM planted
+        ),
+        s AS (
+            SELECT doc_id, text,
+                   regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+            FROM aug
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+               CAST(length(scrubbed) AS INT) AS scrubbed_len,
+               (NOT regexp_matches(scrubbed, '{_PII_EMAIL}')
+                AND NOT regexp_matches(scrubbed, '{_PII_PHONE}')) AS clean
+        FROM s
+    """,
     "text_profile": """
         SELECT COUNT(*) AS n_docs,
                COUNT(DISTINCT doc_id) AS n_ids,

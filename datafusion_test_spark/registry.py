@@ -121,6 +121,7 @@ _PRIORITY = [
     "join_range",
     "rollup_timeseries",
     "udf_arrow",
+    "text_pii_scrub",
     "tablesample",
     "write_partitioned",
     "scan_csv_roundtrip",
