@@ -57,7 +57,9 @@ def lsh_bits(n_vectors: int, target_bucket: int = 128, lo: int = 8, hi: int = 24
     ceil(log2(n / target_bucket)), clamped to [lo, hi].  At testdata scale
     (≤2000 vectors) this stays at the 8-bit floor — bucketing identical to
     round 1 — while 10⁹ vectors get 23 bits (~8M buckets).  The caller pays
-    one metadata-cheap count() to know n."""
+    one count() to know n — count it on the BARE table scan (footer
+    metadata only, with parquet aggregate pushdown), never on a derived
+    lineage that would be recomputed for the count."""
     import math
 
     if n_vectors <= target_bucket:

@@ -397,18 +397,25 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embed_lsh_pairs(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+def embed_lsh_pairs(
+    spark: SparkSession, vecs: DataFrame, bits: int | None = None
+) -> DataFrame:
     """Embedding near-dup candidate pairs (cos >= 0.95) blocked by the
     random-hyperplane LSH bucket — the 100 TB replacement for
     dedup_embed_cosine's label blocking: bucket population is ~N/2^bits and
     data-dependent rather than O(N) per label (signature width scales with
     corpus size, _expr.lsh_bits), and the same signature would be persisted
     as a bucketed table layout in production.  Buckets over _DF_CAP vectors
-    are dropped (hot-bucket guard)."""
+    are dropped (hot-bucket guard).
+
+    Pass ``bits`` when the caller can count a cheaper base relation (a bare
+    parquet count is footer-metadata only); the fallback count here runs
+    the whole ``vecs`` lineage."""
     from ._expr import lsh_bits, rh_signature
     from .similarity import _DIM
 
-    bits = lsh_bits(vecs.count())
+    if bits is None:
+        bits = lsh_bits(vecs.count())
     # dim passed explicitly: rh_signature zip_withs against sequence(0,dim-1),
     # and a mismatch would null-pad the fold, collapsing every vector into
     # bucket 0 (one quadratic bucket) with no error pointing at the cause.
@@ -458,7 +465,12 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
     )
     aug = vecs.unionByName(planted)
-    cand = embed_lsh_pairs(spark, aug).select("vec_a", "vec_b")
+    # bits sized from the bare base scan (footer-metadata count), not the
+    # planted-union lineage — avoids computing the plant pipeline twice
+    from ._expr import lsh_bits
+
+    bits = lsh_bits(vecs.count() + 50)
+    cand = embed_lsh_pairs(spark, aug, bits=bits).select("vec_a", "vec_b")
     expected = low.select(
         F.col("vec_id").alias("vec_a"),
         (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_b"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
-from .text import _STOP, _STOP_SQL
+from .text import _HITS_SQL, _PRED_SQL, langid_exprs
 
 _MIN_QUALITY = 0.5
 
@@ -37,7 +37,10 @@ def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = d.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
 
     # 2. quality gate — text_quality's fixed formula, same threshold both
-    # engines
+    # engines.  The explicit n_chars > 0 pre-filter keeps the engines
+    # aligned on empty documents: Spark's non-ANSI divide yields NULL
+    # (row silently dropped) while DuckDB's IEEE division yields nan/inf
+    # (row kept) — the guard makes the drop explicit in BOTH dialects.
     w = F.split(F.col("text"), " ")
     n_words = F.size(w)
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -45,21 +48,15 @@ def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
         + F.least(alpha / F.col("n_chars").cast("double"), F.lit(1.0)) * 0.5
     )
-    scored = kept.withColumn("n_words", n_words).filter(
-        F.round(quality, 4) >= F.lit(_MIN_QUALITY)
+    scored = (
+        kept.filter(F.col("n_chars") > 0)
+        .withColumn("n_words", n_words)
+        .filter(F.round(quality, 4) >= F.lit(_MIN_QUALITY))
     )
 
-    # 3. language ID — text_langid's stopword argmax (alphabetical
-    # tiebreak, 'und' when no hits), inlined so the funnel stays one plan
-    lw = F.split(F.lower(F.col("text")), " ")
-    hits = {
-        lg: F.size(F.array_intersect(lw, F.array(*[F.lit(s) for s in stops])))
-        for lg, stops in _STOP.items()
-    }
-    best = F.greatest(*hits.values())
-    pred = F.when(best <= 0, F.lit("und"))
-    for lg in sorted(_STOP):
-        pred = pred.when(hits[lg] == best, F.lit(lg))
+    # 3. language ID — text.langid_exprs, the same expressions text_langid
+    # declares (single source; see its docstring)
+    _, _, pred = langid_exprs()
     tagged = scored.withColumn("pred_lang", pred).filter(
         F.col("pred_lang") != "und"
     )
@@ -80,17 +77,6 @@ def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"pipeline_prep": pipeline_prep}
 
-_HITS_SQL = ",\n                   ".join(
-    f"len(list_intersect(string_split(lower(text), ' '), {_STOP_SQL[lg]})) AS hits_{lg}"
-    for lg in _STOP
-)
-_BEST_SQL = "greatest(" + ", ".join(f"hits_{lg}" for lg in _STOP) + ")"
-_PRED_SQL = (
-    "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' "
-    + " ".join(f"WHEN hits_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in sorted(_STOP))
-    + " END"
-)
-
 ORACLE = {
     "pipeline_prep": f"""
         WITH deduped AS (
@@ -102,7 +88,8 @@ ORACLE = {
             SELECT doc_id, text, lang,
                    CAST(len(string_split(text, ' ')) AS INT) AS n_words
             FROM deduped
-            WHERE ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+            WHERE n_chars > 0
+              AND ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
                         + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                                 / CAST(n_chars AS DOUBLE), 1.0) * 0.5, 4)
                   >= {_MIN_QUALITY}

@@ -62,8 +62,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The score formula is arbitrary but fixed; what matters is that it is a
     deterministic columnar expression both engines evaluate identically.
+    The n_chars > 0 guard keeps empty documents aligned across dialects
+    (Spark's non-ANSI divide → NULL vs DuckDB's IEEE divide → nan/inf).
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     w = F.split(F.col("text"), " ")
     n_words = F.size(w)
     alpha_chars = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
@@ -84,26 +86,31 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_exprs():
+    """Shared stopword-langid expressions over the `text` column: per-
+    language hit counts, best score, and predicted language (argmax,
+    alphabetical tiebreak, 'und' when no hits).  Single source for
+    text_langid AND pipeline_prep — the DuckDB twins (_HITS_SQL/_BEST_SQL/
+    _PRED_SQL below) derive from the same _STOP lists, so an edit to the
+    stopwords or the tiebreak rule lands in all four places at once."""
+    lw = F.split(F.lower(F.col("text")), " ")
+    hits = {
+        lg: F.size(F.array_intersect(lw, F.array(*[F.lit(s) for s in stops])))
+        for lg, stops in _STOP.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in sorted(_STOP):  # alphabetical tiebreak
+        pred = pred.when(hits[lg] == best, F.lit(lg))
+    return hits, best, pred
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID; argmax over per-language hit counts,
     alphabetical tiebreak, 'und' (undetermined) when no stopword hits."""
     d = table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.col("text")), " ")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        *[
-            F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in stops]))).alias(
-                f"hits_{lg}"
-            )
-            for lg, stops in _STOP.items()
-        ],
-    )
-    best = F.greatest(*[F.col(f"hits_{lg}") for lg in _STOP])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lg in sorted(_STOP):  # alphabetical tiebreak
-        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
-    return scored.select(
+    _, best, pred = langid_exprs()
+    return d.select(
         "doc_id", "lang", pred.alias("pred_lang"), best.alias("best_hits")
     )
 
@@ -322,6 +329,7 @@ ORACLE = {
                      + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                              / CAST(n_chars AS DOUBLE), 1.0) * 0.5, 4) AS quality
         FROM documents
+        WHERE n_chars > 0
     """,
     "text_langid": f"""
         WITH scored AS (
