@@ -41,6 +41,9 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The flagship query (SURVEY §7 M1): scan → project → filter → partial agg →
     shuffle → final agg, the same pipeline the reference's DISTINCT lowers to.
+    (Measured: io.parallel does NOT pay here — the 1998-09 filter keeps the
+    map side small enough that the extra round-robin shuffle cancels the
+    parallelism gain, unlike tpch_q1_shape's wider cutoff.)
     """
     li = table(spark, sf_dir, "lineitem")
     return (
