@@ -36,6 +36,7 @@ HEADLINE = [
     "sub_correlated_scalar",
     "tpch_q1_shape",
     "tpch_q4_shape",
+    "tpch_q6_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q10_shape",

@@ -65,6 +65,26 @@ def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 (forecasting revenue change): one scalar from a fully-pushed-down
+    conjunctive filter — the purest pushdown showcase: every predicate
+    reaches the parquet scan (PushedFilters), 4 columns read of 11, no
+    join, one map-side-combined sum."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 (order-priority checking), adapted: count orders per priority
     having at least one lineitem shipped after the order date (the
@@ -206,6 +226,7 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "tpch_q1_shape": tpch_q1_shape,
     "tpch_q4_shape": tpch_q4_shape,
+    "tpch_q6_shape": tpch_q6_shape,
     "tpch_q14_shape": tpch_q14_shape,
     "tpch_q3_shape": tpch_q3_shape,
     "tpch_q5_shape": tpch_q5_shape,
@@ -228,6 +249,15 @@ ORACLE = {
         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q6_shape": f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
     """,
     "tpch_q4_shape": """
         SELECT o_orderpriority, COUNT(*) AS order_count
