@@ -37,6 +37,7 @@ HEADLINE = [
     "tpch_q1_shape",
     "tpch_q4_shape",
     "tpch_q6_shape",
+    "tpch_q19_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q10_shape",

@@ -223,10 +223,38 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 (discounted revenue, disjunctive predicate): revenue over an OR
+    of three (brand, size-range, quantity-range) conjunct groups.  The
+    join key (l_partkey = p_partkey) is shared by every disjunct, so
+    Catalyst keeps the broadcast EQUI join and evaluates the OR as a
+    post-join filter — the shape that degenerates to a nested-loop in
+    engines that can't factor the common conjunct out of a disjunction."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    disj = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 40)))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(disj)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1_shape": tpch_q1_shape,
     "tpch_q4_shape": tpch_q4_shape,
     "tpch_q6_shape": tpch_q6_shape,
+    "tpch_q19_shape": tpch_q19_shape,
     "tpch_q14_shape": tpch_q14_shape,
     "tpch_q3_shape": tpch_q3_shape,
     "tpch_q5_shape": tpch_q5_shape,
@@ -258,6 +286,17 @@ ORACLE = {
           AND l_shipdate <  TIMESTAMP '1999-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """,
+    "tpch_q19_shape": f"""
+        SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
     """,
     "tpch_q4_shape": """
         SELECT o_orderpriority, COUNT(*) AS order_count

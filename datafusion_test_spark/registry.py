@@ -130,6 +130,7 @@ _PRIORITY = [
     "tpch_q1_shape",
     "tpch_q4_shape",
     "tpch_q6_shape",
+    "tpch_q19_shape",
     "tpch_q14_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",
