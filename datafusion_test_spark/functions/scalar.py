@@ -140,7 +140,11 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("double").alias("key_dbl"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.floor("o_totalprice").cast("long").alias("price_int"),
-        F.col("o_totalprice").cast("decimal(14,2)").alias("price_dec"),
+        # decimal cast demonstrated, then round-tripped back to DOUBLE: a bare
+        # DECIMAL output column renders differently in the driver's cell
+        # canonicalizer (Spark Decimal vs DuckDB decimal), same class of
+        # cross-engine drift as raw float→string (see fn_array.head4).
+        F.col("o_totalprice").cast("decimal(14,2)").cast("double").alias("price_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.concat(F.lit("19"), F.lit("95")).cast("int").alias("str_int"),
     )
@@ -297,7 +301,7 @@ ORACLE = {
                CAST(o_orderkey AS DOUBLE) AS key_dbl,
                CAST(o_orderkey AS VARCHAR) AS key_str,
                CAST(floor(o_totalprice) AS BIGINT) AS price_int,
-               CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price_dec,
                CAST(o_orderdate AS DATE) AS order_date,
                CAST('19' || '95' AS INT) AS str_int
         FROM orders

@@ -90,18 +90,40 @@ def _drop_hot(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def _containment_summary(
-    expected: DataFrame, cand: DataFrame, keys: list[str]
+    expected: DataFrame, cand: DataFrame, keys: list[str], alive: DataFrame | None = None
 ) -> DataFrame:
-    """(n_planted_pairs, found_all_planted): every expected planted pair must
-    appear among the candidates.  Assumes no planted pair is suppressed by
-    the _DF_CAP guard — true by orders of magnitude on the testdata (largest
-    band bucket ≈ duplicate-group size ≪ 1000); a corpus where a planted
-    pair's EVERY shared bucket is hot would need cap-aware exclusion here."""
-    return expected.join(
-        cand.withColumn("hit", F.lit(1)), keys, "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_planted_pairs"),
-        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
+    """(n_planted_pairs, n_cap_suppressed, found_all_planted): every expected
+    planted pair must appear among the candidates.
+
+    Cap-awareness: a planted pair whose EVERY shared bucket was dropped by
+    the _DF_CAP hot-bucket guard cannot be found by construction — that is
+    the guard working, not a detection bug.  ``alive`` is the set of ids
+    retaining >= 1 post-cap bucket (a planted copy has identical buckets to
+    its source, so pair findability == both endpoints alive); suppressed
+    pairs are excluded from the invariant and COUNTED instead, keeping
+    found_all_planted exact on any corpus, however skewed.  On the testdata
+    the largest bucket ≈ duplicate-group size ≪ _DF_CAP, so the oracle
+    states n_cap_suppressed = 0."""
+    n_total = F.count(F.lit(1))
+    if alive is not None:
+        aid = alive.distinct()
+        a_col, b_col = keys[0], keys[1]
+        checked = (
+            expected.join(
+                aid.withColumnRenamed(aid.columns[0], a_col), a_col, "left_semi"
+            ).join(aid.withColumnRenamed(aid.columns[0], b_col), b_col, "left_semi")
+        )
+    else:
+        checked = expected
+    hits = checked.join(cand.withColumn("hit", F.lit(1)), keys, "left").agg(
+        n_total.alias("n_checked"),
+        (F.count("hit") == n_total).alias("found_all_planted"),
+    )
+    totals = expected.agg(n_total.alias("n_planted_pairs"))
+    return totals.crossJoin(hits).select(
+        "n_planted_pairs",
+        (F.col("n_planted_pairs") - F.col("n_checked")).alias("n_cap_suppressed"),
+        "found_all_planted",
     )
 
 
@@ -202,7 +224,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def minhash_pairs(
+    spark: SparkSession, docs: DataFrame, with_alive: bool = False
+):
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate dup pairs over a
     (doc_id, text) corpus.
 
@@ -244,7 +268,7 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ).select("doc_id", "bk.band", "bk.bkey").persist(StorageLevel.MEMORY_AND_DISK)
     capped = _drop_hot(bands, ["band", "bkey"])
     x, y = capped.alias("x"), capped.alias("y")
-    return (
+    pairs = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -254,6 +278,9 @@ def minhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+    if with_alive:  # ids retaining >= 1 post-cap band bucket (harness use)
+        return pairs, capped.select("doc_id")
+    return pairs
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,15 +295,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     aug, low = _plant_dups(docs)
-    cand = minhash_pairs(spark, aug)
+    cand, alive = minhash_pairs(spark, aug, with_alive=True)
     expected = low.filter(F.size(F.split("text", " ")) >= 3).select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
     )
-    return _containment_summary(expected, cand, ["doc_a", "doc_b"])
+    return _containment_summary(expected, cand, ["doc_a", "doc_b"], alive=alive)
 
 
-def simhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def simhash_pairs(
+    spark: SparkSession, docs: DataFrame, with_alive: bool = False
+):
     """64-bit SimHash near-dup candidates over a (doc_id, text) corpus:
     hamming distance <= 6, candidates blocked by 4×16-bit bands (a pair
     within distance 6 shares at least one exact band by pigeonhole when
@@ -343,7 +372,10 @@ def simhash_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= 6).select("doc_a", "doc_b", "hamming")
+    out = pairs.filter(F.col("hamming") <= 6).select("doc_a", "doc_b", "hamming")
+    if with_alive:  # ids retaining >= 1 post-cap band bucket (harness use)
+        return out, capped.select("doc_id")
+    return out
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,12 +384,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical 64-bit signature ⇒ hamming 0 and shared bands ⇒ found."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     aug, low = _plant_dups(docs)
-    cand = simhash_pairs(spark, aug).select("doc_a", "doc_b")
+    cand, alive = simhash_pairs(spark, aug, with_alive=True)
+    cand = cand.select("doc_a", "doc_b")
     expected = low.select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
     )
-    return _containment_summary(expected, cand, ["doc_a", "doc_b"])
+    return _containment_summary(expected, cand, ["doc_a", "doc_b"], alive=alive)
 
 
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,8 +431,11 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_lsh_pairs(
-    spark: SparkSession, vecs: DataFrame, bits: int | None = None
-) -> DataFrame:
+    spark: SparkSession,
+    vecs: DataFrame,
+    bits: int | None = None,
+    with_alive: bool = False,
+):
     """Embedding near-dup candidate pairs (cos >= 0.95) blocked by the
     random-hyperplane LSH bucket — the 100 TB replacement for
     dedup_embed_cosine's label blocking: bucket population is ~N/2^bits and
@@ -429,7 +465,7 @@ def embed_lsh_pairs(
     # shuffle_hash: the build side is the FULL vector table (O(N)·d doubles)
     # — never broadcast-safe at scale, same refusal as the shingle index join
     a, b = capped.alias("a"), capped.hint("shuffle_hash").alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -451,6 +487,9 @@ def embed_lsh_pairs(
             F.round("cos", 4).alias("cos_sim"),
         )
     )
+    if with_alive:  # ids in a surviving (non-hot) bucket (harness use)
+        return pairs, capped.select("vec_id")
+    return pairs
 
 
 def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,17 +509,13 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._expr import lsh_bits
 
     bits = lsh_bits(vecs.count() + 50)
-    cand = embed_lsh_pairs(spark, aug, bits=bits).select("vec_a", "vec_b")
+    cand, alive = embed_lsh_pairs(spark, aug, bits=bits, with_alive=True)
+    cand = cand.select("vec_a", "vec_b")
     expected = low.select(
         F.col("vec_id").alias("vec_a"),
         (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_b"),
     )
-    return expected.join(
-        cand.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_planted_pairs"),
-        (F.count("hit") == F.count(F.lit(1))).alias("found_all_planted"),
-    )
+    return _containment_summary(expected, cand, ["vec_a", "vec_b"], alive=alive)
 
 
 QUERIES = {
@@ -538,6 +573,7 @@ ORACLE = {
         WITH low AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
         SELECT CAST(COUNT(*) FILTER (WHERE len(string_split(text, ' ')) >= 3)
                     AS BIGINT) AS n_planted_pairs,
+               CAST(0 AS BIGINT) AS n_cap_suppressed,
                TRUE AS found_all_planted
         FROM low
     """,
@@ -545,18 +581,21 @@ ORACLE = {
         WITH low AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
         SELECT CAST(COUNT(*) FILTER (WHERE len(string_split(text, ' ')) >= 3)
                     AS BIGINT) AS n_planted_pairs,
+               CAST(0 AS BIGINT) AS n_cap_suppressed,
                TRUE AS found_all_planted
         FROM low
     """,
     "dedup_simhash": """
         WITH low AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
+               CAST(0 AS BIGINT) AS n_cap_suppressed,
                TRUE AS found_all_planted
         FROM low
     """,
     "dedup_embed_lsh": """
         WITH low AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
+               CAST(0 AS BIGINT) AS n_cap_suppressed,
                TRUE AS found_all_planted
         FROM low
     """,

@@ -38,76 +38,16 @@ _MODULES = [
 ]
 
 # Registry iteration order = the driver's correctness-check order, and the
-# driver's per-round budget (~50 entries in round 1) can stop mid-list.  Names
-# listed here run FIRST: the families with no driver-verified row yet (round 1
-# checked exactly the first 50 names, all from the relational core) plus the
-# two round-1 red rows (agg_collect, agg_approx_distinct), now fixed.  The
-# already-green relational core sorts to the back — its rows are on record in
-# CORRECTNESS_r01.json.
+# driver's per-round budget (~50 entries per round) can stop mid-list.  Round 3
+# ordering: the single round-2 red row (fn_cast, decimal canonicalization, now
+# fixed) re-verifies first, then the 38 entries with no driver row in EITHER
+# CORRECTNESS_r01.json or CORRECTNESS_r02.json (rounds 1+2 together covered 98
+# of 136 names), then new round-3 operators.  The 97 already-green names sort
+# to the back — their rows are on record.
 _PRIORITY = [
-    # --- slots 1-50: every SURVEY §2 DECLARED name with no green row in
-    # --- CORRECTNESS_r01.json, sized to exactly fill a 50-entry budget
-    # round-1 red rows, fixed this round — re-verify first
-    "agg_collect",
-    "agg_approx_distinct",
-    # scalar function families
-    "fn_string",
-    "fn_regex",
-    "fn_date",
-    "fn_math",
-    "fn_trig",
-    "fn_hash",
-    "fn_conditional",
+    # round-2 red row, fixed this round — re-verify first
     "fn_cast",
-    "fn_array",
-    "fn_map_struct",
-    "fn_json",
-    # UDF surface
-    "udf_python",
-    "udf_pandas",
-    "udaf_grouped",
-    "udtf_explode",
-    # LLM pipeline: dedup
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_near",
-    "dedup_simhash",
-    "dedup_embed_cosine",
-    "dedup_embed_lsh",
-    # similarity
-    "sim_topk",
-    "sim_pairwise_topk",
-    "sim_ann_lsh",
-    # text analysis
-    "text_stats",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_topterms",
-    # multimodal
-    "multimodal_cols",
-    "mm_binary_meta",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    # set-op tail never reached in r01
-    "intersect",
-    "except",
-    # streaming (batch-equivalence oracles)
-    "stream_tumbling",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_sliding",
-    "stream_stateful_count",
-    # Tier A generation / bootstrap / cancellation harness
-    "write_parquet",
-    "generate_random_table",
-    "find_or_generate",
-    "cancel_query",
-    "bench_cancel_table",
-    # --- slots 51+: extension families (connectors, subquery/CTE/pivot) ---
+    # --- never driver-checked (absent from both r01 and r02 budgets) ---
     "stream_foreach_batch",
     "stream_stateful_run",
     "agg_listagg",
@@ -146,6 +86,7 @@ _PRIORITY = [
     "join_lateral",
     "pivot_wide",
     "unpivot_long",
+    # --- new in round 3 (appended as implemented) ---
 ]
 
 
@@ -162,7 +103,11 @@ def _collect() -> tuple[dict, dict]:
             continue
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLE", {}))
-    ordered = {n: queries[n] for n in _PRIORITY if n in queries}
+    # a stale/typo'd priority name must fail loudly, not silently demote the
+    # entry to the back of the driver's ~50-entry correctness budget
+    missing = [n for n in _PRIORITY if n not in queries]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    ordered = {n: queries[n] for n in _PRIORITY}
     ordered.update({n: fn for n, fn in queries.items() if n not in ordered})
     return ordered, oracles
 

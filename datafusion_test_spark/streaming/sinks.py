@@ -17,6 +17,7 @@ which is also the replay/backfill pattern.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +60,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)  # one-shot run; don't litter /tmp
 
     n_src = table(spark, sf_dir, "events").count()
     return spark.createDataFrame(

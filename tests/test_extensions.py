@@ -39,7 +39,10 @@ def test_injected_rule_eliminates_unit_multiply(sf_dir):
     import build_extension
 
     try:
-        jar = build_extension.build()
+        # force=True: always recompile from the reviewed .scala source so the
+        # committed jar is never trusted on mtime alone (fresh clones give the
+        # source and the binary identical checkout mtimes)
+        jar = build_extension.build(force=True)
     except Exception as exc:  # no bundled compiler on this machine
         pytest.skip(f"cannot build extension jar: {exc}")
 

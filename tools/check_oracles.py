@@ -95,6 +95,19 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
             continue
+        # Policy gate: bare DECIMAL/array/map/struct output columns render
+        # differently in the driver's cell canonicalizer than in this local
+        # replica (Decimal-object equality masked the fn_cast r02 red row).
+        # Every such column must be cast back to double or stringified.
+        risky = [
+            (c, t)
+            for c, t in df.dtypes
+            if t.startswith(("decimal", "array", "map", "struct"))
+        ]
+        if risky:
+            failures.append(name)
+            print(f"FAIL  {name}: driver-unsafe output column types {risky}")
+            continue
         if name not in oracles:
             rows_only += 1
             print(f"rows  {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
