@@ -1,0 +1,738 @@
+"""TPC-H shapes, part 2 — the 13 queries completing the adapted Q1-Q22 suite.
+
+Together with composite.py (Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q18/Q19) every TPC-H
+query shape now has a declared, oracle-checked entry.  The testdata schema
+(TESTDATA.md) lacks partsupp, l_shipmode, l_commitdate/receiptdate, c_phone
+and the comment columns, so four adaptations are used — each preserves the
+query's *plan shape*, which is what the engine is being exercised on:
+
+- partsupp (Q2/Q11/Q16/Q20) is DERIVED from lineitem: the distinct
+  (l_partkey, l_suppkey) pairs, with min(l_extendedprice/l_quantity) as the
+  supplier's unit cost and sum(l_quantity) as the supplied volume.
+- lateness (Q21, and Q12's shipmode buckets) uses l_shipdate vs o_orderdate
+  (the same adaptation composite.tpch_q4_shape already uses).
+- c_phone country codes (Q22) become c_nationkey membership.
+- comment-based exclusions (Q13/Q16) become priority / account-balance
+  predicates with the same NOT-LIKE / NOT-IN plan role.
+
+Scale notes (100 TB): dimension edges (nation/region/supplier/part and every
+derived small aggregate) broadcast; fact edges (orders, the lineitem
+self-joins) are explicitly HINTED to shuffle joins on orderkey/custkey — at
+testdata scale Spark's size stats would broadcast them, but a fact table is
+never broadcast-safe at 100 TB, and on a lake bucketed by orderkey these
+shuffles vanish entirely.  Aggregate-
+derived thresholds (Q11/Q15/Q17/Q22) are single-row or small relations that
+AQE broadcasts back into the fact pass instead of re-shuffling it.  All
+revenue sums go through DECIMAL(18,6) (_util.dsum) so reduce order is
+irrelevant; averages used in *predicates* (Q17/Q22) are decimal-sum/count
+divisions, bit-identical across engines, so threshold comparisons can never
+flip on float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._util import DEC, dsum, sql_dsum
+from ..io import table
+
+# Decimal-exact average: identical double in both engines (sum is exact
+# decimal arithmetic; the single final division is IEEE-deterministic).
+def _davg(col, alias):
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def _sql_davg(expr, alias):
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS {alias}"
+    )
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (volume shipping): bilateral trade volume between two nations by
+    ship year.  Supplier and customer dimension edges broadcast onto the
+    fact tables; the only shuffle is lineitem⋈orders on orderkey plus the
+    final 3-key group-by.  The nation-pair disjunction is a post-join
+    filter over two broadcast-joined columns (no join explosion)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (national market share): NATION_7's share of ASIA-customer ECONOMY
+    revenue per order year — conditional-sum share over a 7-table star.
+    Every dim edge broadcasts; the share is a division of two decimal-exact
+    sums (bit-identical pre-round)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _rev()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_regionkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0),
+                "nation_rev",
+            ),
+            dsum(vol, "total_rev"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 4).alias("mkt_share"),
+            "nation_rev",
+            "total_rev",
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (product-type profit): profit on '%gear%' parts by supplier nation
+    and order year.  No partsupp in the testdata, so supply cost is proxied
+    as 60% of p_retailprice (documented adaptation — the plan shape, a
+    two-fact join with two broadcast dims and a 2-key rollup, is
+    unchanged).  Profit terms are ≤6-decimal products, exact under
+    DECIMAL(18,6)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (important stock): per-part supplied value from NATION_5's
+    suppliers, keeping parts whose value exceeds 2× the nation's mean
+    per-part value — the aggregate-vs-global-scalar HAVING shape.  (TPC-H's
+    0.0001/SF fraction is scale-dependent by design; tying the threshold to
+    the mean keeps the cut non-degenerate at every SF.)  partsupp is
+    derived from lineitem (module docstring).  The scalar total is a 1-row
+    broadcast into the HAVING filter, not a re-shuffle; value and threshold
+    are decimal-exact so the cut cannot flip on float noise."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
+    supplied = li.join(
+        F.broadcast(s.select("s_suppkey")), li.l_suppkey == s.s_suppkey
+    )
+    value = dsum(F.col("l_extendedprice"), "value")
+    per_part = supplied.groupBy("l_partkey").agg(value)
+    total = supplied.agg(
+        dsum(F.col("l_extendedprice"), "total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 2.0 * F.col("total_value") / F.col("n_parts"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (shipping modes / priority): the testdata has no l_shipmode, so
+    lines are bucketed SLOW/FAST by ship delay (>90 days after order date —
+    same lateness adaptation as Q4/Q21), counting high- vs low-priority
+    orders per bucket.  One fact-fact join on orderkey, conditional sums."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "SLOW"
+            ).otherwise("FAST"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 (customer order-count distribution): LEFT OUTER join so
+    zero-order customers survive with count 0, then a count-of-counts.
+    The comment-pattern exclusion becomes a priority exclusion (same
+    NOT-LIKE plan role).  Two shuffles: custkey group, c_count group."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o.hint("merge"), c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): revenue view over one quarter, then the
+    supplier(s) achieving the maximum — the view + scalar-subquery-max
+    shape.  The max is decimal-exact so the equality join cannot miss on
+    float noise; the 1-row max and the revenue relation both broadcast."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 (supplier counting by part attributes): distinct suppliers per
+    (brand, type, size) for a size IN-list, excluding one brand/type and
+    the complaint-supplier NOT-IN set (adapted to s_acctbal < 0).
+    partsupp derived from lineitem; the exclusion set (6 rows) broadcasts
+    into an anti-join."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 14, 23, 45))
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 (small-quantity-order revenue): weekly-equivalent revenue from
+    lines under half the part's average quantity — the correlated-scalar-
+    subquery shape, decorrelated into a per-part aggregate broadcast back
+    onto the fact scan.  The per-part average is a decimal-sum/count
+    division (bit-identical), so the < comparison is engine-portable."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL")
+    )
+    pli = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+    avg_qty = pli.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        _davg(F.col("l_quantity"), "avg_qty")
+    )
+    return (
+        pli.join(F.broadcast(avg_qty), pli.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice"), "total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.round(F.col("total_price") / 7.0, 4).alias("avg_yearly"),
+            "total_price",
+            "n_lines",
+        )
+    )
+
+
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (minimum-cost supplier): for EUROPE suppliers and size-15 LARGE
+    parts, the supplier(s) matching the part's minimum unit cost — the
+    correlated-min subquery shape, decorrelated to a per-part min joined
+    back on equality.  Unit cost comes from the lineitem-derived partsupp
+    (min l_extendedprice/l_quantity per pair); the min is order-independent
+    so the double equality join is exact in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = offers.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(min_cost),
+            (offers.l_partkey == F.col("m_partkey"))
+            & (offers.unit_cost == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (excess-stock suppliers): NATION_3 suppliers who shipped > 300
+    units of red parts in 1997 — the nested IN-subqueries-with-HAVING
+    shape.  The qualifying-supplier set is a small aggregate broadcast
+    into a semi-join against the supplier dim."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    red = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    qualifying = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), "red_qty"))
+        .filter(F.col("red_qty") > 300.0)
+    )
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    return (
+        s.join(F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey)
+        .select("s_suppkey", "s_name", "red_qty")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (suppliers who kept orders waiting): NATION_4 suppliers whose
+    line was the ONLY late one (>90 days after order date) on a
+    multi-supplier finished order — the EXISTS + NOT-EXISTS double
+    correlated self-join, expressed as left-semi then left-anti against
+    the lineitem fact.  All three lineitem branches and the orders edge
+    are explicitly hinted to SHUFFLE joins on orderkey (the natural bucket
+    key, shuffle-free on a bucketed lake): at testdata scale Spark would
+    happily broadcast the other lineitem branches, but a fact table is
+    never broadcast-safe at 100 TB — same refusal as the dedup
+    inverted-index joins.  Only the supplier dim broadcasts."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 4).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+        F.col("l_shipdate").alias("y_shipdate"),
+    )
+    waited = (
+        l1.join(
+            l2.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        ).join(
+            l3.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey"))
+            & (
+                F.col("y_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (global sales opportunity): well-funded but dormant customers per
+    nation — acctbal above the positive-balance average of a 5-nation set
+    (c_phone country codes adapted to c_nationkey), with no order since
+    2000 (pure NOT EXISTS would be empty: every testdata customer has at
+    least one order).  Scalar-avg broadcast + anti-join against the
+    recent-orders fact."""
+    nations = [11, 13, 15, 17, 19]
+    c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        _davg(F.col("c_acctbal"), "avg_bal")
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent.hint("shuffle_hash"), c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+QUERIES = {
+    "tpch_q2_shape": tpch_q2_shape,
+    "tpch_q7_shape": tpch_q7_shape,
+    "tpch_q8_shape": tpch_q8_shape,
+    "tpch_q9_shape": tpch_q9_shape,
+    "tpch_q11_shape": tpch_q11_shape,
+    "tpch_q12_shape": tpch_q12_shape,
+    "tpch_q13_shape": tpch_q13_shape,
+    "tpch_q15_shape": tpch_q15_shape,
+    "tpch_q16_shape": tpch_q16_shape,
+    "tpch_q17_shape": tpch_q17_shape,
+    "tpch_q20_shape": tpch_q20_shape,
+    "tpch_q21_shape": tpch_q21_shape,
+    "tpch_q22_shape": tpch_q22_shape,
+}
+
+ORACLE = {
+    "tpch_q7_shape": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {sql_dsum(_REV, 'revenue')}
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8_shape": f"""
+        WITH flat AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS vol,
+                   n1.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ), byyear AS (
+            SELECT o_year,
+                   {sql_dsum("CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE 0.0 END", 'nation_rev')},
+                   {sql_dsum('vol', 'total_rev')}
+            FROM flat GROUP BY o_year
+        )
+        SELECT o_year, ROUND(nation_rev / total_rev, 4) AS mkt_share,
+               nation_rev, total_rev
+        FROM byyear ORDER BY o_year
+    """,
+    "tpch_q9_shape": f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               {sql_dsum('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity', 'sum_profit')}
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    "tpch_q11_shape": f"""
+        WITH supplied AS (
+            SELECT l_partkey, l_extendedprice
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 5
+        ), per_part AS (
+            SELECT l_partkey, {sql_dsum('l_extendedprice', 'value')}
+            FROM supplied GROUP BY l_partkey
+        ), tot AS (
+            SELECT {sql_dsum('l_extendedprice', 'total_value')},
+                   COUNT(DISTINCT l_partkey) AS n_parts
+            FROM supplied
+        )
+        SELECT l_partkey, value
+        FROM per_part, tot
+        WHERE value > 2.0 * total_value / n_parts
+        ORDER BY value DESC, l_partkey
+    """,
+    "tpch_q12_shape": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY ship_bucket
+        ORDER BY ship_bucket
+    """,
+    "tpch_q13_shape": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                       WHERE o_orderpriority <> '5-LOW') o
+              ON c_custkey = o.o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q15_shape": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum(_REV, 'total_revenue')}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q16_shape": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+          AND p_size IN (1, 14, 23, 45)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q17_shape": f"""
+        WITH pli AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#11' AND p_type = 'SMALL'
+        ), avg_q AS (
+            SELECT l_partkey AS a_partkey,
+                   {_sql_davg('l_quantity', 'avg_qty')}
+            FROM pli GROUP BY l_partkey
+        ), small AS (
+            SELECT {sql_dsum('l_extendedprice', 'total_price')},
+                   COUNT(*) AS n_lines
+            FROM pli JOIN avg_q ON l_partkey = a_partkey
+            WHERE l_quantity < 0.5 * avg_qty
+        )
+        SELECT ROUND(total_price / 7.0, 4) AS avg_yearly, total_price, n_lines
+        FROM small
+    """,
+    "tpch_q2_shape": """
+        WITH eu_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), offers AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part
+                WHERE p_size = 15 AND p_type = 'LARGE'
+            )
+            GROUP BY l_partkey, l_suppkey
+        ), eu_offers AS (
+            SELECT o.*, s.s_name, s.s_acctbal, s.n_name
+            FROM offers o JOIN eu_supp s ON o.l_suppkey = s.s_suppkey
+        ), min_cost AS (
+            SELECT l_partkey AS m_partkey, MIN(unit_cost) AS min_cost
+            FROM eu_offers GROUP BY l_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+               ROUND(unit_cost, 4) AS unit_cost
+        FROM eu_offers JOIN min_cost
+          ON l_partkey = m_partkey AND unit_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q20_shape": f"""
+        WITH qualifying AS (
+            SELECT l_suppkey, {sql_dsum('l_quantity', 'red_qty')}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+              )
+            GROUP BY l_suppkey
+            HAVING CAST(SUM(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE) > 300.0
+        )
+        SELECT s_suppkey, s_name, red_qty
+        FROM supplier JOIN qualifying ON s_suppkey = l_suppkey
+        WHERE s_nationkey = 3
+        ORDER BY s_name
+    """,
+    "tpch_q21_shape": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F' AND s_nationkey = 4
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "tpch_q22_shape": f"""
+        WITH sel AS (
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer WHERE c_nationkey IN (11, 13, 15, 17, 19)
+        ), avg_bal AS (
+            SELECT {_sql_davg('c_acctbal', 'avg_bal')}
+            FROM sel WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+               {sql_dsum('c_acctbal', 'totacctbal')}
+        FROM sel, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY cntry
+        ORDER BY cntry
+    """,
+}

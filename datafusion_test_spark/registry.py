@@ -24,6 +24,7 @@ _MODULES = [
     "datafusion_test_spark.operators.setops",
     "datafusion_test_spark.operators.subqueries",
     "datafusion_test_spark.operators.composite",
+    "datafusion_test_spark.operators.composite2",
     "datafusion_test_spark.operators.udf",
     "datafusion_test_spark.functions.scalar",
     "datafusion_test_spark.sources.generate",
@@ -86,7 +87,22 @@ _PRIORITY = [
     "join_lateral",
     "pivot_wide",
     "unpivot_long",
-    # --- new in round 3 (appended as implemented) ---
+    # --- new in round 3: the 13 shapes completing the TPC-H Q1-Q22 suite ---
+    # (slots beyond ~50 spill past this round's driver budget and lead the
+    # round-4 queue)
+    "tpch_q2_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
 ]
 
 
