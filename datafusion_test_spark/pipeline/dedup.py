@@ -1,6 +1,6 @@
 """Deduplication operators over `documents` (mandated tier, BASELINE.json:6).
 
-Six strategies, each a `queries()` entry:
+Seven strategies, each a `queries()` entry:
 
 - dedup_exact          hash group-by on full text (SQL oracle)
 - dedup_ngram_jaccard  exact word-3-gram Jaccard via inverted-index self-join
@@ -19,6 +19,9 @@ Six strategies, each a `queries()` entry:
 - dedup_embed_lsh      the 100 TB variant: candidate blocking by random-
                        hyperplane LSH bucket instead of label (planted
                        identical-vector containment invariant)
+- dedup_clusters       connected components over the exact ∪ Jaccard pair
+                       graph via iterative min-label propagation (SQL
+                       oracle — DuckDB recursive-CTE reachability)
 
 Scale design (100 TB): every pairwise strategy is *blocked* — candidate pairs
 come from an inverted index (shared shingle / LSH bucket / simhash band /
@@ -518,6 +521,83 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_summary(expected, cand, ["vec_a", "vec_b"], alive=alive)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment — connected components over the near-dup
+    pair graph (the production step after pair generation: a dedup keep-list
+    needs one keeper per transitive cluster, not per pair, or A~B, B~C keeps
+    both A and C).
+
+    Edges = exact-duplicate links (doc -> its text group's min doc_id) ∪
+    3-gram-Jaccard pairs (>= 0.6, the dedup_ngram_jaccard relation).
+    Components by iterative min-label propagation: each round every node
+    takes the min label among itself and its neighbors — converges in
+    O(graph diameter) rounds (near-dup clusters are shallow; bounded at 25,
+    convergence is CHECKED and non-convergence raises rather than returning
+    a wrong answer).  Per round: one shuffle join edges⋈labels + one min
+    aggregate; labels persisted and the previous round unpersisted, so
+    lineage stays O(1) deep per round and the convergence count() action
+    reuses the cache.  At 100 TB the same loop runs with the edge relation
+    bucketed on src; the alternating large-star/small-star variant (O(log n)
+    rounds) is the drop-in upgrade if diameters grow.
+
+    Output: one row per multi-member cluster (cluster_id = min doc_id,
+    n_members).  Oracle: DuckDB recursive-CTE reachability over the same
+    edge relation.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("text")
+    exact = (
+        docs.withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("root") != F.col("doc_id"))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    jac = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = exact.unionByName(jac)
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    converged = False
+    for _ in range(25):
+        prop = sym.join(labels, sym.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    if not converged:  # pragma: no cover - 25 rounds >> any real dup diameter
+        raise RuntimeError("label propagation did not converge in 25 rounds")
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy(F.col("n_members").desc(), "cluster_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -527,17 +607,14 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embed_cosine": dedup_embed_cosine,
     "dedup_embed_lsh": dedup_embed_lsh,
+    "dedup_clusters": dedup_clusters,
 }
 
 _SH = sql_shingles("text")
 
-ORACLE = {
-    "dedup_exact": """
-        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
-        FROM documents GROUP BY text
-    """,
-    "dedup_ngram_jaccard": f"""
-        WITH sh AS (
+# Shared DuckDB CTE chain computing the capped 3-gram-Jaccard near-dup pairs
+# (mirrors dedup_ngram_jaccard's Spark plan); reused by the clusters oracle.
+_JACCARD_CTES = f"""sh AS (
             SELECT doc_id, {_SH} AS sh FROM documents
         ),
         sized AS (SELECT doc_id, len(sh) AS n_sh, sh FROM sh),
@@ -548,18 +625,29 @@ ORACLE = {
         inv AS (
             SELECT i.* FROM inv_raw i ANTI JOIN hot h ON i.shingle = h.shingle
         ),
-        pairs AS (
+        cpairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
             FROM inv a JOIN inv b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4
-        )
-        SELECT doc_a, doc_b,
-               ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) AS jaccard
-        FROM pairs
-        WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) >= 0.6
+        ),
+        jpairs AS (
+            SELECT doc_a, doc_b,
+                   ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) AS jaccard
+            FROM cpairs
+            WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) >= 0.6
+        )"""
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
+        FROM documents GROUP BY text
     """,
+    "dedup_ngram_jaccard": f"""
+        WITH {{_JACCARD_CTES}}
+        SELECT doc_a, doc_b, jaccard FROM jpairs
+    """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_embed_cosine": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
@@ -599,4 +687,31 @@ ORACLE = {
                TRUE AS found_all_planted
         FROM low
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE {_JACCARD_CTES},
+        exact AS (
+            SELECT mn AS src, doc_id AS dst FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS mn
+                FROM documents
+            ) WHERE mn <> doc_id
+        ),
+        edges AS (
+            SELECT src, dst FROM exact
+            UNION SELECT doc_a, doc_b FROM jpairs
+        ),
+        sym AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach(node, anc) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.dst, r.anc FROM reach r JOIN sym s ON s.src = r.node
+        ),
+        labels AS (
+            SELECT node AS doc_id, MIN(anc) AS label FROM reach GROUP BY node
+        )
+        SELECT label AS cluster_id, COUNT(*) AS n_members
+        FROM labels GROUP BY label HAVING COUNT(*) > 1
+        ORDER BY n_members DESC, cluster_id
+    """.format(_JACCARD_CTES=_JACCARD_CTES),
 }

@@ -4,6 +4,8 @@
 - sim_pairwise_topk top-k most similar pairs, label-blocked (SQL oracle)
 - sim_ann_lsh       random-hyperplane LSH ANN — the scale path (rows-only:
                     hash-derived planes, deterministic)
+- embed_quantize    symmetric int8 quantization + reconstruction-error
+                    invariant (SQL oracle) — the ANN index compression step
 
 Scale design (100 TB / billions of vectors):
 - Brute force is the *baseline*: one scan, top-k via TakeOrderedAndProject
@@ -217,7 +219,63 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    compression step before large-scale ANN (4 bytes -> 1 byte per dim;
+    at 10⁹ × 64-dim vectors that is 256 GB -> 64 GB of index).
+
+    Per vector: scale = 127 / max|x_i|; q_i = round(x_i · scale) ∈ [-127,127].
+    Emitted per row: the exact integer checksum of the quantized vector, the
+    quantized L1 mass, and the max absolute reconstruction error with its
+    theoretical bound 0.5/scale — a self-evident correctness invariant
+    (err_ok) on top of the exact cross-engine checksums.  All higher-order
+    folds in DOUBLE, left-to-right — bit-identical in both engines; map-only
+    plan, no shuffle at any scale.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    e = e.select("vec_id", "embedding", absmax.alias("absmax")).filter(
+        F.col("absmax") > 0.0
+    )
+    scale = F.lit(127.0) / F.col("absmax")
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+    e = e.select(
+        "vec_id",
+        "embedding",
+        F.col("absmax"),
+        q.alias("q"),
+    )
+    recon_err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "q",
+            lambda x, qi: F.abs(
+                x.cast("double") - qi.cast("double") * F.col("absmax") / F.lit(127.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: F.greatest(acc, d),
+    )
+    return e.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+            "q_l1"
+        ),
+        F.round(recon_err, 6).alias("max_err"),
+        (recon_err <= F.lit(0.5) * F.col("absmax") / F.lit(127.0) + F.lit(1e-12))
+        .alias("err_ok"),
+    )
+
+
 QUERIES = {
+    "embed_quantize": embed_quantize,
     "sim_topk": sim_topk,
     "sim_pairwise_topk": sim_pairwise_topk,
     "sim_pairwise_lsh": sim_pairwise_lsh,
@@ -225,6 +283,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embed_quantize": """
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS absmax
+            FROM embeddings
+        ), nz AS (SELECT * FROM base WHERE absmax > 0.0),
+        qd AS (
+            SELECT vec_id, absmax, embedding,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * (127.0 / absmax), 0)
+                                 AS BIGINT)) AS q
+            FROM nz
+        ), err AS (
+            SELECT vec_id, absmax, q,
+                   list_max(list_transform(list_zip(embedding, q),
+                       p -> abs(CAST(p[1] AS DOUBLE)
+                                - CAST(p[2] AS DOUBLE) * absmax / 127.0)))
+                       AS recon
+            FROM qd
+        )
+        SELECT vec_id,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+               ROUND(recon, 6) AS max_err,
+               recon <= 0.5 * absmax / 127.0 + 1e-12 AS err_ok
+        FROM err
+    """,
     "sim_topk": f"""
         WITH q AS (
             SELECT embedding AS qvec FROM embeddings

@@ -6,6 +6,7 @@
 - text_langid       stopword-overlap language ID (SQL oracle)
 - text_fingerprint  polynomial rolling-hash fingerprint (SQL oracle)
 - text_topterms     top-5 terms per language (SQL oracle)
+- text_tfidf        top-3 TF-IDF terms per document, linear idf (SQL oracle)
 
 All pure built-in expressions (split / explode / regexp / higher-order
 folds) — no Python in the hot path, so at 100 TB these run inside
@@ -228,8 +229,48 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    idf is the LINEAR form (N+1)/(df+1) rather than its logarithm: log() is
+    not guaranteed correctly-rounded in either engine's libm, and a last-ulp
+    disagreement could flip a rank at the top-3 boundary; the rational form
+    is exact in IEEE double on both engines, so scores and ranks are
+    bit-identical (ranking order is unchanged — log is monotone).
+
+    Plan: explode tokens → per-(doc, term) counts [shuffle on (doc, term)] →
+    document-frequency relation per term [shuffle on term] joined back with
+    shuffle_hash (the vocabulary is O(corpus) — never broadcast) → corpus
+    size as a 1-row broadcast → per-doc top-3 window [shuffle on doc_id].
+    All built-in expressions, codegen end-to-end.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_rel.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", F.round("score", 4).alias("score"))
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_tfidf": text_tfidf,
     "text_profile": text_profile,
     "text_sample_stratified": text_sample_stratified,
     "text_tokens": text_tokens,
@@ -254,6 +295,34 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+1-555-[0-9]{4}"
 
 ORACLE = {
+    "text_tfidf": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tok_ne AS (
+            SELECT doc_id, term FROM tok WHERE term <> ''
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok_ne GROUP BY doc_id, term
+        ), dfrel AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM tok_ne GROUP BY term
+        ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfrel.df,
+                   CAST(tf.tf AS DOUBLE) * ((n_docs + 1.0) / (dfrel.df + 1.0))
+                       AS score
+            FROM tf JOIN dfrel ON tf.term = dfrel.term CROSS JOIN nd
+        )
+        SELECT doc_id, rk, term, tf, df, ROUND(score, 4) AS score
+        FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term
+            ) AS INT) AS rk
+            FROM scored
+        )
+        WHERE rk <= 3
+    """,
     "text_pii_scrub": f"""
         WITH planted AS (
             SELECT doc_id + 10000000 AS doc_id,

@@ -103,6 +103,10 @@ _PRIORITY = [
     "tpch_q20_shape",
     "tpch_q21_shape",
     "tpch_q22_shape",
+    # round-3 pipeline additions
+    "dedup_clusters",
+    "text_tfidf",
+    "embed_quantize",
 ]
 
 
