@@ -109,12 +109,13 @@ def _containment_summary(
     states n_cap_suppressed = 0."""
     n_total = F.count(F.lit(1))
     if alive is not None:
-        aid = alive.distinct()
+        # left_semi is an existence check — no distinct needed on the
+        # (multi-bucket, hence duplicated) alive id relation.
         a_col, b_col = keys[0], keys[1]
         checked = (
             expected.join(
-                aid.withColumnRenamed(aid.columns[0], a_col), a_col, "left_semi"
-            ).join(aid.withColumnRenamed(aid.columns[0], b_col), b_col, "left_semi")
+                alive.withColumnRenamed(alive.columns[0], a_col), a_col, "left_semi"
+            ).join(alive.withColumnRenamed(alive.columns[0], b_col), b_col, "left_semi")
         )
     else:
         checked = expected
@@ -268,8 +269,13 @@ def minhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey").persist(StorageLevel.MEMORY_AND_DISK)
-    capped = _drop_hot(bands, ["band", "bkey"])
+    ).select("doc_id", "bk.band", "bk.bkey")
+    # Persist the POST-cap index: it is consumed three times (both self-join
+    # sides + the harness's alive set) — caching pre-cap `bands` instead
+    # would re-run the hot-key agg + anti-join on every consumer.
+    capped = _drop_hot(bands, ["band", "bkey"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     x, y = capped.alias("x"), capped.alias("y")
     pairs = (
         x.join(
@@ -354,10 +360,11 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.bkey").persist(
+    ).select("doc_id", "simhash", "bk.band", "bk.bkey")
+    # post-cap persist: see minhash_pairs — 3 consumers read this cache
+    capped = _drop_hot(banded, ["band", "bkey"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    capped = _drop_hot(banded, ["band", "bkey"])
     x, y = capped.alias("x"), capped.alias("y")
     pairs = (
         x.join(
@@ -463,8 +470,9 @@ def embed_lsh_pairs(
         "embedding",
         rh_signature(F.col("embedding"), bits=bits, dim=_DIM).alias("bucket"),
         F.sqrt(norm2(F.col("embedding"))).alias("nrm"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    capped = _drop_hot(e, ["bucket"])
+    )
+    # post-cap persist: see minhash_pairs — 3 consumers read this cache
+    capped = _drop_hot(e, ["bucket"]).persist(StorageLevel.MEMORY_AND_DISK)
     # shuffle_hash: the build side is the FULL vector table (O(N)·d doubles)
     # — never broadcast-safe at scale, same refusal as the shingle index join
     a, b = capped.alias("a"), capped.hint("shuffle_hash").alias("b")
