@@ -270,6 +270,50 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HLL sketches (Datasketches `hll_sketch_agg` /
+    `hll_union_agg`) — the production pattern approx_count_distinct can't do:
+    persist per-partition/per-day sketches once, then MERGE them for any
+    roll-up without touching raw data.  At 100 TB the partial sketch table
+    is O(groups · 2^lgK) bytes, and every downstream distinct-count query is
+    an aggregation over sketches instead of a full shuffle of raw keys.
+
+    Shape: per-nation customer sketches -> union-merge -> global estimate,
+    plus a direct (unpartitioned) sketch of the same column.  Self-verifying
+    oracle (same pattern as agg_approx_distinct): exact anchors + booleans
+    asserting both estimates land within 5% (3 sigma at lgK=12, rse 1.6%);
+    measured error at sf0.01 is ~0.4%.  Merge and direct estimates may
+    differ by a few counts (sketch state promotion), so each is checked
+    against the exact count, not each other.
+    """
+    c = table(spark, sf_dir, "customer")
+    lgk = F.lit(12)
+    partials = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", lgk).alias("sk")
+    )
+    merged = partials.agg(
+        F.count(F.lit(1)).alias("n_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("m_est"),
+    )
+    base = c.agg(
+        F.countDistinct("c_custkey").alias("exact_custs"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey", lgk)).alias("d_est"),
+    )
+    tol = F.lit(0.05)
+    return base.crossJoin(merged).select(
+        "exact_custs",
+        "n_partials",
+        (
+            F.abs(F.col("m_est") - F.col("exact_custs")) / F.col("exact_custs")
+            <= tol
+        ).alias("merged_within_tol"),
+        (
+            F.abs(F.col("d_est") - F.col("exact_custs")) / F.col("exact_custs")
+            <= tol
+        ).alias("direct_within_tol"),
+    )
+
+
 QUERIES = {
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
@@ -287,6 +331,7 @@ QUERIES = {
     "agg_listagg": agg_listagg,
     "agg_stats": agg_stats,
     "agg_approx_quantile": agg_approx_quantile,
+    "agg_hll_merge": agg_hll_merge,
 }
 
 ORACLE = {
@@ -399,5 +444,12 @@ ORACLE = {
                TRUE AS p50_ok,
                TRUE AS p95_ok
         FROM lineitem
+    """,
+    "agg_hll_merge": """
+        SELECT COUNT(DISTINCT c_custkey) AS exact_custs,
+               COUNT(DISTINCT c_nationkey) AS n_partials,
+               TRUE AS merged_within_tol,
+               TRUE AS direct_within_tol
+        FROM customer
     """,
 }

@@ -246,8 +246,60 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located fact-fact join — the layout lever that removes the
+    orders⋈lineitem shuffle entirely at 100 TB.
+
+    Both tables are written once with `bucketBy(8, key).sortBy(key)` (the
+    pay-the-shuffle-once layout); the SortMergeJoin then reads bucket i of
+    each side directly — the executed plan contains NO Exchange on either
+    join key, which this operator asserts and EMITS as a result column
+    (`bucketed_no_shuffle`), making the scale property itself
+    driver-verified.  The merge hint stops AQE broadcasting the small sf0.01
+    side, which would hide the property under test.  Results hash-match the
+    plain join oracle, proving layout round-trip + join correctness.
+    """
+    import os
+    import tempfile
+
+    from ..plans.introspect import plan_string
+
+    wh = tempfile.mkdtemp(prefix="dfts_bucket_wh_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS dfts_bucketdb LOCATION '{wh}'")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    for df, name, key in (
+        (o, "orders_b", "o_orderkey"),
+        (li, "lineitem_b", "l_orderkey"),
+    ):
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).option(
+            "path", os.path.join(wh, name)
+        ).saveAsTable(f"dfts_bucketdb.{name}")
+    joined = (
+        spark.table("dfts_bucketdb.lineitem_b")
+        .join(
+            spark.table("dfts_bucketdb.orders_b").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    plan = plan_string(joined)
+    no_shuffle = (
+        "Exchange hashpartitioning(l_orderkey" not in plan
+        and "Exchange hashpartitioning(o_orderkey" not in plan
+    )
+    return joined.withColumn("bucketed_no_shuffle", F.lit(no_shuffle))
+
+
 QUERIES = {
     "join_inner": join_inner,
+    "join_bucketed": join_bucketed,
     "join_skew_salted": join_skew_salted,
     "join_broadcast": join_broadcast,
     "join_left": join_left,
@@ -262,6 +314,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_bucketed": """
+        SELECT o_orderstatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price,
+               TRUE AS bucketed_no_shuffle
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
     "join_skew_salted": """
         SELECT o_orderpriority, COUNT(*) AS n_items,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -606,6 +606,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance refinement of the blocked near-dup candidates — the
+    precision pass a production dedup runs AFTER cheap blocking: levenshtein
+    is O(len²) per pair, affordable only because the capped 3-gram-Jaccard
+    relation (dedup_ngram_jaccard) bounds the candidate count to O(dups),
+    never all-pairs.  Keeps pairs whose edit distance is at most 20% of the
+    longer text; the threshold compare is pure integer arithmetic
+    (5·lev <= max_len) so the result is hash-exact cross-engine.
+
+    Scale shape: candidate pairs (small) shuffle-join back to the documents
+    table twice to fetch texts — both joins key on doc_id, and at 100 TB the
+    text fetch is the dominant IO, which is why the refinement runs on the
+    blocked pair list and not inside the inverted-index join.
+    """
+    cand = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("lev"),
+            F.greatest(F.length("text_a"), F.length("text_b"))
+            .cast("long")
+            .alias("max_len"),
+        )
+        .filter(F.col("lev") * 5 <= F.col("max_len"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -616,6 +649,7 @@ QUERIES = {
     "dedup_embed_cosine": dedup_embed_cosine,
     "dedup_embed_lsh": dedup_embed_lsh,
     "dedup_clusters": dedup_clusters,
+    "dedup_editdist": dedup_editdist,
 }
 
 _SH = sql_shingles("text")
@@ -655,6 +689,18 @@ ORACLE = {
     "dedup_ngram_jaccard": f"""
         WITH {{_JACCARD_CTES}}
         SELECT doc_a, doc_b, jaccard FROM jpairs
+    """.format(_JACCARD_CTES=_JACCARD_CTES),
+    "dedup_editdist": f"""
+        WITH {{_JACCARD_CTES}}
+        SELECT j.doc_a, j.doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+               CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT)
+                   AS max_len
+        FROM jpairs j
+        JOIN documents da ON j.doc_a = da.doc_id
+        JOIN documents db ON j.doc_b = db.doc_id
+        WHERE levenshtein(da.text, db.text) * 5
+              <= GREATEST(length(da.text), length(db.text))
     """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_embed_cosine": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

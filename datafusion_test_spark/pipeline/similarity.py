@@ -4,6 +4,9 @@
 - sim_pairwise_topk top-k most similar pairs, label-blocked (SQL oracle)
 - sim_ann_lsh       random-hyperplane LSH ANN — the scale path (rows-only:
                     hash-derived planes, deterministic)
+- sim_ivf           IVF ANN — spherical k-means coarse quantizer (Lloyd
+                    iterations as DataFrame ops), nprobe cell search,
+                    self-match + probed-subset invariants (SQL oracle)
 - embed_quantize    symmetric int8 quantization + reconstruction-error
                     invariant (SQL oracle) — the ANN index compression step
 
@@ -21,7 +24,7 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -219,6 +222,115 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid): each vector's nearest centroid by cosine (spherical
+    k-means assignment).  Centroids are k rows — always broadcast; the
+    crossJoin fans each vector out k ways WITHIN its partition and the
+    argmax collapses back map-side (partial max before the one O(N)
+    shuffle), so assignment never moves more than N rows."""
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+    )
+    # argmax via struct max; ties break to the smallest cid (matches the
+    # probe ordering in sim_ivf so the assigned cell is always probed)
+    return scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("ncid"))).alias("best")
+    ).select("vec_id", (-F.col("best.ncid")).alias("cid"))
+
+
+def ivf_centroids(
+    spark: SparkSession, vecs: DataFrame, k: int = 16, iters: int = 2
+) -> DataFrame:
+    """IVF coarse quantizer: k spherical-k-means centroids over (vec_id,
+    embedding), trained with `iters` Lloyd rounds expressed as DataFrame
+    ops — assignment (crossJoin argmax, O(N·k) compute / O(N) shuffle) and
+    the mean update (posexplode → per-(cid,dim) avg → array reassembly,
+    O(N·d) rows through one shuffle).  Seeds are the k hash-lowest vec_ids:
+    deterministic and scan-cheap (TakeOrderedAndProject), no stored model.
+    Each round's centroids are persisted so round r+1's lineage starts from
+    materialized data, not a 2^r-deep recompute (same discipline as
+    dedup_clusters' label propagation).  At 100 TB: train on a sample
+    (centroids need statistical, not total, coverage), then one final
+    assignment pass writes the cell id as a partition/bucket column — every
+    later query is a cell-pruned scan.
+    """
+    cent = (
+        vecs.orderBy(F.xxhash64("vec_id"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.xxhash64("vec_id")))
+            .alias("cid"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    for _ in range(iters):
+        assign = _ivf_assign(vecs, cent)
+        cent = (
+            vecs.join(assign, "vec_id")
+            .select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return cent
+
+
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search — the other classic scale path next to LSH
+    (sim_ann_lsh): partition the corpus into k coarse cells, probe only the
+    nprobe=2 cells nearest the query, brute-force cosine inside them.
+
+    Self-verifying (same pattern as sim_ann_lsh): the query is the min
+    vec_id vector; its assigned cell is by construction its argmax-cosine
+    centroid, which is also the first probe (tie-breaks aligned), so the
+    query must find ITSELF at cos 1.0 — an exact end-to-end check of
+    training, assignment, probing, and ranking.  `probed_subset` asserts
+    the probe actually pruned the corpus (ANN, not a rebranded full scan).
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = ivf_centroids(spark, e)
+    assign = _ivf_assign(e, cent).persist(StorageLevel.MEMORY_AND_DISK)
+    q = F.broadcast(
+        e.join(
+            F.broadcast(e.agg(F.min("vec_id").alias("qid"))),
+            F.col("vec_id") == F.col("qid"),
+        ).select("qid", F.col("embedding").alias("qvec"))
+    )
+    probes = (
+        cent.crossJoin(q)
+        .select("cid", cosine(F.col("cvec"), F.col("qvec")).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col("cid"))
+        .limit(2)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").join(e, "vec_id")
+    top1 = (
+        cand.crossJoin(q)
+        .withColumn("cos", cosine(F.col("embedding"), F.col("qvec")))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(1)
+    )
+    counts = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total"))).crossJoin(
+        F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_probed")))
+    )
+    return top1.crossJoin(counts).select(
+        F.col("qid").alias("query_id"),
+        (F.col("vec_id") == F.col("qid")).alias("self_is_top"),
+        F.round("cos", 4).alias("top_cos"),
+        (F.col("n_probed") < F.col("n_total")).alias("probed_subset"),
+    )
+
+
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the standard
     compression step before large-scale ANN (4 bytes -> 1 byte per dim;
@@ -280,6 +392,7 @@ QUERIES = {
     "sim_pairwise_topk": sim_pairwise_topk,
     "sim_pairwise_lsh": sim_pairwise_lsh,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ivf": sim_ivf,
 }
 
 ORACLE = {
@@ -347,5 +460,11 @@ ORACLE = {
                CAST(1.0 AS DOUBLE) AS top_cos,
                (SELECT label FROM embeddings
                 WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) AS label
+    """,
+    "sim_ivf": """
+        SELECT (SELECT MIN(vec_id) FROM embeddings) AS query_id,
+               TRUE AS self_is_top,
+               CAST(1.0 AS DOUBLE) AS top_cos,
+               TRUE AS probed_subset
     """,
 }

@@ -107,6 +107,10 @@ _PRIORITY = [
     "dedup_clusters",
     "text_tfidf",
     "embed_quantize",
+    "agg_hll_merge",
+    "join_bucketed",
+    "dedup_editdist",
+    "sim_ivf",
 ]
 
 

@@ -209,3 +209,46 @@ def test_fingerprint_equal_for_equal_text(spark, sf_dir):
         F.countDistinct("fingerprint").alias("nfp")
     )
     assert groups.filter(F.col("nfp") > 1).count() == 0
+
+
+def test_hll_merge_within_tolerance(spark, sf_dir):
+    """Partial per-nation sketches union-merged must estimate within the
+    3-sigma tolerance, same for the direct sketch."""
+    row = aggregates.agg_hll_merge(spark, sf_dir).collect()[0]
+    assert row["exact_custs"] > 0 and row["n_partials"] > 1
+    assert row["merged_within_tol"] is True
+    assert row["direct_within_tol"] is True
+
+
+def test_bucketed_join_no_shuffle_invariant(spark, sf_dir):
+    """join_bucketed's emitted plan invariant: the bucket layout removed the
+    join-key Exchanges (the declared-operator twin of test_layout's plan
+    assertion), and totals match the plain join."""
+    from datafusion_test_spark.operators.joins import join_bucketed
+
+    rows = join_bucketed(spark, sf_dir).collect()
+    assert all(r["bucketed_no_shuffle"] is True for r in rows)
+    li = table(spark, sf_dir, "lineitem")
+    assert sum(r["n_items"] for r in rows) == li.count()
+
+
+def test_editdist_refines_jaccard_pairs(spark, sf_dir):
+    """Every edit-distance pair is a jaccard candidate pair, and the 20%
+    threshold holds row-wise."""
+    ed = dedup.dedup_editdist(spark, sf_dir).collect()
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    for r in ed:
+        assert (r["doc_a"], r["doc_b"]) in cand
+        assert 5 * r["lev"] <= r["max_len"]
+
+
+def test_sim_ivf_self_match_and_pruning(spark, sf_dir):
+    """IVF harness: query finds itself at cos 1.0 and the probe scanned a
+    strict subset of the corpus."""
+    row = similarity.sim_ivf(spark, sf_dir).collect()[0]
+    assert row["self_is_top"] is True
+    assert row["top_cos"] == 1.0
+    assert row["probed_subset"] is True
