@@ -111,6 +111,7 @@ _PRIORITY = [
     "join_bucketed",
     "dedup_editdist",
     "sim_ivf",
+    "stream_join_interval",
 ]
 
 

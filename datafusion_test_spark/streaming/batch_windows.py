@@ -139,6 +139,48 @@ def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: for each click, the same user's
+    purchases within the next 30 minutes (attribution).
+
+    Defined ONCE for batch and streaming (unified model).  In streaming
+    mode both inputs carry watermarks and the join condition is equi-key
+    PLUS a two-sided event-time bound — exactly what Structured Streaming
+    requires to evict join state (a purchase older than click_ts+30min can
+    never match a future click, so its state row is dropped at the
+    watermark).  Without the time bound the state store grows without limit
+    at 100 TB/day; with it, state is O(events within the watermark delay).
+    Equivalence of the two modes is asserted in tests/test_streaming.py.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling(_events(spark, sf_dir))
 
@@ -174,10 +216,19 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_stateful_count": stream_stateful_count,
     "stream_watermark_late": stream_watermark_late,
+    "stream_join_interval": stream_join_interval,
     "rollup_timeseries": rollup_timeseries,
 }
 
 ORACLE = {
+    "stream_join_interval": """
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.ts AS purchase_ts, p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
     # three resolutions stated as a UNION ALL — value-identical to the
     # single-pass GROUPING SETS plan on the Spark side
     "rollup_timeseries": """

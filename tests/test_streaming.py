@@ -245,3 +245,35 @@ def test_session_window_builtin_matches_gaps_and_islands(spark, sf_dir):
     a = {tuple(r) for r in builtin.collect()}
     b = {tuple(r) for r in ours.collect()}
     assert a == b
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (watermarked both sides, two-sided time
+    bound) must emit exactly the batch join's rows."""
+    ev = table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in batch_windows.interval_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+
+    def src():
+        return spark.readStream.schema(schema).parquet(events_dir)
+
+    out = batch_windows.interval_join(
+        src().filter(F.col("event_type") == "click").withWatermark("ts", "1 hour"),
+        src().filter(F.col("event_type") == "purchase").withWatermark("ts", "1 hour"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.table("t_ssjoin").collect()}
+    assert batch == streamed
