@@ -65,6 +65,15 @@ HEADLINE = [
     "write_partitioned",
     "scan_orc_roundtrip",
     "mm_frame_sample",
+    # round-3 additions
+    "join_bucketed",       # bucketed layout write + no-shuffle SMJ (pay-once cost)
+    "agg_hll_merge",
+    "dedup_editdist",
+    "dedup_clusters",
+    "sim_ivf",
+    "text_tfidf",
+    "embed_quantize",
+    "stream_join_interval",
 ]
 
 

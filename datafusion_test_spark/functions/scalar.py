@@ -212,6 +212,26 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json once into the
+    binary variant encoding, then typed path extraction with variant_get —
+    the modern replacement for per-path get_json_object re-parsing.
+
+    At 100 TB the difference is material: a VARIANT column is parsed once at
+    ingest (and shredded into columnar storage by the writer), so N path
+    extractions cost N cheap binary probes instead of N full JSON parses.
+    Missing paths return NULL (asserted), matching JSON-path semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "int").isNull().alias("missing_is_null"),
+    )
+
+
 QUERIES = {
     "fn_string": fn_string,
     "fn_regex": fn_regex,
@@ -224,6 +244,7 @@ QUERIES = {
     "fn_array": fn_array,
     "fn_map_struct": fn_map_struct,
     "fn_json": fn_json,
+    "fn_variant": fn_variant,
 }
 
 ORACLE = {
@@ -330,6 +351,14 @@ ORACLE = {
     "fn_json": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        FROM events
+    """,
+    "fn_variant": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               json_extract_string(props, '$.k') AS k_str,
+               json_extract_string(props, '$.missing') IS NULL
+                   AS missing_is_null
         FROM events
     """,
 }

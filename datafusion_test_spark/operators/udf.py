@@ -107,12 +107,43 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (Spark 4 `@udtf` class API, not a builtin explode):
+    tokenizes each document via a LATERAL table-function join, emitting
+    (word, 0-based position) rows.
+
+    This is the extension point for custom row-expanding logic the builtin
+    generators can't express (stateful per-row expansion, external lookups).
+    Scale: the UDTF runs in the Python worker per partition — row-at-a-time
+    protocol here (API demo); production expansion stays with builtin
+    explode/posexplode (udtf_explode) or arrow-optimized UDTFs.  The LATERAL
+    join is map-side: no shuffle, parallelism = input partitions.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("dfts_split_words", SplitWords)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("dfts_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM dfts_udtf_docs d, LATERAL dfts_split_words(d.text) s
+        """
+    )
+
+
 QUERIES = {
     "udf_python": udf_python,
     "udf_pandas": udf_pandas,
     "udf_arrow": udf_arrow,
     "udaf_grouped": udaf_grouped,
     "udtf_explode": udtf_explode,
+    "udtf_python_api": udtf_python_api,
 }
 
 _DISC_SQL = """
@@ -134,5 +165,15 @@ ORACLE = {
         SELECT vec_id, CAST(i AS INT) AS pos, embedding[i] AS val
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         WHERE vec_id < 50
+    """,
+    # Python's str.split(' ') and DuckDB's string_split agree exactly,
+    # including the ['']-for-empty-string edge
+    "udtf_python_api": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        u AS (SELECT doc_id,
+                     unnest(list_transform(ws,
+                         (x, i) -> {'word': x, 'pos': CAST(i - 1 AS INT)})) AS s
+              FROM w)
+        SELECT doc_id, s.word, s.pos FROM u
     """,
 }

@@ -112,6 +112,8 @@ _PRIORITY = [
     "dedup_editdist",
     "sim_ivf",
     "stream_join_interval",
+    "udtf_python_api",
+    "fn_variant",
 ]
 
 

@@ -252,3 +252,19 @@ def test_sim_ivf_self_match_and_pruning(spark, sf_dir):
     assert row["self_is_top"] is True
     assert row["top_cos"] == 1.0
     assert row["probed_subset"] is True
+
+
+def test_udtf_python_api_matches_builtin_tokenize(spark, sf_dir):
+    """The Python UDTF's word rows must equal the builtin split+posexplode
+    expansion, and re-invocation (re-registration) is idempotent."""
+    from datafusion_test_spark.operators.udf import udtf_python_api
+
+    got = udtf_python_api(spark, sf_dir)
+    want = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", "word", F.col("pos").cast("int").alias("pos"))
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert udtf_python_api(spark, sf_dir).count() == want.count()
