@@ -114,6 +114,7 @@ _PRIORITY = [
     "stream_join_interval",
     "udtf_python_api",
     "fn_variant",
+    "merge_upsert",
 ]
 
 

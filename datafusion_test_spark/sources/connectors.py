@@ -17,6 +17,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import table
 
@@ -62,14 +63,94 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.select(*o.columns)
 
 
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert) expressed as a full-outer join —
+    what Delta/Iceberg MERGE compiles to, runnable on plain parquet.
+
+    Deterministic change set: the 100 lowest order keys get a 10% price
+    bump and status 'U' (matched → UPDATE); 50 synthetic negative keys are
+    new rows (not matched → INSERT).  The merge is one full-outer join on
+    the key with source-wins COALESCE per column.
+
+    Scale notes (100 TB): the join shuffles both sides on the key unless
+    the target is bucketed on it (see join_bucketed — then the merge is a
+    map-side SMJ against the small shuffled source); with a partitioned
+    target, only partitions containing source keys need rewriting
+    (dynamic partition overwrite), which is exactly how table-format MERGE
+    bounds its write amplification.  The 1.1 price multiply is a single
+    IEEE double op, bit-identical in DuckDB, so the oracle hash-matches.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = (
+        o.orderBy("o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    ins = (
+        o.orderBy("o_orderkey")
+        .limit(50)
+        .select(
+            (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    src = upd.unionByName(ins)
+    t, s = o.alias("t"), src.alias("s")
+    return t.join(s, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.coalesce(F.col("s.o_custkey"), F.col("t.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.coalesce(F.col("s.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+    )
+
+
 QUERIES = {
     "write_partitioned": write_partitioned,
+    "merge_upsert": merge_upsert,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_json_roundtrip": scan_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
 }
 
 ORACLE = {
+    "merge_upsert": """
+        WITH tgt AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders
+        ),
+        upd AS (
+            SELECT o_orderkey, o_custkey,
+                   o_totalprice * 1.1 AS o_totalprice,
+                   'U' AS o_orderstatus
+            FROM tgt ORDER BY o_orderkey LIMIT 100
+        ),
+        ins AS (
+            -- negate AFTER the sorted limit: ORDER BY in the same SELECT
+            -- would bind to the negated output alias and pick the wrong end
+            SELECT -o_orderkey - 1 AS o_orderkey, o_custkey, o_totalprice,
+                   'N' AS o_orderstatus
+            FROM (SELECT * FROM tgt ORDER BY o_orderkey LIMIT 50)
+        ),
+        src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+        FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
     "write_partitioned": "SELECT * FROM orders",
     "scan_csv_roundtrip": "SELECT * FROM customer",
     "scan_json_roundtrip": "SELECT * FROM events",
