@@ -313,7 +313,12 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .select("cid")
     )
-    cand = assign.join(F.broadcast(probes), "cid").join(e, "vec_id")
+    # two consumers (top-1 ranking and the pruning count) — materialize once
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .join(e, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     top1 = (
         cand.crossJoin(q)
         .withColumn("cos", cosine(F.col("embedding"), F.col("qvec")))
