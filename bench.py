@@ -74,6 +74,8 @@ HEADLINE = [
     "text_tfidf",
     "embed_quantize",
     "stream_join_interval",
+    "text_contamination",
+    "seq_pack",
 ]
 
 

@@ -232,6 +232,44 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + host-level rollup — the web-corpus curation staple
+    (URL-normalized dedup keys, per-host crawl quotas, domain mixing all
+    start from parse_url).  URLs are synthesized from document metadata,
+    parsed with Spark's builtin parse_url (JVM URI parsing, codegen'd),
+    and aggregated per host.  The oracle re-derives every component with
+    anchored regexes — for well-formed URLs the two definitions agree
+    exactly, so the hash proves parse_url's component extraction.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    parsed = u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+    )
+    return parsed.groupBy("host", "proto").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("ref").alias("n_refs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 QUERIES = {
     "fn_string": fn_string,
     "fn_regex": fn_regex,
@@ -245,6 +283,7 @@ QUERIES = {
     "fn_map_struct": fn_map_struct,
     "fn_json": fn_json,
     "fn_variant": fn_variant,
+    "fn_url": fn_url,
 }
 
 ORACLE = {
@@ -360,5 +399,28 @@ ORACLE = {
                json_extract_string(props, '$.missing') IS NULL
                    AS missing_is_null
         FROM events
+    """,
+    "fn_url": """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/' || lang || '/doc/'
+                       || CAST(doc_id AS VARCHAR) || '?ref=r'
+                       || CAST(doc_id % 7 AS VARCHAR) || '&v=2' AS url
+            FROM documents
+        ),
+        parsed AS (
+            SELECT doc_id,
+                   regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                   regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref,
+                   regexp_extract(url, '^([a-z]+)://', 1) AS proto
+            FROM u
+        )
+        SELECT host, proto,
+               COUNT(*) AS n_urls,
+               COUNT(DISTINCT path) AS n_paths,
+               COUNT(DISTINCT ref) AS n_refs,
+               MIN(doc_id) AS min_doc
+        FROM parsed GROUP BY host, proto
     """,
 }

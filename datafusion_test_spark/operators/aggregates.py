@@ -314,6 +314,45 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() / median() ordered-set aggregates per group.
+
+    median uses each engine's builtin exact median (Spark `median`, DuckDB
+    `median` — both percentile_cont(0.5), interpolated; round(…,4) absorbs
+    any last-ulp interpolation drift).  mode is computed via an explicit
+    count-then-rank window with a deterministic tie-break (count DESC,
+    value ASC) because BOTH engines' builtin mode() picks an arbitrary tie
+    member — non-reproducible on re-run, unacceptable in a diffed pipeline.
+    Scale: the mode path is one partial-agg shuffle on (group, value) then
+    a per-group WindowGroupLimit; median's full sort per group is the
+    expensive exact form — approx_percentile (agg_approx_quantile) is the
+    100 TB substitute.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    from pyspark.sql import Window
+
+    cnt = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return med.join(mode, "l_returnflag")
+
+
 QUERIES = {
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
@@ -332,6 +371,7 @@ QUERIES = {
     "agg_stats": agg_stats,
     "agg_approx_quantile": agg_approx_quantile,
     "agg_hll_merge": agg_hll_merge,
+    "agg_mode_median": agg_mode_median,
 }
 
 ORACLE = {
@@ -451,5 +491,29 @@ ORACLE = {
                TRUE AS merged_within_tol,
                TRUE AS direct_within_tol
         FROM customer
+    """,
+    "agg_mode_median": """
+        WITH cnt AS (
+            SELECT l_returnflag, l_quantity, COUNT(*) AS c
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ),
+        md AS (
+            SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY c DESC, l_quantity ASC
+                ) AS rk FROM cnt
+            ) WHERE rk = 1
+        ),
+        me AS (
+            SELECT l_returnflag,
+                   ROUND(median(l_quantity), 4) AS median_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT me.l_returnflag, me.median_qty, me.n_rows,
+               md.mode_qty, md.mode_count
+        FROM me JOIN md ON me.l_returnflag = md.l_returnflag
     """,
 }

@@ -133,6 +133,41 @@ def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass metric piggybacking via ``df.observe()`` — profile
+    metrics (row count, exact sum, min/max) are collected ON the scan that
+    feeds a real query, costing zero extra passes over the data.  At 100 TB
+    this is how you get per-batch data-quality counters (null rates, value
+    ranges) from a production job without doubling its IO; the same
+    Observation API feeds StreamingQueryListener metrics in streaming jobs.
+
+    The real query here is a small group-by whose action materializes the
+    metrics; the operator returns them as a 1-row DataFrame with exact,
+    SQL-recomputable values (dsum discipline for the double sum).
+    """
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("profile")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+    # the riding query — its action materializes the observation
+    observed.groupBy("l_returnflag").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["min_orderkey"], m["max_orderkey"])],
+        "n_rows bigint, sum_price double, min_orderkey bigint, "
+        "max_orderkey bigint",
+    )
+
+
 QUERIES = {
     "scan_parquet": scan_parquet,
     "tablesample": tablesample,
@@ -143,6 +178,7 @@ QUERIES = {
     "parquet_pushdown": parquet_pushdown,
     "collect_stream": collect_stream,
     "load_inmemory": load_inmemory,
+    "observe_metrics": observe_metrics,
 }
 
 ORACLE = {
@@ -168,6 +204,14 @@ ORACLE = {
         SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 500
     """,
     "load_inmemory": "SELECT * FROM nation",
+    "observe_metrics": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price,
+               MIN(l_orderkey) AS min_orderkey,
+               MAX(l_orderkey) AS max_orderkey
+        FROM lineitem
+    """,
     "tablesample": """
         SELECT COUNT(*) AS n_total, TRUE AS frac_ok, TRUE AS deterministic
         FROM lineitem

@@ -35,6 +35,7 @@ _MODULES = [
     "datafusion_test_spark.pipeline.similarity",
     "datafusion_test_spark.pipeline.text",
     "datafusion_test_spark.pipeline.prep",
+    "datafusion_test_spark.pipeline.curation",
     "datafusion_test_spark.pipeline.multimodal",
 ]
 
@@ -115,6 +116,12 @@ _PRIORITY = [
     "udtf_python_api",
     "fn_variant",
     "merge_upsert",
+    "text_contamination",
+    "seq_pack",
+    "layout_zonemap",
+    "agg_mode_median",
+    "observe_metrics",
+    "fn_url",
 ]
 
 

@@ -117,12 +117,60 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered parquet layout + a data-skipping proof read from the
+    parquet FOOTERS — the zone-map/Z-order-lite pattern every 100 TB lake
+    relies on: cluster on the filter column so file- and row-group-level
+    min/max statistics prune scans.
+
+    documents is range-repartitioned + sorted on n_chars and written; the
+    proof then reads ONLY footer metadata (O(n_files), no data pages):
+    per-file [min,max] of n_chars must be pairwise disjoint (range
+    partitioning keeps equal keys in one partition, so file ranges cannot
+    interleave), and a point predicate at the global minimum must select a
+    strict subset of files — the skip a stats-aware scanner performs.
+    Anchors: total rows and rows at the minimum, both SQL-recomputable.
+    """
+    import pyarrow.parquet as pq
+
+    out = os.path.join(tempfile.mkdtemp(prefix="dfts_zone_"), "docs_zoned")
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    (
+        d.repartitionByRange(4, "n_chars")
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = md.schema.names.index("n_chars")
+        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    n_files = len(ranges)
+    disjoint = all(ranges[i][1] < ranges[i + 1][0] for i in range(n_files - 1))
+    lo = min(r[0] for r in ranges)
+    files_hit = sum(1 for r in ranges if r[0] <= lo <= r[1])
+    rt = spark.read.parquet(out)
+    n_rows = rt.count()
+    n_min_rows = rt.filter(F.col("n_chars") == lo).count()
+    return spark.createDataFrame(
+        [(n_rows, n_min_rows, disjoint, 2 <= n_files <= 4, files_hit < n_files)],
+        "n_rows bigint, n_min_rows bigint, ranges_disjoint boolean, "
+        "files_ok boolean, pruning_effective boolean",
+    )
+
+
 QUERIES = {
     "write_partitioned": write_partitioned,
     "merge_upsert": merge_upsert,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_json_roundtrip": scan_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
+    "layout_zonemap": layout_zonemap,
 }
 
 ORACLE = {
@@ -152,6 +200,16 @@ ORACLE = {
         FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
     """,
     "write_partitioned": "SELECT * FROM orders",
+    "layout_zonemap": """
+        SELECT COUNT(*) AS n_rows,
+               (SELECT COUNT(*) FROM documents
+                WHERE n_chars = (SELECT MIN(n_chars) FROM documents))
+                   AS n_min_rows,
+               TRUE AS ranges_disjoint,
+               TRUE AS files_ok,
+               TRUE AS pruning_effective
+        FROM documents
+    """,
     "scan_csv_roundtrip": "SELECT * FROM customer",
     "scan_json_roundtrip": "SELECT * FROM events",
     "scan_orc_roundtrip": "SELECT * FROM orders",

@@ -268,3 +268,70 @@ def test_udtf_python_api_matches_builtin_tokenize(spark, sf_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert udtf_python_api(spark, sf_dir).count() == want.count()
+
+
+def test_contamination_finds_planted_leaks(spark, sf_dir):
+    """Every planted leaked eval doc (id >= _LEAK_OFFSET) must be flagged,
+    with at least one shared 5-gram and one eval doc hit."""
+    from datafusion_test_spark.pipeline import curation
+
+    rows = curation.text_contamination(spark, sf_dir).collect()
+    leaked = [r for r in rows if r["doc_id"] >= curation._LEAK_OFFSET]
+    assert len(leaked) == curation._N_LEAK
+    for r in rows:
+        assert r["n_shared_grams"] >= 1 and r["n_eval_docs_hit"] >= 1
+
+
+def test_seq_pack_partitions_all_docs_within_budget(spark, sf_dir):
+    """Packing is a partition of the corpus: doc counts and token totals
+    tie out, bins are contiguous in doc_id, and every bin except possibly
+    the last holds >= the budget only via its final overflow doc."""
+    from datafusion_test_spark.pipeline import curation
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    n_docs, tok_total = d.count(), d.agg(F.sum("tok")).collect()[0][0]
+    bins = sorted(
+        curation.seq_pack(spark, sf_dir).collect(), key=lambda r: r["bin_id"]
+    )
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    assert sum(r["tok_sum"] for r in bins) == tok_total
+    for a, b in zip(bins, bins[1:]):
+        assert a["last_doc"] < b["first_doc"]  # contiguous doc_id ranges
+
+
+def test_layout_zonemap_invariants(spark, sf_dir):
+    from datafusion_test_spark.sources.connectors import layout_zonemap
+
+    row = layout_zonemap(spark, sf_dir).collect()[0]
+    assert row["ranges_disjoint"] is True
+    assert row["files_ok"] is True
+    assert row["pruning_effective"] is True
+    assert row["n_rows"] == table(spark, sf_dir, "documents").count()
+
+
+def test_mode_median_deterministic_tiebreak(spark, sf_dir):
+    """Re-running mode/median yields identical rows (the builtin mode()
+    guarantee Spark does NOT make is exactly what the window form adds)."""
+    r1 = sorted(map(tuple, aggregates.agg_mode_median(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, aggregates.agg_mode_median(spark, sf_dir).collect()))
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_observe_metrics_match_direct_agg(spark, sf_dir):
+    from datafusion_test_spark.operators.relational import observe_metrics
+
+    row = observe_metrics(spark, sf_dir).collect()[0]
+    li = table(spark, sf_dir, "lineitem")
+    assert row["n_rows"] == li.count()
+    assert row["min_orderkey"] == li.agg(F.min("l_orderkey")).collect()[0][0]
+
+
+def test_fn_url_hosts_cover_sources(spark, sf_dir):
+    from datafusion_test_spark.functions.scalar import fn_url
+
+    rows = fn_url(spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    assert len(rows) == d.select("source").distinct().count()
+    assert all(r["proto"] == "https" and r["host"].endswith(".example.com") for r in rows)
