@@ -563,15 +563,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     edges = exact.unionByName(jac)
+    # Persist the symmetrized edges HASH-PARTITIONED ON src: the cached
+    # partitioning satisfies every round's join requirement, so per round
+    # only the (much smaller) label relation shuffles — the big edge
+    # relation is shuffled exactly once for the whole loop.  This is the
+    # bucketed-edge layout of the 100 TB docstring note, via cache.
     sym = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Propagate over the edge-induced subgraph only: isolated documents are
+    # fixed points (label = doc_id) and can never join a multi-member
+    # cluster, so iterating them is pure waste — at 100 TB the dup graph is
+    # a few % of the corpus and each round costs O(E + V_graph), not O(N).
+    # `sym` holds both directions, so src alone covers every graph node.
+    par = max(2, sym.rdd.getNumPartitions() // 4)
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .coalesce(par)
+        .withColumn("label", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     converged = False
     for _ in range(25):
@@ -582,6 +598,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+            .coalesce(par)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
