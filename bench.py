@@ -76,6 +76,10 @@ HEADLINE = [
     "stream_join_interval",
     "text_contamination",
     "seq_pack",
+    "dedup_url",
+    "text_ngram_lm",
+    "domain_mix",
+    "stream_cdc_apply",
 ]
 
 

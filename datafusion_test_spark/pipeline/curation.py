@@ -129,12 +129,127 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target sampling rate per language for domain_mix: <1 downsamples,
+# >1 upsamples (integer copies + a deterministic fractional draw).
+_MIX_RATES = {"en": 0.5, "es": 1.0, "de": 2.0, "fr": 1.5, "zh": 0.25}
+
+
+def _frac_threshold_hex(rate: float) -> str:
+    """First-8-hex-chars threshold t such that P[md5_prefix < t] = frac(rate)
+    for a uniform hex prefix — the cross-engine deterministic Bernoulli
+    draw (md5 is algorithm-defined; both engines emit lowercase hex, and
+    lexicographic comparison of fixed-width hex == numeric comparison)."""
+    frac = rate - int(rate)
+    return format(int(frac * 16**8), "08x")
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling — hit a target per-language
+    rate with md5-draw Bernoulli thinning (rate < 1) and copy explosion
+    (rate > 1, integer copies + fractional draw).  This is the mixture-
+    weights step of training-data assembly (up-weight scarce domains,
+    down-weight the crawl majority), made reproducible: the keep/copy
+    decision is a pure function of doc_id, so any re-run (or failure
+    retry on another executor) draws the same sample — the property
+    rand()-based sampling does NOT give on an elastic cluster.
+
+    Fully map-side until the per-language audit aggregate: no shuffle is
+    spent on the resample itself at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    draw = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    whole = F.lit(None)
+    extra = F.lit(None)
+    for lg, r in _MIX_RATES.items():
+        whole = F.when(F.col("lang") == lg, F.lit(int(r))).otherwise(whole)
+        extra = F.when(
+            (F.col("lang") == lg) & (draw < F.lit(_frac_threshold_hex(r))),
+            F.lit(1),
+        ).otherwise(extra)
+    copies = (F.coalesce(whole, F.lit(0)) + F.coalesce(extra, F.lit(0))).alias(
+        "copies"
+    )
+    resampled = (
+        d.select("doc_id", "lang", copies)
+        .filter(F.col("copies") >= 1)
+        .select("doc_id", "lang", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+    )
+    n_in = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    n_out = resampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_out"))
+    return n_in.join(n_out, "lang", "left").select(
+        "lang",
+        "n_in",
+        F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        F.round(
+            F.coalesce("n_out", F.lit(0)) / F.col("n_in").cast("double"), 4
+        ).alias("achieved_rate"),
+    )
+
+
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalized deduplication — the cheapest, highest-yield dedup
+    pass in a web corpus: the same resource crawled under tracking params,
+    mixed-case hosts, and fragments collapses to one canonical key.
+
+    Messy URLs are synthesized from document metadata (mixed-case host,
+    utm_* tracking params in varying positions, fragments, and a mod-50
+    id so true duplicate groups exist); normalization = lowercase scheme+host,
+    keep only the meaningful `id` query param, drop fragments.  One hash
+    shuffle on the canonical key — same shape as dedup_exact but on a
+    normalized O(100-char) key instead of full text, which is why URL
+    dedup runs first in production funnels.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), (F.col("doc_id") % 50).cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("?id="), (F.col("doc_id") % 50).cast("string"), F.lit("&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("?id="), (F.col("doc_id") % 50).cast("string"))),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("#sec"), (F.col("doc_id") % 4).cast("string"))).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    norm = F.concat(
+        F.lower(F.regexp_extract("url", r"^([a-z]+)://", 1)),
+        F.lit("://"),
+        F.lower(F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)),
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1),
+        F.lit("?id="),
+        F.regexp_extract("url", r"[?&]id=([0-9]+)", 1),
+    )
+    return (
+        u.select("doc_id", norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
 QUERIES = {
     "text_contamination": text_contamination,
     "seq_pack": seq_pack,
+    "domain_mix": domain_mix,
+    "dedup_url": dedup_url,
 }
 
 _G5 = sql_shingles("text", n=5)
+
+
+def _mix_copies_sql() -> str:
+    """DuckDB twin of domain_mix's copies expression (CASE over _MIX_RATES)."""
+    whens = []
+    for lg, r in _MIX_RATES.items():
+        whens.append(
+            f"WHEN lang = '{lg}' THEN {int(r)} + "
+            f"CASE WHEN draw < '{_frac_threshold_hex(r)}' THEN 1 ELSE 0 END"
+        )
+    return "CASE " + " ".join(whens) + " ELSE 0 END"
 
 ORACLE = {
     "text_contamination": f"""
@@ -180,5 +295,57 @@ ORACLE = {
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc
         FROM p GROUP BY 1
+    """,
+    "domain_mix": f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang,
+                   {_mix_copies_sql()} AS copies
+            FROM d
+        ),
+        resampled AS (
+            SELECT doc_id, lang, unnest(generate_series(1, copies))
+            FROM c WHERE copies >= 1
+        ),
+        n_in AS (SELECT lang, COUNT(*) AS n_in FROM documents GROUP BY lang),
+        n_out AS (SELECT lang, COUNT(*) AS n_out FROM resampled GROUP BY lang)
+        SELECT n_in.lang, n_in.n_in,
+               COALESCE(n_out.n_out, 0) AS n_out,
+               ROUND(COALESCE(n_out.n_out, 0) / CAST(n_in.n_in AS DOUBLE), 4)
+                   AS achieved_rate
+        FROM n_in LEFT JOIN n_out ON n_in.lang = n_out.lang
+    """,
+    "dedup_url": """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.Example.COM/' || lang || '/doc/'
+                   || CAST(doc_id % 50 AS VARCHAR)
+                   || CASE
+                        WHEN doc_id % 3 = 0 THEN
+                          '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                        WHEN doc_id % 3 = 1 THEN
+                          '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+                        ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                      END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+                           ELSE '' END AS url
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([a-z]+)://', 1)) || '://'
+                   || lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+                   || regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                   || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
+                       AS norm_url
+            FROM u
+        )
+        SELECT norm_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM n GROUP BY norm_url
     """,
 }

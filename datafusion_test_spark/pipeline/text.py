@@ -268,6 +268,54 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the model-based
+    quality filter of a training pipeline (KenLM-style perplexity gate),
+    with a rational surprise statistic instead of log-perplexity so both
+    engines agree to the last bit (log() is not correctly-rounded libm;
+    c(w1)/c(w1 w2) is one IEEE divide — same discipline as text_tfidf).
+
+    Train: bigram counts c12 and preceding-unigram counts c1 over the
+    whole corpus (two shuffles, map-side combined).  Score: each document's
+    mean surprise c1/c12 (1.0 = the only continuation ever seen; large =
+    rare continuation).  The model is a TABLE joined back distributively
+    (shuffle_hash — vocabulary is O(corpus), never broadcast); at 100 TB
+    train once, persist bucketed by (w1, w2), and the scoring join is
+    shuffle-free.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    bi = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = c12.join(c1, "w1")
+    scored = bi.join(model.hint("shuffle_hash"), ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        r4(
+            F.sum((F.col("c1") / F.col("c12")).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            "avg_surprise",
+        ),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_tfidf": text_tfidf,
@@ -279,6 +327,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_topterms": text_topterms,
     "text_pii_scrub": text_pii_scrub,
+    "text_ngram_lm": text_ngram_lm,
 }
 
 _STOP_SQL = {lg: "[" + ", ".join(f"'{s}'" for s in stops) + "]" for lg, stops in _STOP.items()}
@@ -295,6 +344,32 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+1-555-[0-9]{4}"
 
 ORACLE = {
+    "text_ngram_lm": """
+        WITH w AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+            FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2
+        ),
+        c12 AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1
+        )
+        SELECT bi.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(
+                   CAST(c1.c1 AS DOUBLE) / CAST(c12.c12 AS DOUBLE)
+                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_surprise
+        FROM bi
+        JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+        JOIN c1 ON bi.w1 = c1.w1
+        GROUP BY bi.doc_id
+    """,
     "text_tfidf": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -122,6 +122,10 @@ _PRIORITY = [
     "agg_mode_median",
     "observe_metrics",
     "fn_url",
+    "domain_mix",
+    "dedup_url",
+    "text_ngram_lm",
+    "stream_cdc_apply",
 ]
 
 

@@ -117,6 +117,48 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction — replay a change stream into current-state rows:
+    last-writer-wins per key with delete tombstones, the computation behind
+    every table-format snapshot read (Delta/Iceberg MOR, Debezium sinks).
+
+    events is read as the change log: key = user_id, ordering = (ts,
+    event_id) — event_id breaks timestamp ties deterministically, exactly
+    the (commit, sequence) pair of a real CDC feed — and op = DELETE for
+    'error' events, UPSERT otherwise.  One window per key picks the last
+    op; keys whose last op is a tombstone vanish from the snapshot.
+
+    Scale: one hash shuffle on the key, then WindowGroupLimit prunes each
+    partition to its top row before the filter — the same plan as
+    topk_per_group, linear in the log, never materializing intermediate
+    states.  At 100 TB the log is additionally bucketed by key so periodic
+    re-compactions reuse the layout.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
 def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-clustered parquet layout + a data-skipping proof read from the
     parquet FOOTERS — the zone-map/Z-order-lite pattern every 100 TB lake
@@ -171,6 +213,7 @@ QUERIES = {
     "scan_json_roundtrip": scan_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "layout_zonemap": layout_zonemap,
+    "stream_cdc_apply": stream_cdc_apply,
 }
 
 ORACLE = {
@@ -200,6 +243,21 @@ ORACLE = {
         FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
     """,
     "write_partitioned": "SELECT * FROM orders",
+    "stream_cdc_apply": """
+        WITH log AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+            FROM events
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM log
+        )
+        SELECT user_id, event_id AS last_event, value AS last_value
+        FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
     "layout_zonemap": """
         SELECT COUNT(*) AS n_rows,
                (SELECT COUNT(*) FROM documents

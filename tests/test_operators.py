@@ -335,3 +335,72 @@ def test_fn_url_hosts_cover_sources(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     assert len(rows) == d.select("source").distinct().count()
     assert all(r["proto"] == "https" and r["host"].endswith(".example.com") for r in rows)
+
+
+def test_domain_mix_rates_achieved(spark, sf_dir):
+    """Exact-rate langs hit their rate exactly; fractional rates land in
+    [floor(r), ceil(r)] bounds per doc, so n_out/n_in is bounded too."""
+    from datafusion_test_spark.pipeline import curation
+
+    rows = {r["lang"]: r for r in curation.domain_mix(spark, sf_dir).collect()}
+    for lg, rate in curation._MIX_RATES.items():
+        if lg not in rows:
+            continue
+        r = rows[lg]
+        import math
+
+        assert math.floor(rate) * r["n_in"] <= r["n_out"] <= math.ceil(rate) * r["n_in"]
+        if rate == int(rate):  # exact multiplier: no randomness at all
+            assert r["n_out"] == int(rate) * r["n_in"]
+
+
+def test_domain_mix_deterministic(spark, sf_dir):
+    from datafusion_test_spark.pipeline import curation
+
+    a = sorted(map(tuple, curation.domain_mix(spark, sf_dir).collect()))
+    b = sorted(map(tuple, curation.domain_mix(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_dedup_url_collapses_tracking_variants(spark, sf_dir):
+    """Groups must merge docs differing only in tracking params/fragments:
+    group count equals distinct (source, lang, doc_id % 50) combos, and
+    every group keeps its minimum doc_id."""
+    from datafusion_test_spark.pipeline import curation
+
+    rows = curation.dedup_url(spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    want = d.select("source", "lang", (F.col("doc_id") % 50).alias("m")).distinct().count()
+    assert len(rows) == want
+    assert sum(r["n_dups"] for r in rows) == d.count()
+
+
+def test_ngram_lm_surprise_bounds(spark, sf_dir):
+    """Surprise is >= 1 by construction (c1 >= c12); a doc whose every
+    bigram is unique in the corpus would score its own c1 ratios."""
+    from datafusion_test_spark.pipeline.text import text_ngram_lm
+
+    rows = text_ngram_lm(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["avg_surprise"] >= 1.0 for r in rows)
+
+
+def test_cdc_apply_tombstones_and_lww(spark, sf_dir):
+    """Keys whose LAST op is a delete are absent; surviving rows carry the
+    key's maximal (ts, event_id) upsert."""
+    from datafusion_test_spark.sources.connectors import stream_cdc_apply
+
+    ev = table(spark, sf_dir, "events")
+    rows = {r["user_id"]: r for r in stream_cdc_apply(spark, sf_dir).collect()}
+    import operator
+
+    per_key = {}
+    for e in ev.collect():
+        k = (e["ts"], e["event_id"])
+        if e["user_id"] not in per_key or k > per_key[e["user_id"]][0]:
+            per_key[e["user_id"]] = (k, e["event_type"], e["event_id"])
+    for uid, (_, etype, eid) in per_key.items():
+        if etype == "error":
+            assert uid not in rows
+        else:
+            assert rows[uid]["last_event"] == eid
