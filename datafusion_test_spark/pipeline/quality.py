@@ -1,0 +1,218 @@
+"""Corpus quality gating + dataset assembly operators (training-data tier,
+BASELINE.json:6 — the filter/split/audit steps between cleaned text and
+training shards).
+
+- text_quality_gopher   Gopher-style heuristic quality flags (repetition,
+                        word-length, top-word dominance — Rae et al. 2021,
+                        "Scaling Language Models", App. A1.1) as integer-
+                        exact per-document booleans (SQL oracle)
+- split_train_holdout   deterministic md5-draw train/val/test split — the
+                        reproducible-under-retry split assignment that
+                        rand() cannot give on an elastic cluster (SQL oracle)
+- agg_heavy_hitters     frequent-key report over the events stream: the
+                        exact two-phase heavy-hitter query (SQL oracle)
+
+Scale design (100 TB):
+
+* text_quality_gopher — every signal except top-word dominance is a single
+  columnar projection over the scan (split/array_distinct/regexp_replace
+  run inside whole-stage codegen; no shuffle, no UDF).  Top-word dominance
+  explodes words → two-level aggregation; partial map-side combine keeps
+  the shuffle at O(distinct (doc, word)) and the doc_id re-join is
+  co-partitioned with the aggregation output.  Thresholds are integer
+  cross-multiplications (10*top_cnt <= n_words), never float ratios, so
+  the booleans are bit-identical on any engine at any scale.
+* split_train_holdout — the split is a pure map-side function of doc_id
+  (md5 prefix vs fixed hex thresholds): no shuffle is spent on assignment;
+  the only shuffle is the tiny audit aggregate.  On a real pipeline the
+  split column becomes the partition column of the shard write, and any
+  executor retry recomputes the same assignment.
+* agg_heavy_hitters — one shuffle of distinct keys with map-side partial
+  aggregation; the total-row count joins in as a broadcast single row.
+  When the keyspace itself doesn't fit (per-URL counting at crawl scale),
+  swap the exact groupBy for a per-partition space-saving sketch +
+  merge — same surface, sketched carrier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+
+# Quality thresholds, chosen to discriminate on the synthetic corpus
+# (doc-level medians: distinct-ratio 0.46, mean word len 4.5, top-word
+# fraction 0.093).  All applied as integer cross-multiplications.
+_MIN_WORDS = 20          # n_words >= 20
+_DISTINCT_20X = 9        # 20*n_distinct >= 9*n_words  (distinct ratio >= 0.45)
+_MWL_LO = 4              # n_alpha >= 4*n_words        (mean word len >= 4)
+_MWL_HI = 10             # n_alpha <= 10*n_words       (mean word len <= 10)
+_TOP_10X = 1             # 10*top_cnt <= 1*n_words     (top-word share <= 10%)
+
+# split_train_holdout md5-prefix thresholds: 80% / 10% / 10%.
+_TRAIN_HEX = "cccccccc"  # 0.8 * 16^8
+_VAL_HEX = "e6666666"    # 0.9 * 16^8
+
+
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style quality flags.
+
+    Signals: document length (word count), duplicate-word fraction (the
+    all-words repetition analog of Gopher's duplicate-line fraction —
+    the corpus is single-line), mean word length band, and top-word
+    dominance (most frequent word's share).  Every flag is an integer
+    cross-multiplication so both engines agree bitwise.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    base = words.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        F.length(F.array_join("w", "")).alias("n_alpha"),
+    )
+    top = (
+        words.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_cnt"))
+    )
+    j = base.join(top, "doc_id")
+    ok_len = F.col("n_words") >= _MIN_WORDS
+    ok_rep = 20 * F.col("n_distinct_words") >= _DISTINCT_20X * F.col("n_words")
+    ok_mwl = (F.col("n_alpha") >= _MWL_LO * F.col("n_words")) & (
+        F.col("n_alpha") <= _MWL_HI * F.col("n_words")
+    )
+    ok_top = 10 * F.col("top_word_cnt") <= _TOP_10X * F.col("n_words")
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "n_alpha",
+        "top_word_cnt",
+        ok_len.alias("ok_len"),
+        ok_rep.alias("ok_repetition"),
+        ok_mwl.alias("ok_word_len"),
+        ok_top.alias("ok_top_word"),
+        (ok_len & ok_rep & ok_mwl & ok_top).alias("pass_quality"),
+    )
+
+
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split audit.
+
+    Assignment = md5(doc_id) hex prefix vs fixed thresholds (same
+    cross-engine draw as pipeline.curation.domain_mix: md5 is
+    algorithm-defined, fixed-width lowercase hex compares numerically).
+    Returns per-split counts, doc_id range, and the achieved fraction.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    draw = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(draw < _TRAIN_HEX, "train")
+        .when(draw < _VAL_HEX, "val")
+        .otherwise("test")
+    )
+    tot = d.count()
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "min_doc",
+            "max_doc",
+            F.round(F.col("n_docs") / F.lit(float(tot)), 4).alias("frac"),
+        )
+    )
+
+
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users contributing >= 0.8% of all events,
+    ranked by (count desc, user_id asc).  The two-phase shape (map-side
+    partial count -> one distinct-key shuffle -> broadcast total join)
+    is the plan Catalyst already picks; the 1-row total is a broadcast.
+    The global rank window runs over the already-thresholded set, which
+    is bounded at 1/threshold rows by construction — never O(keys).
+    """
+    e = table(spark, sf_dir, "events").select("user_id")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = e.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    heavy = counts.join(F.broadcast(total)).filter(
+        1000 * F.col("n_events") >= 8 * F.col("total")
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return heavy.select(
+        "user_id", "n_events", F.row_number().over(w).alias("hh_rank")
+    )
+
+
+QUERIES = {
+    "text_quality_gopher": text_quality_gopher,
+    "split_train_holdout": split_train_holdout,
+    "agg_heavy_hitters": agg_heavy_hitters,
+}
+
+ORACLE = {
+    "text_quality_gopher": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+                   length(replace(text, ' ', '')) AS n_alpha
+            FROM documents
+        ),
+        tw AS (
+            SELECT doc_id, max(c) AS top_word_cnt FROM (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w
+            ) GROUP BY doc_id
+        )
+        SELECT t.doc_id, n_words, n_distinct_words, n_alpha, top_word_cnt,
+               (n_words >= {_MIN_WORDS}) AS ok_len,
+               (20 * n_distinct_words >= {_DISTINCT_20X} * n_words) AS ok_repetition,
+               (n_alpha >= {_MWL_LO} * n_words AND n_alpha <= {_MWL_HI} * n_words)
+                   AS ok_word_len,
+               (10 * top_word_cnt <= {_TOP_10X} * n_words) AS ok_top_word,
+               ((n_words >= {_MIN_WORDS})
+                AND (20 * n_distinct_words >= {_DISTINCT_20X} * n_words)
+                AND (n_alpha >= {_MWL_LO} * n_words AND n_alpha <= {_MWL_HI} * n_words)
+                AND (10 * top_word_cnt <= {_TOP_10X} * n_words)) AS pass_quality
+        FROM t JOIN tw ON t.doc_id = tw.doc_id
+    """,
+    "split_train_holdout": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_TRAIN_HEX}' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_VAL_HEX}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc,
+               round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents),
+                     4) AS frac
+        FROM s GROUP BY split
+    """,
+    "agg_heavy_hitters": """
+        WITH c AS (
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(row_number() OVER (ORDER BY n_events DESC, user_id ASC)
+                    AS INTEGER) AS hh_rank
+        FROM c
+        WHERE 1000 * n_events >= 8 * (SELECT count(*) FROM events)
+    """,
+}

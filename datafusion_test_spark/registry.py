@@ -36,6 +36,7 @@ _MODULES = [
     "datafusion_test_spark.pipeline.text",
     "datafusion_test_spark.pipeline.prep",
     "datafusion_test_spark.pipeline.curation",
+    "datafusion_test_spark.pipeline.quality",
     "datafusion_test_spark.pipeline.multimodal",
 ]
 
@@ -126,6 +127,9 @@ _PRIORITY = [
     "dedup_url",
     "text_ngram_lm",
     "stream_cdc_apply",
+    "text_quality_gopher",
+    "split_train_holdout",
+    "agg_heavy_hitters",
 ]
 
 

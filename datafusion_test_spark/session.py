@@ -42,6 +42,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # rejects; read as long (ns) and convert in io.table (DuckDB likewise
     # truncates ns -> us, so both engines see identical values).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Round-3 testdata regeneration switched timestamps to TIMESTAMP_MICROS
+    # with isAdjustedToUTC=false; by default Spark 4 infers those as
+    # TIMESTAMP_NTZ while DuckDB reads naive TIMESTAMP.  Read them as plain
+    # TimestampType (session tz = UTC, so wall-clock values are unchanged)
+    # to keep one timestamp type across the whole surface and both engines.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -404,3 +404,46 @@ def test_cdc_apply_tombstones_and_lww(spark, sf_dir):
             assert uid not in rows
         else:
             assert rows[uid]["last_event"] == eid
+
+
+def test_quality_gopher_flags_consistent(spark, sf_dir):
+    from datafusion_test_spark.pipeline import quality
+
+    rows = quality.text_quality_gopher(spark, sf_dir).collect()
+    assert rows, "non-empty corpus"
+    for r in rows:
+        assert r["n_distinct_words"] <= r["n_words"]
+        assert r["top_word_cnt"] >= 1
+        assert r["pass_quality"] == (
+            r["ok_len"] and r["ok_repetition"] and r["ok_word_len"] and r["ok_top_word"]
+        )
+    # thresholds must discriminate: both outcomes present on the corpus
+    outcomes = {r["pass_quality"] for r in rows}
+    assert outcomes == {True, False}
+
+
+def test_split_covers_corpus_and_is_deterministic(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.pipeline import quality
+
+    rows = {r["split"]: r for r in quality.split_train_holdout(spark, sf_dir).collect()}
+    total = t(spark, sf_dir, "documents").count()
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == total
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    again = {r["split"]: r["n_docs"] for r in quality.split_train_holdout(spark, sf_dir).collect()}
+    assert again == {k: v["n_docs"] for k, v in rows.items()}
+
+
+def test_heavy_hitters_ranked_and_thresholded(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.pipeline import quality
+
+    rows = quality.agg_heavy_hitters(spark, sf_dir).collect()
+    total = t(spark, sf_dir, "events").count()
+    assert rows, "threshold should admit at least one user at sf0.001"
+    ranks = [r["hh_rank"] for r in sorted(rows, key=lambda r: r["hh_rank"])]
+    assert ranks == list(range(1, len(rows) + 1))
+    counts = [r["n_events"] for r in sorted(rows, key=lambda r: r["hh_rank"])]
+    assert counts == sorted(counts, reverse=True)
+    assert all(1000 * r["n_events"] >= 8 * total for r in rows)
