@@ -1,0 +1,341 @@
+"""Warehouse-maintenance & incremental-processing operators — the jobs that
+keep a 100 TB lake healthy and its derived tables fresh (reference scope:
+Tier C per BASELINE.json:6; the relational core they compose is the same
+scan/agg/join/window surface as src/main.rs:122's query class).
+
+- scd2_build        slowly-changing-dimension type 2 from the events log:
+                    consecutive-duplicate collapse + validity intervals
+                    (SQL oracle)
+- agg_incremental   partial-aggregate merge: shard the log, aggregate each
+                    shard, merge states losslessly — the algebra behind
+                    every incremental/streaming rollup (SQL oracle)
+- join_bloom        explicit bloom-style semi-join reduction: broadcast the
+                    dim's hash-bucket set, prefilter the fact BEFORE the
+                    join shuffle (SQL oracle verifies the candidate count,
+                    i.e. the filter layer itself)
+- fn_bitmap         distributed bitmap distinct-count: 63-bit word masks,
+                    bit_or-merged, popcount-summed == exact (SQL oracle)
+- layout_compaction small-file compaction with content-preservation proof
+                    (SQL oracle; file counts verified as result columns)
+
+Scale design (100 TB):
+
+* scd2_build — lag-filter-lead/rank all share ONE (user_id) hash partition
+  and (ts, event_id) sort: Catalyst plans a single Exchange+Sort feeding
+  both WindowExecs (the filter between them is partitioning-preserving).
+  The (ts, event_id) pair is the total commit order — same idiom as
+  stream_cdc_apply — so retries and replays build the identical dimension.
+* agg_incremental — DECIMAL(18,6) partial sums make the merge exact and
+  associative (double addition is neither), which is precisely why the
+  partial->merge ladder equals the direct aggregate bit-for-bit; at scale
+  the shards are yesterday's stored state + today's delta, and only the
+  delta is scanned.
+* join_bloom — Spark's runtime bloom filter (runtimeFilter.bloomFilter)
+  does this inside one query; building the filter EXPLICITLY pays off when
+  the dim side is stable across many queries (build once, reuse all day)
+  and when the fact scan is remote (candidate rows never leave the scan
+  stage: the bucket probe is a map-side BroadcastHashJoin).  FP rate is
+  bucket-count-bounded; the exact join afterwards removes them.
+* fn_bitmap — the roaring-bitmap pattern on plain int64 columns: distinct
+  keys compress into O(keyspace/63) words per group, masks merge with
+  bit_or at every aggregation level (partial, shuffle, rollup) without
+  re-scanning — the distinct-count analog of agg_hll_merge, but EXACT
+  when the keyspace is dense.
+* layout_compaction — coalesce() is a narrow dependency: compaction moves
+  no rows across the network, it just concatenates splits per task.  At
+  lake scale the same job runs per partition-directory with
+  maxRecordsPerFile as the size governor; clustering-preserving variants
+  swap coalesce for repartitionByRange on the sort key (layout_zonemap).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._util import DEC, dsum, sql_dsum
+from ..io import table
+
+_BLOOM_BRAND = "Brand#4"   # 96 of 2000 parts at sf0.01 — selective dim filter
+_BLOOM_HEX = 3             # md5-prefix chars -> 16^3 = 4096 buckets
+
+
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension from the events log: per user, collapse
+    consecutive repeats of event_type into state intervals with
+    [effective_from, effective_to) validity, version numbers, and an
+    is_current flag on the open interval."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate merge equals direct aggregate, bit-for-bit.
+
+    The log is sharded (event_id parity — stand-in for yesterday/today),
+    each shard aggregates to a state (count, decimal sum, min, max), the
+    states merge, and the merged result is diffed against the one-pass
+    aggregate.  count/min/max merge trivially; the sum merges exactly
+    ONLY because the carrier is decimal — the point of the operator.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    partial = e.groupBy(
+        "event_type", (F.col("event_id") % 2).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast(DEC)).alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+    )
+    direct = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("dn"),
+        dsum(F.col("value"), "dsum_value"),
+        F.min("value").alias("dmin"),
+        F.max("value").alias("dmax"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+        (F.col("n_events") == F.col("dn")).alias("count_matches"),
+        (F.col("sum_value") == F.col("dsum_value")).alias("sum_matches"),
+        (
+            (F.col("min_value") == F.col("dmin"))
+            & (F.col("max_value") == F.col("dmax"))
+        ).alias("bounds_match"),
+    )
+
+
+def _bucket(col: F.Column) -> F.Column:
+    return F.substring(F.md5(col.cast("string")), 1, _BLOOM_HEX)
+
+
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style prefiltered fact-dim join: the dim's distinct md5-prefix
+    buckets broadcast to the fact scan, pruning non-candidate rows before
+    any shuffle; the exact key join then removes the false positives.
+    Emits the fact/candidate/joined counts — the filter's selectivity and
+    FP overhead are themselves oracle-verified."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    dim = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _BLOOM_BRAND)
+        .select("p_partkey")
+    )
+    dim_buckets = dim.select(_bucket(F.col("p_partkey")).alias("bkt")).distinct()
+    cand = li.withColumn("bkt", _bucket(F.col("l_partkey"))).join(
+        F.broadcast(dim_buckets), "bkt"
+    )
+    joined = cand.join(
+        F.broadcast(dim), cand["l_partkey"] == dim["p_partkey"]
+    )
+    n_fact = li.groupBy().agg(F.count(F.lit(1)).alias("n_fact"))
+    n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    res = joined.groupBy().agg(
+        F.count(F.lit(1)).alias("n_joined"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+    return (
+        n_fact.crossJoin(n_cand)
+        .crossJoin(res)
+        .select(
+            "n_fact",
+            "n_candidates",
+            "n_joined",
+            "sum_qty",
+            (F.col("n_candidates") >= F.col("n_joined")).alias("no_false_negatives"),
+        )
+    )
+
+
+def fn_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via 63-bit bitmap words
+    (word = user_id div 63, mask = bit_or(1 << user_id mod 63), count =
+    sum of popcounts), diffed against count(distinct).  63-bit words keep
+    the shift in-range on engines that reject 1<<63 overflow (DuckDB)."""
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = e.select(
+        "event_type",
+        F.expr("user_id DIV 63").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").alias(
+            "bit"
+        ),
+    )
+    masks = words.groupBy("event_type", "word_idx").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    bitmap = masks.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n_users_bitmap"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return bitmap.join(exact, "event_type").select(
+        "event_type",
+        "n_users_bitmap",
+        "n_users_exact",
+        "n_words",
+        (F.col("n_users_bitmap") == F.col("n_users_exact")).alias("bitmap_exact"),
+    )
+
+
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 64-file fragmented copy of documents is
+    compacted to 4 files with coalesce (narrow — no shuffle, no network),
+    and content preservation is proven by row count + key checksum on the
+    compacted copy.  File counts ride along as result columns so the
+    layout claim itself is driver-verified."""
+    base = os.path.join(tempfile.mkdtemp(prefix="dfts_compact_"))
+    small, big = os.path.join(base, "small"), os.path.join(base, "compacted")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.repartition(64).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).coalesce(4).write.mode("overwrite").parquet(big)
+
+    def nfiles(path: str) -> int:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+    rt = spark.read.parquet(big)
+    return rt.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    ).select(
+        "n_rows",
+        "id_sum",
+        "chars_sum",
+        F.lit(nfiles(small)).alias("n_files_small"),
+        F.lit(nfiles(big)).alias("n_files_compacted"),
+        F.lit(nfiles(big) < nfiles(small)).alias("files_reduced"),
+    )
+
+
+QUERIES = {
+    "scd2_build": scd2_build,
+    "agg_incremental": agg_incremental,
+    "join_bloom": join_bloom,
+    "fn_bitmap": fn_bitmap,
+    "layout_compaction": layout_compaction,
+}
+
+ORACLE = {
+    "scd2_build": """
+        WITH ch AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_type AS state, ts AS effective_from,
+               lead(ts) OVER w AS effective_to,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM ch
+        WHERE prev IS NULL OR prev <> event_type
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "agg_incremental": f"""
+        WITH partial AS (
+            SELECT event_type, event_id % 2 AS shard,
+                   count(*) AS pn,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS psum,
+                   min(value) AS pmin, max(value) AS pmax
+            FROM events GROUP BY event_type, event_id % 2
+        ),
+        merged AS (
+            SELECT event_type, SUM(pn) AS n_events,
+                   CAST(SUM(psum) AS DOUBLE) AS sum_value,
+                   min(pmin) AS min_value, max(pmax) AS max_value
+            FROM partial GROUP BY event_type
+        ),
+        direct AS (
+            SELECT event_type, count(*) AS dn,
+                   {sql_dsum('value', 'dsum_value')},
+                   min(value) AS dmin, max(value) AS dmax
+            FROM events GROUP BY event_type
+        )
+        SELECT m.event_type, n_events, sum_value, min_value, max_value,
+               (n_events = dn) AS count_matches,
+               (sum_value = dsum_value) AS sum_matches,
+               (min_value = dmin AND max_value = dmax) AS bounds_match
+        FROM merged m JOIN direct d ON m.event_type = d.event_type
+    """,
+    "join_bloom": f"""
+        WITH dim AS (
+            SELECT p_partkey FROM part WHERE p_brand = '{_BLOOM_BRAND}'
+        ),
+        dimb AS (
+            SELECT DISTINCT substring(md5(CAST(p_partkey AS VARCHAR)), 1,
+                                      {_BLOOM_HEX}) AS bkt
+            FROM dim
+        ),
+        cand AS (
+            SELECT l.l_partkey, l.l_quantity
+            FROM lineitem l
+            JOIN dimb ON substring(md5(CAST(l.l_partkey AS VARCHAR)), 1,
+                                   {_BLOOM_HEX}) = dimb.bkt
+        ),
+        j AS (
+            SELECT count(*) AS n_joined,
+                   {sql_dsum('l_quantity', 'sum_qty')}
+            FROM cand JOIN dim ON cand.l_partkey = dim.p_partkey
+        )
+        SELECT (SELECT count(*) FROM lineitem) AS n_fact,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               n_joined, sum_qty,
+               ((SELECT count(*) FROM cand) >= n_joined) AS no_false_negatives
+        FROM j
+    """,
+    "fn_bitmap": """
+        WITH words AS (
+            SELECT event_type, user_id // 63 AS word_idx,
+                   bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS mask
+            FROM events GROUP BY event_type, user_id // 63
+        ),
+        bm AS (
+            SELECT event_type,
+                   CAST(SUM(bit_count(mask)) AS BIGINT) AS n_users_bitmap,
+                   count(*) AS n_words
+            FROM words GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT bm.event_type, n_users_bitmap, n_users_exact, n_words,
+               (n_users_bitmap = n_users_exact) AS bitmap_exact
+        FROM bm JOIN ex ON bm.event_type = ex.event_type
+    """,
+    "layout_compaction": """
+        SELECT count(*) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+               64 AS n_files_small,
+               4 AS n_files_compacted,
+               true AS files_reduced
+        FROM documents
+    """,
+}

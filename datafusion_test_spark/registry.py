@@ -26,6 +26,7 @@ _MODULES = [
     "datafusion_test_spark.operators.composite",
     "datafusion_test_spark.operators.composite2",
     "datafusion_test_spark.operators.udf",
+    "datafusion_test_spark.operators.maintenance",
     "datafusion_test_spark.functions.scalar",
     "datafusion_test_spark.sources.generate",
     "datafusion_test_spark.sources.connectors",
@@ -130,6 +131,11 @@ _PRIORITY = [
     "text_quality_gopher",
     "split_train_holdout",
     "agg_heavy_hitters",
+    "scd2_build",
+    "agg_incremental",
+    "join_bloom",
+    "fn_bitmap",
+    "layout_compaction",
 ]
 
 

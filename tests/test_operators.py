@@ -447,3 +447,59 @@ def test_heavy_hitters_ranked_and_thresholded(spark, sf_dir):
     counts = [r["n_events"] for r in sorted(rows, key=lambda r: r["hh_rank"])]
     assert counts == sorted(counts, reverse=True)
     assert all(1000 * r["n_events"] >= 8 * total for r in rows)
+
+
+def test_scd2_intervals_chain_per_user(spark, sf_dir):
+    from datafusion_test_spark.operators import maintenance
+
+    rows = maintenance.scd2_build(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["effective_to"] == b["effective_from"], "intervals must chain"
+            assert a["state"] != b["state"], "consecutive states must differ"
+        assert ivs[-1]["is_current"] and ivs[-1]["effective_to"] is None
+        assert all(not r["is_current"] for r in ivs[:-1])
+
+
+def test_agg_incremental_merge_is_lossless(spark, sf_dir):
+    from datafusion_test_spark.operators import maintenance
+
+    rows = maintenance.agg_incremental(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["count_matches"] and r["sum_matches"] and r["bounds_match"], r
+
+
+def test_join_bloom_prefilter_supersets_join(spark, sf_dir):
+    from datafusion_test_spark.operators import maintenance
+
+    r = maintenance.join_bloom(spark, sf_dir).collect()[0]
+    assert r["n_joined"] <= r["n_candidates"] <= r["n_fact"]
+    assert r["no_false_negatives"]
+    # the bucket filter must actually prune (4096 buckets, small dim)
+    assert r["n_candidates"] < r["n_fact"] // 2
+
+
+def test_fn_bitmap_counts_exact(spark, sf_dir):
+    from datafusion_test_spark.operators import maintenance
+
+    rows = maintenance.fn_bitmap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bitmap_exact"], r
+        assert r["n_words"] <= r["n_users_exact"], "words never outnumber members"
+
+
+def test_layout_compaction_preserves_content(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import maintenance
+
+    r = maintenance.layout_compaction(spark, sf_dir).collect()[0]
+    src = t(spark, sf_dir, "documents")
+    assert r["n_rows"] == src.count()
+    assert r["n_files_compacted"] < r["n_files_small"] and r["files_reduced"]
