@@ -136,6 +136,7 @@ _PRIORITY = [
     "join_bloom",
     "fn_bitmap",
     "layout_compaction",
+    "stream_join_outer",
 ]
 
 

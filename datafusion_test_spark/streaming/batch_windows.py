@@ -139,7 +139,9 @@ def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def interval_join(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Stream-stream interval join: for each click, the same user's
     purchases within the next 30 minutes (attribution).
 
@@ -170,6 +172,7 @@ def interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
             F.col("purchase_ts")
             < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
         ),
+        how,
     ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
 
 
@@ -178,6 +181,24 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER interval join: every click, attributed or not.
+
+    The outer side is what makes state eviction load-bearing in streaming
+    mode: a null-extended click can only be emitted once the watermark
+    proves no future purchase can match it (click_ts + 30min < watermark).
+    Without the two-sided time bound the engine could NEVER emit outer
+    rows.  The streaming twin (same function, watermarked inputs) and its
+    emit-on-eviction semantics are asserted in tests/test_streaming.py.
+    """
+    ev = _events(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
     )
 
 
@@ -217,10 +238,19 @@ QUERIES = {
     "stream_stateful_count": stream_stateful_count,
     "stream_watermark_late": stream_watermark_late,
     "stream_join_interval": stream_join_interval,
+    "stream_join_outer": stream_join_outer,
     "rollup_timeseries": rollup_timeseries,
 }
 
 ORACLE = {
+    "stream_join_outer": """
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.ts AS purchase_ts, p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
     "stream_join_interval": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
                p.ts AS purchase_ts, p.value AS purchase_value

@@ -277,3 +277,70 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, events_dir):
     q.awaitTermination(120)
     streamed = {tuple(r) for r in spark.table("t_ssjoin").collect()}
     assert batch == streamed
+
+
+def test_streaming_outer_join_emits_on_eviction(spark, sf_dir, events_dir):
+    """LEFT-OUTER stream-stream join: matched rows equal the batch join's;
+    null-extended (unattributed) clicks are emitted exactly for clicks the
+    final watermark has proven unmatchable (click_ts + 30min + delay <=
+    watermark = max event ts - delay); tail clicks stay in state when the
+    query stops — the documented eviction contract."""
+    delay = "10 seconds"
+    ev = table(spark, sf_dir, "events")
+    batch = batch_windows.interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    ).collect()
+    batch_matched = {tuple(r) for r in batch if r["purchase_ts"] is not None}
+    batch_null_ids = {r["click_id"] for r in batch if r["purchase_ts"] is None}
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def src():
+        return spark.readStream.schema(schema).parquet(events_dir)
+
+    out = batch_windows.interval_join(
+        src().filter(F.col("event_type") == "click").withWatermark("ts", delay),
+        src().filter(F.col("event_type") == "purchase").withWatermark("ts", delay),
+        how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ssjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_ssjoin_outer").collect()
+    streamed_matched = {tuple(r) for r in streamed if r["purchase_ts"] is not None}
+    streamed_null_ids = {r["click_id"] for r in streamed if r["purchase_ts"] is None}
+
+    assert streamed_matched == batch_matched
+    # every emitted null row is a genuine batch non-match, and at least the
+    # clearly-evictable ones (well before the final watermark) were emitted
+    assert streamed_null_ids <= batch_null_ids
+    import datetime
+
+    # the global watermark is the MIN over both watermark operators, each
+    # tracking its own filtered side: min(max click ts, max purchase ts) -
+    # delay.  (Using the global max ts here wrongly marks the latest click
+    # itself evictable.)  The extra minute absorbs the engine's boundary
+    # convention at exactly window-end == watermark.
+    side_max = [
+        ev.filter(F.col("event_type") == t).agg(F.max("ts")).collect()[0][0]
+        for t in ("click", "purchase")
+    ]
+    horizon = (
+        min(side_max)
+        - datetime.timedelta(seconds=10)
+        - datetime.timedelta(minutes=31)
+    )
+    evictable = {
+        r["click_id"]
+        for r in batch
+        if r["purchase_ts"] is None and r["click_ts"] + datetime.timedelta(0) < horizon
+    }
+    missing = evictable - streamed_null_ids
+    assert not missing, f"evictable unmatched clicks not emitted: {sorted(missing)[:5]}"
