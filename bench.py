@@ -80,6 +80,12 @@ HEADLINE = [
     "text_ngram_lm",
     "domain_mix",
     "stream_cdc_apply",
+    # round-3 (cont.) additions
+    "text_quality_gopher",
+    "scd2_build",
+    "join_bloom",
+    "fn_bitmap",
+    "stream_join_outer",
 ]
 
 

@@ -353,7 +353,88 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mode, "l_returnflag")
 
 
+# count-min sketch geometry: 4 hash rows x 256 buckets (2 md5 hex chars).
+_CM_D = 4
+_CM_HEX = 2
+
+
+def _cm_bucket(h: int, key):
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{h}:"), key.cast("string"))), 1, _CM_HEX
+    )
+
+
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, diffed against exact counts.
+
+    The sketch is a fixed-size (d x w integer grid) mergeable state: every
+    event increments one bucket per hash row; a key's estimate is the MIN
+    of its d buckets, guaranteed >= the true count (one-sided error).  The
+    top-10 exact heavy keys are probed and the overestimate invariant is
+    emitted per key.
+
+    Scale: the sketch build is a groupBy over (d x w) cells — the shuffle
+    carries at most 1024 rows regardless of input volume, with map-side
+    partial counting doing all the work; this is the frequency analog of
+    agg_hll_merge's persist-sketches-once pattern (build daily, merge by
+    cell-wise +, probe without rescanning).  The probe side is a broadcast
+    join of 10 keys x 4 cells.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select("user_id")
+    cells = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        _cm_bucket(h, F.col("user_id")).alias("bkt"),
+                    )
+                    for h in range(_CM_D)
+                ]
+            )
+        ).alias("c")
+    )
+    cm = cells.groupBy("c.h", "c.bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
+    probes = top.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        _cm_bucket(h, F.col("user_id")).alias("bkt"),
+                    )
+                    for h in range(_CM_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "n_exact", "c.h", "c.bkt")
+    return (
+        probes.join(F.broadcast(cm), ["h", "bkt"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") >= F.col("n_exact")).alias("est_ge_exact"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_count_min": agg_count_min,
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
     "agg_count_distinct": agg_count_distinct,
@@ -375,6 +456,41 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_count_min": f"""
+        WITH cells AS (
+            {" UNION ALL ".join(
+                f'''SELECT {h} AS h,
+                           substring(md5('{h}:' || CAST(user_id AS VARCHAR)),
+                                     1, {_CM_HEX}) AS bkt
+                    FROM events'''
+                for h in range(_CM_D)
+            )}
+        ),
+        cm AS (
+            SELECT h, bkt, count(*) AS cnt FROM cells GROUP BY h, bkt
+        ),
+        top AS (
+            SELECT user_id, n_exact FROM (
+                SELECT user_id, count(*) AS n_exact,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          user_id ASC) AS rk
+                FROM events GROUP BY user_id
+            ) WHERE rk <= 10
+        ),
+        probes AS (
+            {" UNION ALL ".join(
+                f'''SELECT user_id, n_exact, {h} AS h,
+                           substring(md5('{h}:' || CAST(user_id AS VARCHAR)),
+                                     1, {_CM_HEX}) AS bkt
+                    FROM top'''
+                for h in range(_CM_D)
+            )}
+        )
+        SELECT p.user_id, p.n_exact, min(cm.cnt) AS n_est,
+               (min(cm.cnt) >= p.n_exact) AS est_ge_exact
+        FROM probes p JOIN cm ON p.h = cm.h AND p.bkt = cm.bkt
+        GROUP BY p.user_id, p.n_exact
+    """,
     "agg_global": f"""
         SELECT COUNT(*) AS n_rows,
                {sql_dsum('l_quantity', 'sum_qty')},

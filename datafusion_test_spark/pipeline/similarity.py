@@ -391,7 +391,67 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding column — the dimensionality-
+    reduction step before clustering/visualization of a vector corpus.
+
+    Phase 1 (distributed): each partition computes a PARTIAL second-moment
+    state (count, Σx, ΣxxT) with one numpy matmul per Arrow batch inside
+    mapInPandas — the gramian never materializes per-row, and the shuffle
+    carries one (1 + d + d²)-double state row per partition (65 + 4096
+    doubles here), independent of input size.  This is the classic
+    covariance-by-outer-product-partials pattern: at 10⁹ × 64-dim vectors
+    the reduce moves a few thousand rows of fixed width, nothing else.
+    Phase 2 (driver): merge partials (exact + over doubles is associative
+    enough at d=64; the eigensolve is O(d³) on 64×64 — driver work by
+    design), eigendecompose the covariance, keep the top-4 components.
+
+    The result reports structural invariants the oracle can assert without
+    re-deriving LAPACK's floats: component orthonormality, non-increasing
+    eigenvalues, and projected variance bounded by total variance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(m))],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = e.mapInPandas(
+        partials, "n double, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    g = np.sum([p["g"] for p in parts], axis=0).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    eigval, eigvec = eigval[::-1], eigvec[:, ::-1]
+    k = 4
+    vk = eigvec[:, :k]
+    orthonormal = bool(np.abs(vk.T @ vk - np.eye(k)).max() < 1e-8)
+    nonincreasing = bool(np.all(np.diff(eigval) <= 1e-12))
+    proj_var = float(eigval[:k].sum())
+    total_var = float(np.trace(cov))
+    return spark.createDataFrame(
+        [(int(n), d, k, orthonormal, nonincreasing, proj_var <= total_var + 1e-9)],
+        "n_vecs bigint, dim int, k int, components_orthonormal boolean, "
+        "eigs_nonincreasing boolean, proj_var_le_total boolean",
+    )
+
+
 QUERIES = {
+    "embed_pca": embed_pca,
     "embed_quantize": embed_quantize,
     "sim_topk": sim_topk,
     "sim_pairwise_topk": sim_pairwise_topk,
@@ -401,6 +461,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embed_pca": """
+        SELECT count(*) AS n_vecs,
+               CAST(min(len(embedding)) AS INTEGER) AS dim,
+               4 AS k,
+               true AS components_orthonormal,
+               true AS eigs_nonincreasing,
+               true AS proj_var_le_total
+        FROM embeddings
+    """,
     "embed_quantize": """
         WITH base AS (
             SELECT vec_id, embedding,

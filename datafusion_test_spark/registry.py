@@ -137,6 +137,10 @@ _PRIORITY = [
     "fn_bitmap",
     "layout_compaction",
     "stream_join_outer",
+    "rollup_gapfill",
+    "agg_count_min",
+    "scan_schema_evolution",
+    "embed_pca",
 ]
 
 

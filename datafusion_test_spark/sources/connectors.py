@@ -49,6 +49,35 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet batches of documents written with
+    DIFFERENT schemas (the second adds n_chars — a column added mid-life,
+    the normal state of a years-old lake table), read back as ONE dataset
+    with mergeSchema; rows from the old-schema batch surface NULL for the
+    added column.  Batch membership = doc_id parity, so the oracle
+    re-derives exactly which rows must be null.
+
+    Scale: mergeSchema reconciles footers at planning time — at 100 TB
+    pin the merged schema explicitly (or keep it in a catalog) so the
+    planner doesn't stat every footer; the per-row cost of absent columns
+    is zero (parquet column chunks simply aren't there to read)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="dfts_evo_"), "docs_evo")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    old = d.filter(F.col("doc_id") % 2 == 0).drop("n_chars")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    old.write.mode("overwrite").parquet(os.path.join(out, "batch=0"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    rt = spark.read.option("mergeSchema", True).parquet(out)
+    return rt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
+            "n_old_schema"
+        ),
+    )
+
+
 def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned write (orders partitionBy o_orderstatus) and
     re-read — the 100 TB lakehouse layout.  Filters on the partition column
@@ -213,10 +242,20 @@ QUERIES = {
     "scan_json_roundtrip": scan_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "layout_zonemap": layout_zonemap,
+    "scan_schema_evolution": scan_schema_evolution,
     "stream_cdc_apply": stream_cdc_apply,
 }
 
 ORACLE = {
+    "scan_schema_evolution": """
+        SELECT lang, count(*) AS n_rows,
+               count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+                   AS chars_sum,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_old_schema
+        FROM documents GROUP BY lang
+    """,
     "merge_upsert": """
         WITH tgt AS (
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

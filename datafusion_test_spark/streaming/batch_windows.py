@@ -139,6 +139,52 @@ def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with last-observation-carried-forward —
+    the time_bucket_gapfill + locf pattern of time-series stores: a dense
+    per-type hour grid (empty hours materialized with n_events=0), sum
+    carried forward across gaps.
+
+    Scale: the aggregate is one shuffle; the grid explode is per GROUP
+    (O(types x hours), never O(events)); the locf window re-uses the
+    aggregate's hash partitioning on event_type, so filling costs a sort
+    but no extra exchange.  At 100 TB the grid stays tiny while the
+    event scan dominates — gapfill cost is independent of input volume.
+    """
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )
+
+
 def interval_join(
     clicks: DataFrame, purchases: DataFrame, how: str = "inner"
 ) -> DataFrame:
@@ -240,6 +286,7 @@ QUERIES = {
     "stream_join_interval": stream_join_interval,
     "stream_join_outer": stream_join_outer,
     "rollup_timeseries": rollup_timeseries,
+    "rollup_gapfill": rollup_gapfill,
 }
 
 ORACLE = {
@@ -250,6 +297,31 @@ ORACLE = {
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
+    "rollup_gapfill": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT event_type, unnest(generate_series(lo, hi,
+                                       INTERVAL 1 HOUR)) AS bucket
+            FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                  FROM hourly GROUP BY event_type)
+        )
+        SELECT g.event_type, g.bucket,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sum_value_locf,
+               (h.n_events IS NULL) AS is_gap
+        FROM grid g
+        LEFT JOIN hourly h
+          ON g.event_type = h.event_type AND g.bucket = h.bucket
     """,
     "stream_join_interval": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,

@@ -503,3 +503,52 @@ def test_layout_compaction_preserves_content(spark, sf_dir):
     src = t(spark, sf_dir, "documents")
     assert r["n_rows"] == src.count()
     assert r["n_files_compacted"] < r["n_files_small"] and r["files_reduced"]
+
+
+def test_rollup_gapfill_grid_dense_and_locf(spark, sf_dir):
+    from datafusion_test_spark.streaming import batch_windows
+
+    rows = batch_windows.rollup_gapfill(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket"])
+        # dense hourly grid between the type's min and max bucket
+        for a, b in zip(rs, rs[1:]):
+            assert (b["bucket"] - a["bucket"]).total_seconds() == 3600
+        # gaps have n_events 0 and inherit the previous sum (locf)
+        for i, r in enumerate(rs):
+            if r["is_gap"]:
+                assert r["n_events"] == 0
+                assert r["sum_value_locf"] == rs[i - 1]["sum_value_locf"]
+
+
+def test_count_min_overestimates_only(spark, sf_dir):
+    from datafusion_test_spark.operators import aggregates
+
+    rows = aggregates.agg_count_min(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["est_ge_exact"] and r["n_est"] >= r["n_exact"] >= 1 for r in rows)
+
+
+def test_schema_evolution_nulls_track_batches(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.sources import connectors
+
+    rows = connectors.scan_schema_evolution(spark, sf_dir).collect()
+    src = t(spark, sf_dir, "documents")
+    assert sum(r["n_rows"] for r in rows) == src.count()
+    for r in rows:
+        assert r["n_rows"] == r["n_with_chars"] + r["n_old_schema"]
+
+
+def test_embed_pca_invariants(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.pipeline import similarity
+
+    r = similarity.embed_pca(spark, sf_dir).collect()[0]
+    assert r["n_vecs"] == t(spark, sf_dir, "embeddings").count()
+    assert r["dim"] == 64 and r["k"] == 4
+    assert r["components_orthonormal"] and r["eigs_nonincreasing"]
+    assert r["proj_var_le_total"]
