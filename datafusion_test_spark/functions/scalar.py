@@ -270,7 +270,41 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive comparison/grouping via
+    COLLATE UTF8_LCASE — the engine-level answer to lower()-wrapping every
+    comparison (collation-aware comparators run inside codegen and keep
+    stats usable; lower() wrappers defeat predicate pushdown on collated
+    sources).  A mixed-case copy of `source` (upper for even doc_ids) is
+    grouped under binary and under case-insensitive collation; the oracle
+    reproduces the semantics with lower().
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    u = d.select("doc_id", mixed.alias("src_mixed"))
+    per_ci = (
+        u.groupBy(F.collate("src_mixed", "UTF8_LCASE").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        # group key normalized for output so both engines emit one casing
+        .select(
+            F.lower(F.col("g")).cast("string").alias("source_ci"),
+            "n_docs",
+            "min_doc",
+        )
+    )
+    counts = u.groupBy().agg(
+        F.countDistinct("src_mixed").alias("n_distinct_binary"),
+        F.countDistinct(F.collate("src_mixed", "UTF8_LCASE")).alias(
+            "n_distinct_ci"
+        ),
+    )
+    return per_ci.crossJoin(F.broadcast(counts))
+
+
 QUERIES = {
+    "fn_collation": fn_collation,
     "fn_string": fn_string,
     "fn_regex": fn_regex,
     "fn_date": fn_date,
@@ -287,6 +321,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_collation": """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                        ELSE source END AS src_mixed
+            FROM documents
+        ),
+        per AS (
+            SELECT lower(src_mixed) AS source_ci, count(*) AS n_docs,
+                   min(doc_id) AS min_doc
+            FROM u GROUP BY lower(src_mixed)
+        ),
+        c AS (
+            SELECT count(DISTINCT src_mixed) AS n_distinct_binary,
+                   count(DISTINCT lower(src_mixed)) AS n_distinct_ci
+            FROM u
+        )
+        SELECT source_ci, n_docs, min_doc, n_distinct_binary, n_distinct_ci
+        FROM per, c
+    """,
     "fn_string": """
         SELECT c_custkey,
                substr(c_name, 1, 8) AS name8,

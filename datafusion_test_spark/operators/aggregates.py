@@ -353,6 +353,25 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mode, "l_returnflag")
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) of
+    l_extendedprice per return flag — the exact anchor next to the
+    agg_approx_quantile sketch path.  Exact percentiles need the full
+    per-group sort; at 100 TB you run the sketch and keep this for audits
+    on sampled partitions.  round(…,4): interpolation arithmetic differs
+    in operation order across engines at the last ulp."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p / 100)), 4).alias(
+                f"p{p}"
+            )
+            for p in (25, 50, 75, 95)
+        ],
+    )
+
+
 # count-min sketch geometry: 4 hash rows x 256 buckets (2 md5 hex chars).
 _CM_D = 4
 _CM_HEX = 2
@@ -435,6 +454,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "agg_count_min": agg_count_min,
+    "agg_percentiles": agg_percentiles,
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
     "agg_count_distinct": agg_count_distinct,
@@ -456,6 +476,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_percentiles": """
+        SELECT l_returnflag, count(*) AS n_rows,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "agg_count_min": f"""
         WITH cells AS (
             {" UNION ALL ".join(

@@ -141,6 +141,9 @@ _PRIORITY = [
     "agg_count_min",
     "scan_schema_evolution",
     "embed_pca",
+    "fn_collation",
+    "source_python_api",
+    "agg_percentiles",
 ]
 
 

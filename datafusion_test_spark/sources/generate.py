@@ -202,7 +202,59 @@ def q_bench_cancel_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (pyspark.sql.datasource): a custom
+    deterministic source with REAL partition planning — four
+    InputPartitions, each producing a disjoint id range, read in parallel
+    by the scan.  This is the extension point for crawl feeds, proprietary
+    blob manifests, or synthetic-data generators at 100 TB: partitions()
+    returns the split list (one per shard/manifest chunk) and the engine
+    schedules reads like any other scan.
+
+    The per-tag aggregate over the synthesized rows hash-matches a DuckDB
+    range() twin — proving the source yields exactly the declared rows.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_rows, n_parts = 1000, 4
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dfts_synth"
+
+        def schema(self) -> str:
+            return "id bigint, tag string"
+
+        def reader(self, schema):
+            return SynthReader()
+
+    class SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(n_parts)]
+
+        def read(self, partition):
+            chunk = n_rows // n_parts
+            base = partition.value * chunk
+            for k in range(base, base + chunk):
+                yield (k, f"t{k % 10}")
+
+    spark.dataSource.register(SynthSource)
+    df = spark.read.format("dfts_synth").load()
+    return df.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+    )
+
+
 QUERIES = {
+    "source_python_api": source_python_api,
     "generate_random_table": q_generate_random_table,
     "bench_cancel_table": q_bench_cancel_table,
     "find_or_generate": q_find_or_generate,
@@ -213,6 +265,14 @@ QUERIES = {
 ORACLE = {
     # write_parquet round-trip must hash-match the source table exactly.
     "write_parquet": "SELECT * FROM lineitem",
+    "source_python_api": """
+        SELECT 't' || CAST(r % 10 AS VARCHAR) AS tag,
+               count(*) AS n_rows,
+               CAST(SUM(r) AS BIGINT) AS id_sum,
+               min(r) AS id_min, max(r) AS id_max
+        FROM (SELECT unnest(range(0, 1000)) AS r)
+        GROUP BY r % 10
+    """,
     # Self-verifying anchors + invariants for the random/harness entries
     # (no rows-only fallback in the driver — every entry needs a SQL twin).
     "generate_random_table": """

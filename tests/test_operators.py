@@ -552,3 +552,30 @@ def test_embed_pca_invariants(spark, sf_dir):
     assert r["dim"] == 64 and r["k"] == 4
     assert r["components_orthonormal"] and r["eigs_nonincreasing"]
     assert r["proj_var_le_total"]
+
+
+def test_fn_collation_case_insensitive_halves_groups(spark, sf_dir):
+    from datafusion_test_spark.functions import scalar
+
+    rows = scalar.fn_collation(spark, sf_dir).collect()
+    assert rows
+    r = rows[0]
+    # mixed-casing doubles binary-distinct keys; collation folds them back
+    assert r["n_distinct_ci"] < r["n_distinct_binary"] <= 2 * r["n_distinct_ci"]
+    assert len(rows) == r["n_distinct_ci"]
+
+
+def test_source_python_api_partition_planning(spark, sf_dir):
+    from datafusion_test_spark.sources import generate
+
+    rows = generate.source_python_api(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert sum(r["id_sum"] for r in rows) == 1000 * 999 // 2
+
+
+def test_agg_percentiles_ordered(spark, sf_dir):
+    from datafusion_test_spark.operators import aggregates
+
+    for r in aggregates.agg_percentiles(spark, sf_dir).collect():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
