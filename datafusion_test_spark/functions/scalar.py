@@ -280,8 +280,11 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the semantics with lower().
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    # upper-case by id BLOCK (div 20), not parity: source correlates with
+    # doc_id % 20, so a parity rule would never produce both casings of
+    # the same source value
     mixed = F.when(
-        F.col("doc_id") % 2 == 0, F.upper("source")
+        F.expr("doc_id DIV 20") % 2 == 0, F.upper("source")
     ).otherwise(F.col("source"))
     u = d.select("doc_id", mixed.alias("src_mixed"))
     per_ci = (
@@ -324,7 +327,7 @@ ORACLE = {
     "fn_collation": """
         WITH u AS (
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                   CASE WHEN (doc_id // 20) % 2 = 0 THEN upper(source)
                         ELSE source END AS src_mixed
             FROM documents
         ),
