@@ -568,12 +568,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the (much smaller) label relation shuffles — the big edge
     # relation is shuffled exactly once for the whole loop.  This is the
     # bucketed-edge layout of the 100 TB docstring note, via cache.
+    # Partition count is sized from the corpus row count (a footer-cheap
+    # metadata aggregate, same policy as _expr.lsh_bits): the dup graph is
+    # orders of magnitude smaller than the corpus, and iterating 500 edges
+    # over defaultParallelism partitions pays ~2x the loop wall-clock in
+    # empty-task scheduling (measured 5.6 s -> 4.6 s at sf0.1).
+    n_docs = table(spark, sf_dir, "documents").count()
+    par = int(
+        min(
+            max(2, n_docs // 50_000),
+            spark.sparkContext.defaultParallelism,
+        )
+    )
     sym = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .repartition("src")
+        .repartition(par, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Propagate over the edge-induced subgraph only: isolated documents are
@@ -581,7 +593,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster, so iterating them is pure waste — at 100 TB the dup graph is
     # a few % of the corpus and each round costs O(E + V_graph), not O(N).
     # `sym` holds both directions, so src alone covers every graph node.
-    par = max(2, sym.rdd.getNumPartitions() // 4)
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -589,26 +600,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev_cache = labels
     converged = False
     for _ in range(25):
+        # Change detection is FOLDED INTO the propagation aggregate: each
+        # node's own label rides along (own=1) so old vs new compare needs
+        # no second join — one shuffle and one action per round.  min-label
+        # propagation only ever lowers labels, so new != old <=> changed.
         prop = sym.join(labels, sym.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "label"
+            F.col("dst").alias("doc_id"), "label", F.lit(0).alias("own")
         )
-        new = (
-            labels.unionByName(prop)
+        combined = (
+            labels.select("doc_id", "label", F.lit(1).alias("own"))
+            .unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own") == 1, F.col("label"))).alias(
+                    "old_label"
+                ),
+            )
             .coalesce(par)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
+        changed = combined.filter(F.col("label") != F.col("old_label")).count()
+        prev_cache.unpersist()
+        prev_cache = combined
+        labels = combined.select("doc_id", "label")
         if changed == 0:
             converged = True
             break
