@@ -301,8 +301,37 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn("bucketed_no_shuffle", F.lit(no_shuffle))
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension tables
+    with 'unknown' members need.  Keys are derived with NULLIF so the
+    testdata actually exercises the NULL=NULL path: orders with status 'O'
+    get a NULL join key, and the status dim carries a NULL member row.
+
+    Plan note: Spark hashes <=> keys like ordinary equi-keys, so this is
+    a regular shuffled/broadcast hash join, NOT a nested-loop fallback —
+    null-safe equality is scale-free."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"),
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("P", "partial"), (None, "open-or-unknown")],
+        "k string, status_name string",
+    )
+    return (
+        o.join(F.broadcast(dim), o["k"].eqNullSafe(dim["k"]))
+        .groupBy("status_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
+    "join_null_safe": join_null_safe,
     "join_bucketed": join_bucketed,
     "join_skew_salted": join_skew_salted,
     "join_broadcast": join_broadcast,
@@ -318,6 +347,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_null_safe": """
+        WITH o AS (
+            SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k FROM orders
+        ),
+        dim AS (
+            SELECT 'F' AS k, 'finished' AS status_name
+            UNION ALL SELECT 'P', 'partial'
+            UNION ALL SELECT NULL, 'open-or-unknown'
+        )
+        SELECT status_name, count(*) AS n_orders,
+               min(o_orderkey) AS min_key
+        FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+        GROUP BY status_name
+    """,
     "join_bucketed": """
         SELECT o_orderstatus, COUNT(*) AS n_items,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)

@@ -55,14 +55,47 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)  # subtract == EXCEPT DISTINCT
 
 
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the two sides):
+    custkey occurrences present in both the URGENT and the 5-LOW order
+    bags.  The distinction matters for audit queries counting matched
+    occurrences, not matched keys."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersectAll(b)
+
+
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity = left minus right,
+    floored at zero): URGENT custkey occurrences surviving removal of one
+    occurrence per 5-LOW order."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.exceptAll(b)
+
+
 QUERIES = {
     "union_all": union_all,
     "union_distinct": union_distinct,
     "intersect": intersect,
     "except": except_,
+    "intersect_all": intersect_all,
+    "except_all": except_all,
 }
 
 ORACLE = {
+    "intersect_all": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    "except_all": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
     "union_all": """
         SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000.0
         UNION ALL

@@ -137,7 +137,48 @@ def udtf_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the two-sided custom operator API): clicks
+    and purchases cogrouped per user, one pandas function seeing BOTH
+    groups at once — the extension point for custom merge logic
+    (interleaving, per-key reconciliation, as-of matching in pandas) that
+    a join can't express row-wise.
+
+    Both sides shuffle once on the key and pair up group-by-group; output
+    is counts + time bounds (order-insensitive statistics only — the
+    cogroup feed order within a group is not a contract).
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        n_c, n_p = len(left), len(right)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_c],
+                "n_purchases": [n_p],
+                "first_click": [left["ts"].min() if n_c else None],
+                "last_purchase": [right["ts"].max() if n_p else None],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id bigint, n_clicks bigint, n_purchases bigint, "
+            "first_click timestamp, last_purchase timestamp",
+        )
+    )
+
+
 QUERIES = {
+    "udf_cogrouped": udf_cogrouped,
     "udf_python": udf_python,
     "udf_pandas": udf_pandas,
     "udf_arrow": udf_arrow,
@@ -153,6 +194,21 @@ _DISC_SQL = """
 """
 
 ORACLE = {
+    "udf_cogrouped": """
+        WITH c AS (
+            SELECT user_id, count(*) AS n_clicks, min(ts) AS first_click
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        p AS (
+            SELECT user_id, count(*) AS n_purchases, max(ts) AS last_purchase
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(n_clicks, 0) AS n_clicks,
+               COALESCE(n_purchases, 0) AS n_purchases,
+               first_click, last_purchase
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
     "udf_python": _DISC_SQL,
     "udf_pandas": _DISC_SQL,
     "udf_arrow": _DISC_SQL,

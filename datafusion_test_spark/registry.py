@@ -147,6 +147,10 @@ _PRIORITY = [
     "agg_percentiles",
     "funnel_conversion",
     "agg_retention_cohort",
+    "intersect_all",
+    "except_all",
+    "join_null_safe",
+    "udf_cogrouped",
 ]
 
 

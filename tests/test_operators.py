@@ -601,3 +601,38 @@ def test_retention_cohort_shape(spark, sf_dir):
     for cohort, offs in by_cohort.items():
         assert 0 in offs, "cohort must include its own first day"
         assert all(n <= offs[0] for n in offs.values()), "retention <= cohort size"
+
+
+def test_bag_setops_multiplicity(spark, sf_dir):
+    from datafusion_test_spark.operators import setops
+
+    ia = setops.intersect_all(spark, sf_dir).count()
+    i = setops.intersect(spark, sf_dir).count()
+    ea = setops.except_all(spark, sf_dir).count()
+    e = setops.except_(spark, sf_dir).count()
+    assert ia >= i and ea >= e  # bag semantics keep multiplicity
+
+
+def test_join_null_safe_matches_null_member(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import joins
+    from pyspark.sql import functions as F
+
+    rows = {r["status_name"]: r for r in joins.join_null_safe(spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders")
+    n_open = o.filter(F.col("o_orderstatus") == "O").count()
+    assert rows["open-or-unknown"]["n_orders"] == n_open
+    assert sum(r["n_orders"] for r in rows.values()) == o.count()
+
+
+def test_udf_cogrouped_covers_both_sides(spark, sf_dir):
+    from datafusion_test_spark.operators import udf as udfmod
+
+    rows = udfmod.udf_cogrouped(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_clicks"] > 0 or r["n_purchases"] > 0
+        if r["n_clicks"] == 0:
+            assert r["first_click"] is None
+        if r["n_purchases"] == 0:
+            assert r["last_purchase"] is None
