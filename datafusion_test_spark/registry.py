@@ -151,6 +151,8 @@ _PRIORITY = [
     "except_all",
     "join_null_safe",
     "udf_cogrouped",
+    "scan_time_travel",
+    "catalog_stats",
 ]
 
 

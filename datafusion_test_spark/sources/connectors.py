@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .._util import dsum, sql_dsum
 from ..io import table
 
 
@@ -75,6 +76,90 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
             "n_old_schema"
         ),
+    )
+
+
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot/time-travel reads over a versioned table layout — the
+    poor-man's table format: every commit writes a full snapshot directory
+    (v=1, v=2) and readers pin a version, exactly the semantics
+    Iceberg/Delta expose as VERSION AS OF.  v2 applies a deterministic
+    mutation to v1 (10% price uplift for open orders); the query reads
+    BOTH versions and reports the per-status diff an auditor would ask of
+    a table's history.
+
+    Scale: snapshot directories share unchanged files in real formats
+    (manifests point at data files; only deltas are new) — here the
+    mutation rewrites everything because there is no manifest layer, which
+    is precisely the write-amplification argument FOR table formats at
+    100 TB, stated by construction.
+    """
+    base = os.path.join(tempfile.mkdtemp(prefix="dfts_tt_"), "orders_vers")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    v2 = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v2.write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    r1 = spark.read.parquet(os.path.join(base, "v=1"))
+    r2 = spark.read.parquet(os.path.join(base, "v=2"))
+    j = r1.alias("a").join(r2.alias("b"), "o_orderkey")
+    return j.groupBy(F.col("a.o_orderstatus").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("a.o_totalprice"), "total_v1"),
+        dsum(F.col("b.o_totalprice"), "total_v2"),
+        F.sum(
+            F.when(F.col("b.o_totalprice") != F.col("a.o_totalprice"), 1).otherwise(
+                0
+            )
+        ).alias("n_changed"),
+    )
+
+
+def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE statistics — the CBO's food: row/size stats plus
+    per-column NDV recorded in the catalog, which is what turns join
+    reordering and broadcast decisions from guesses into plans.  orders is
+    materialized as a catalog table, analyzed, and the recorded stats are
+    read back from DESCRIBE output and cross-checked against exact counts.
+
+    Scale: ANALYZE is a one-pass aggregate (NDV via HLL) you schedule
+    after each batch load; without stats a 100 TB star join can pick a
+    shuffle join for a 1000-row dim.  The NDV tolerance check (within 10%)
+    reflects the sketch's documented error, not a loose test.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spark.sql("DROP TABLE IF EXISTS dfts_stats_orders")
+    o.write.mode("overwrite").saveAsTable("dfts_stats_orders")
+    spark.sql(
+        "ANALYZE TABLE dfts_stats_orders COMPUTE STATISTICS FOR COLUMNS o_custkey"
+    )
+    stats_rows = None
+    for r in spark.sql("DESCRIBE TABLE EXTENDED dfts_stats_orders").collect():
+        if r["col_name"] == "Statistics":
+            # e.g. "123456 bytes, 15000 rows"
+            parts = r["data_type"].split(",")
+            for p in parts:
+                p = p.strip()
+                if p.endswith("rows"):
+                    stats_rows = int(p.split()[0])
+    ndv = None
+    for r in spark.sql(
+        "DESCRIBE EXTENDED dfts_stats_orders o_custkey"
+    ).collect():
+        if r["info_name"] == "distinct_count":
+            ndv = int(r["info_value"])
+    n_rows = o.count()
+    n_custs = o.select("o_custkey").distinct().count()
+    ndv_ok = ndv is not None and abs(ndv - n_custs) * 10 <= n_custs
+    return spark.createDataFrame(
+        [(n_rows, stats_rows == n_rows, ndv_ok)],
+        "n_rows bigint, stats_rows_match boolean, ndv_within_10pct boolean",
     )
 
 
@@ -243,10 +328,33 @@ QUERIES = {
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "layout_zonemap": layout_zonemap,
     "scan_schema_evolution": scan_schema_evolution,
+    "scan_time_travel": scan_time_travel,
+    "catalog_stats": catalog_stats,
     "stream_cdc_apply": stream_cdc_apply,
 }
 
+_TT_V2_SUM = sql_dsum(
+    "CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 "
+    "ELSE o_totalprice END",
+    "total_v2",
+)
+
 ORACLE = {
+    "catalog_stats": """
+        SELECT count(*) AS n_rows,
+               true AS stats_rows_match,
+               true AS ndv_within_10pct
+        FROM orders
+    """,
+    "scan_time_travel": f"""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'total_v1')},
+               {_TT_V2_SUM},
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                             AND o_totalprice * 1.1 <> o_totalprice
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        FROM orders GROUP BY o_orderstatus
+    """,
     "scan_schema_evolution": """
         SELECT lang, count(*) AS n_rows,
                count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,

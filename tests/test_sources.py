@@ -72,3 +72,24 @@ def test_cancel_query_interrupts(spark):
 
     md = markdown_table([(wait_ms, cancel_ms, interrupted)])
     assert md.splitlines()[0] == "| Wait time (ms) | Cancel duration (ms) |"
+
+
+def test_time_travel_versions_diverge_only_open(spark, sf_dir):
+    from datafusion_test_spark.sources import connectors
+
+    rows = {r["o_orderstatus"]: r for r in connectors.scan_time_travel(spark, sf_dir).collect()}
+    for status, r in rows.items():
+        if status == "O":
+            assert r["n_changed"] == r["n_orders"]
+            assert r["total_v2"] > r["total_v1"]
+        else:
+            assert r["n_changed"] == 0
+            assert r["total_v2"] == r["total_v1"]
+
+
+def test_catalog_stats_recorded(spark, sf_dir):
+    from datafusion_test_spark.sources import connectors
+
+    r = connectors.catalog_stats(spark, sf_dir).collect()[0]
+    assert r["stats_rows_match"] and r["ndv_within_10pct"]
+    assert r["n_rows"] > 0
