@@ -133,8 +133,15 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join for a 1000-row dim.  The NDV tolerance check (within 10%)
     reflects the sketch's documented error, not a loose test.
     """
+    import shutil
+    from urllib.parse import urlparse
+
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     spark.sql("DROP TABLE IF EXISTS dfts_stats_orders")
+    # the in-memory catalog is per-session: a previous session's managed-
+    # table directory survives its DROP, so clear the location too
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "dfts_stats_orders"), ignore_errors=True)
     o.write.mode("overwrite").saveAsTable("dfts_stats_orders")
     spark.sql(
         "ANALYZE TABLE dfts_stats_orders COMPUTE STATISTICS FOR COLUMNS o_custkey"
