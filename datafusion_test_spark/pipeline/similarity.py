@@ -450,7 +450,29 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (element-wise mean) in long format —
+    the building block of k-means/IVF training and class prototypes.
+
+    posexplode + groupBy(label, pos) is one shuffle of N x d rows with
+    map-side partial averaging; when d is large or the element rows
+    dominate the shuffle, the embed_pca pattern (per-partition numpy
+    partials over mapInPandas) is the drop-in replacement — same result,
+    fixed-width shuffle.  round(…,4) per the _util AVG policy.
+    """
+    e = table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .groupBy("label", F.col("pos0").cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 4).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_vector_centroid": agg_vector_centroid,
     "embed_pca": embed_pca,
     "embed_quantize": embed_quantize,
     "sim_topk": sim_topk,
@@ -461,6 +483,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_vector_centroid": """
+        SELECT label, CAST(g - 1 AS INTEGER) AS pos,
+               round(avg(CAST(embedding[g] AS DOUBLE)), 4) AS centroid_val,
+               count(*) AS n_vecs
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS g)
+        GROUP BY label, pos
+    """,
     "embed_pca": """
         SELECT count(*) AS n_vecs,
                CAST(min(len(embedding)) AS INTEGER) AS dim,

@@ -153,6 +153,8 @@ _PRIORITY = [
     "udf_cogrouped",
     "scan_time_travel",
     "catalog_stats",
+    "agg_vector_centroid",
+    "layout_zorder",
 ]
 
 

@@ -121,6 +121,80 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _z_interleave(x, y, bits: int = 8):
+    """16-bit Morton code: interleave the low `bits` of x (even positions)
+    and y (odd positions) — pure integer expressions, identical in SQL."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering — the TWO-dimensional extension of
+    layout_zonemap: orders are sorted by the interleaved bits of
+    (o_custkey % 256, day-of-month), so file-level min/max footer stats
+    prune scans filtered on EITHER dimension; a 1-D sort would serve only
+    its leading column.
+
+    The z-value is exact integer arithmetic, so the oracle recomputes the
+    full z distribution (count / min / max / sum per z-quartile); the 2-D
+    locality claim — every file's (x-span x y-span) area is a fraction of
+    the global domain — is measured from parquet FOOTERS only and emitted
+    as a result column.  At 100 TB this layout is written once per
+    partition roll-up and every dashboard range scan after that pays
+    sub-linear IO on both dims.
+    """
+    import pyarrow.parquet as pq
+
+    out = os.path.join(tempfile.mkdtemp(prefix="dfts_zord_"), "orders_z")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("zx"),
+        F.dayofmonth("o_orderdate").alias("zy"),
+    )
+    z = o.withColumn("zval", _z_interleave(F.col("zx"), F.col("zy")))
+    (
+        z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    areas, n_files = [], 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        n_files += 1
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        names = md.schema.names
+        ix, iy = names.index("zx"), names.index("zy")
+        sx = [md.row_group(g).column(ix).statistics for g in range(md.num_row_groups)]
+        sy = [md.row_group(g).column(iy).statistics for g in range(md.num_row_groups)]
+        x_span = max(s.max for s in sx) - min(s.min for s in sx) + 1
+        y_span = max(s.max for s in sy) - min(s.min for s in sy) + 1
+        areas.append(x_span * y_span)
+    # every file covers a contiguous z range => a bounded 2-D rectangle;
+    # locality holds when every file's area is under half the full domain
+    domain = 256 * 31
+    locality = bool(areas) and all(a * 2 <= domain for a in areas)
+    rt = spark.read.parquet(out)
+    return (
+        rt.groupBy(F.expr("CAST((zval * 4) DIV 65536 AS INT)").alias("z_quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+            F.sum("zval").alias("z_sum"),
+        )
+        .withColumn("files_ok", F.lit(2 <= n_files <= 8))
+        .withColumn("two_dim_locality", F.lit(locality))
+    )
+
+
 def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE statistics — the CBO's food: row/size stats plus
     per-column NDV recorded in the catalog, which is what turns join
@@ -337,8 +411,14 @@ QUERIES = {
     "scan_schema_evolution": scan_schema_evolution,
     "scan_time_travel": scan_time_travel,
     "catalog_stats": catalog_stats,
+    "layout_zorder": layout_zorder,
     "stream_cdc_apply": stream_cdc_apply,
 }
+
+_Z_SQL = " + ".join(
+    f"((((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(8)
+)
 
 _TT_V2_SUM = sql_dsum(
     "CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 "
@@ -347,6 +427,23 @@ _TT_V2_SUM = sql_dsum(
 )
 
 ORACLE = {
+    "layout_zorder": f"""
+        WITH base AS (
+            SELECT o_custkey % 256 AS zx,
+                   date_part('day', o_orderdate) AS zy
+            FROM orders
+        ),
+        z AS (
+            SELECT {_Z_SQL} AS zval FROM base
+        )
+        SELECT CAST((zval * 4) // 65536 AS INTEGER) AS z_quartile,
+               count(*) AS n_orders,
+               min(zval) AS z_min, max(zval) AS z_max,
+               CAST(SUM(zval) AS BIGINT) AS z_sum,
+               true AS files_ok,
+               true AS two_dim_locality
+        FROM z GROUP BY z_quartile
+    """,
     "catalog_stats": """
         SELECT count(*) AS n_rows,
                true AS stats_rows_match,

@@ -636,3 +636,12 @@ def test_udf_cogrouped_covers_both_sides(spark, sf_dir):
             assert r["first_click"] is None
         if r["n_purchases"] == 0:
             assert r["last_purchase"] is None
+
+
+def test_vector_centroid_shape(spark, sf_dir):
+    from datafusion_test_spark.pipeline import similarity
+
+    rows = similarity.agg_vector_centroid(spark, sf_dir).collect()
+    labels = {r["label"] for r in rows}
+    assert all(len([r for r in rows if r["label"] == lb]) == 64 for lb in labels)
+    assert all(-1.0 <= r["centroid_val"] <= 1.0 for r in rows)

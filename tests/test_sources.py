@@ -93,3 +93,13 @@ def test_catalog_stats_recorded(spark, sf_dir):
     r = connectors.catalog_stats(spark, sf_dir).collect()[0]
     assert r["stats_rows_match"] and r["ndv_within_10pct"]
     assert r["n_rows"] > 0
+
+
+def test_zorder_locality_and_exact_z(spark, sf_dir):
+    from datafusion_test_spark.sources import connectors
+
+    rows = connectors.layout_zorder(spark, sf_dir).collect()
+    assert rows
+    assert all(r["two_dim_locality"] and r["files_ok"] for r in rows)
+    for r in rows:
+        assert r["z_min"] <= r["z_max"] and r["n_orders"] > 0
