@@ -168,6 +168,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the EARLIEST purchase by the
+    same user at-or-after the click (the attribution mirror of join_asof's
+    backward lookup).  Same union + window shape — one shuffle on user_id,
+    first-non-null LOOKAHEAD frame — so the backward and forward variants
+    cost identically at any scale.  Oracle: DuckDB ASOF with a >= bound.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_click"),
+            "event_id",
+            F.lit(None).cast("timestamp").alias("p_ts"),
+            F.lit(None).cast("double").alias("p_value"),
+        )
+    )
+    # clicks sort BEFORE purchases at equal ts (is_click desc) so a
+    # same-instant purchase is inside the click's lookahead frame (>=)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_ts", F.first("p_ts", ignorenulls=True).over(w))
+        .withColumn("next_value", F.first("p_value", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select("event_id", "user_id", "ts", "next_ts", "next_value")
+    )
+
+
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join with NO equi key, bucketed: for each click
     event, the count and decimal-exact value sum of ALL events (any user)
@@ -343,6 +389,7 @@ QUERIES = {
     "join_cross": join_cross,
     "join_theta": join_theta,
     "join_asof": join_asof,
+    "join_asof_forward": join_asof_forward,
     "join_range": join_range,
 }
 
@@ -426,6 +473,14 @@ ORACLE = {
         ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "join_asof_forward": """
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS next_ts, p.value AS next_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts >= c.ts
     """,
     # the naive inequality join the bucketed Spark plan must equal exactly
     "join_range": """

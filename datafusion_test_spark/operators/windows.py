@@ -115,7 +115,33 @@ def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per event, the count and decimal-exact
+    value sum of the same user's events in the trailing hour (inclusive).
+    The frame is anchored on unix MICROseconds so the boundary is exact —
+    casting timestamp to long truncates to seconds and silently widens the
+    frame; DuckDB's INTERVAL frame matches the microsecond bound.
+
+    One shuffle on user_id; the RANGE frame is evaluated over the sorted
+    run with a sliding two-pointer inside WindowExec — O(n) per partition,
+    the same cost class as a ROWS frame at any scale."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_trailing_1h"),
+    )
+
+
 QUERIES = {
+    "win_time_range": win_time_range,
     "win_ranking": win_ranking,
     "win_percent": win_percent,
     "win_lag_lead": win_lag_lead,
@@ -126,6 +152,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_time_range": """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_trailing_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS sum_trailing_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
     "win_percent": f"""
         SELECT o_orderkey, o_custkey,
                PERCENT_RANK() OVER (PARTITION BY o_custkey {_ORDER}) AS pct_rank,

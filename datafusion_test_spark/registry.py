@@ -155,6 +155,8 @@ _PRIORITY = [
     "catalog_stats",
     "agg_vector_centroid",
     "layout_zorder",
+    "join_asof_forward",
+    "win_time_range",
 ]
 
 

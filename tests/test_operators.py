@@ -645,3 +645,24 @@ def test_vector_centroid_shape(spark, sf_dir):
     labels = {r["label"] for r in rows}
     assert all(len([r for r in rows if r["label"] == lb]) == 64 for lb in labels)
     assert all(-1.0 <= r["centroid_val"] <= 1.0 for r in rows)
+
+
+def test_asof_forward_mirrors_backward(spark, sf_dir):
+    from datafusion_test_spark.operators import joins
+
+    fwd = {r["event_id"]: r for r in joins.join_asof_forward(spark, sf_dir).collect()}
+    bwd = {r["event_id"]: r for r in joins.join_asof(spark, sf_dir).collect()}
+    assert set(fwd) == set(bwd)
+    for eid, f in fwd.items():
+        if f["next_ts"] is not None:
+            assert f["next_ts"] >= f["ts"]
+        b = bwd[eid]
+        if b["asof_ts"] is not None:
+            assert b["asof_ts"] <= b["ts"]
+
+
+def test_win_time_range_bounds(spark, sf_dir):
+    from datafusion_test_spark.operators import windows
+
+    rows = windows.win_time_range(spark, sf_dir).collect()
+    assert all(r["n_trailing_1h"] >= 1 for r in rows)  # frame includes self
