@@ -372,6 +372,43 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of l_extendedprice — the profiling
+    aggregate behind every data-distribution dashboard.  Two passes: a
+    1-row global [min,max] (broadcast), then one shuffle of 20 bucket
+    rows with map-side combine.  Bucket arithmetic is plain IEEE double
+    ops (identical in both engines); the closed top bucket uses LEAST.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = F.broadcast(
+        li.groupBy().agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+    b = li.crossJoin(bounds).select(
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                * 20.0
+                / (F.col("hi") - F.col("lo"))
+            ),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.first("lo") + F.col("bucket") * (F.first("hi") - F.first("lo")) / 20.0,
+            4,
+        ).alias("bucket_lo"),
+    )
+
+
 # count-min sketch geometry: 4 hash rows x 256 buckets (2 md5 hex chars).
 _CM_D = 4
 _CM_HEX = 2
@@ -455,6 +492,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "agg_count_min": agg_count_min,
     "agg_percentiles": agg_percentiles,
+    "agg_histogram": agg_histogram,
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
     "agg_count_distinct": agg_count_distinct,
@@ -476,6 +514,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_histogram": """
+        WITH b AS (
+            SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+            FROM lineitem
+        ),
+        h AS (
+            SELECT CAST(LEAST(19, FLOOR((l_extendedprice - lo) * 20.0
+                                        / (hi - lo))) AS INTEGER) AS bucket,
+                   lo, hi
+            FROM lineitem, b
+        )
+        SELECT bucket, count(*) AS n_rows,
+               round(min(lo) + bucket * (min(hi) - min(lo)) / 20.0, 4)
+                   AS bucket_lo
+        FROM h GROUP BY bucket
+    """,
     "agg_percentiles": """
         SELECT l_returnflag, count(*) AS n_rows,
                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

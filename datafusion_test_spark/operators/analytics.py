@@ -96,12 +96,67 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence detection: a click followed by a
+    purchase within the user's next two events (by (ts, event_id) order).
+    Expressed as lead() windows — the columnar phrasing of short fixed
+    patterns; longer/looser patterns escalate to session reassembly via
+    applyInPandas (udf_cogrouped's API family).  One shuffle on user_id.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).withColumn(
+        "hit",
+        (F.col("event_type") == "click")
+        & ((F.col("nxt1") == "purchase") | (F.col("nxt2") == "purchase")),
+    )
+    return m.groupBy("user_id").agg(
+        # coalesce: a tail click has NULL lookaheads -> NULL hit, which
+        # must count as 0 (DuckDB's CASE ELSE 0) not poison an all-NULL sum
+        F.sum(F.coalesce(F.col("hit"), F.lit(False)).cast("int")).alias(
+            "n_matches"
+        ),
+        F.min(F.when(F.col("hit"), F.col("ts"))).alias("first_match_ts"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "agg_retention_cohort": agg_retention_cohort,
+    "seq_pattern_detect": seq_pattern_detect,
 }
 
 ORACLE = {
+    "seq_pattern_detect": """
+        WITH m AS (
+            SELECT user_id, event_type, ts,
+                   lead(event_type, 1) OVER w AS nxt1,
+                   lead(event_type, 2) OVER w AS nxt2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        h AS (
+            SELECT user_id, ts,
+                   (event_type = 'click'
+                    AND (nxt1 = 'purchase' OR nxt2 = 'purchase')) AS hit
+            FROM m
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matches,
+               min(CASE WHEN hit THEN ts END) AS first_match_ts
+        FROM h GROUP BY user_id
+    """,
     "funnel_conversion": """
         WITH pu AS (
             SELECT user_id,

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._util import dsum
 from ..io import table
 
 
@@ -166,6 +167,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_click") == 1)
         .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
     )
+
+
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): orders laid out partitioned by
+    o_orderstatus, joined to a tiny status dim filtered on a NON-key
+    attribute — the fact's partition filter is only knowable at runtime,
+    so Catalyst injects a dynamic pruning subquery into the fact scan and
+    entire partition DIRECTORIES are never read.  This is THE mechanism
+    that makes star joins on a 100 TB date-partitioned fact read one
+    day's directories instead of all of them.
+
+    The plan property (dynamicpruning expression on the scan) is emitted
+    as an oracle-verified result column next to the exact join aggregate.
+    """
+    import os
+    import tempfile
+
+    from ..plans.introspect import plan_string
+
+    out = os.path.join(tempfile.mkdtemp(prefix="dfts_dpp_"), "orders_by_status")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "partial")],
+        "k string, status_name string",
+    )
+    j = (
+        fact.join(
+            F.broadcast(dim),
+            fact["o_orderstatus"] == dim["k"],
+        )
+        .filter(F.col("status_name") == "closed")
+        .groupBy("status_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+    pruned = "dynamicpruning" in plan_string(j).lower()
+    return j.withColumn("dpp_applied", F.lit(pruned))
 
 
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,6 +434,7 @@ QUERIES = {
     "join_theta": join_theta,
     "join_asof": join_asof,
     "join_asof_forward": join_asof_forward,
+    "join_partition_pruned": join_partition_pruned,
     "join_range": join_range,
 }
 
@@ -473,6 +518,13 @@ ORACLE = {
         ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "join_partition_pruned": """
+        SELECT 'closed' AS status_name, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_price,
+               true AS dpp_applied
+        FROM orders WHERE o_orderstatus = 'F'
     """,
     "join_asof_forward": """
         SELECT c.event_id, c.user_id, c.ts,

@@ -157,6 +157,9 @@ _PRIORITY = [
     "layout_zorder",
     "join_asof_forward",
     "win_time_range",
+    "seq_pattern_detect",
+    "agg_histogram",
+    "join_partition_pruned",
 ]
 
 

@@ -666,3 +666,39 @@ def test_win_time_range_bounds(spark, sf_dir):
 
     rows = windows.win_time_range(spark, sf_dir).collect()
     assert all(r["n_trailing_1h"] >= 1 for r in rows)  # frame includes self
+
+
+def test_seq_pattern_hits_subset_of_clicks(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import analytics
+    from pyspark.sql import functions as F
+
+    rows = analytics.seq_pattern_detect(spark, sf_dir).collect()
+    clicks = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .count()
+    )
+    nc = {r["user_id"]: r["count"] for r in clicks.collect()}
+    for r in rows:
+        assert r["n_matches"] <= nc.get(r["user_id"], 0)
+        if r["n_matches"] > 0:
+            assert r["first_match_ts"] is not None
+
+
+def test_histogram_covers_all_rows(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import aggregates
+
+    rows = aggregates.agg_histogram(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in rows) == t(spark, sf_dir, "lineitem").count()
+    assert all(0 <= r["bucket"] <= 19 for r in rows)
+
+
+def test_dpp_plan_applied(spark, sf_dir):
+    from datafusion_test_spark.operators import joins
+
+    r = joins.join_partition_pruned(spark, sf_dir).collect()[0]
+    assert r["dpp_applied"], "dynamic partition pruning must appear in the plan"
+    assert r["n_orders"] > 0
