@@ -151,3 +151,54 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     )
     # whole-stage codegen shows as "*(stage)" markers in the plan string
     assert "*(1)" in _plan(df)
+
+
+def test_bloom_prefilter_is_broadcast_probe(spark, sf_dir):
+    """join_bloom's bucket probe and its exact join must BOTH broadcast —
+    the fact side is never shuffled."""
+    from datafusion_test_spark.operators import maintenance
+
+    plan = _plan(maintenance.join_bloom(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    """The eval-set n-gram probe must be a broadcast join: eval sets are
+    MBs while the corpus is TBs."""
+    from datafusion_test_spark.pipeline import curation
+
+    plan = _plan(curation.text_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_partial_aggregate(spark, sf_dir):
+    """Map-side partial counting must combine before the one shuffle."""
+    from datafusion_test_spark.pipeline import quality
+
+    plan = _plan(quality.agg_heavy_hitters(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate(keys=[user_id" in plan
+
+
+def test_split_assignment_is_map_side(spark, sf_dir):
+    """split_train_holdout: exactly one Exchange (the audit aggregate) —
+    the split assignment itself must not shuffle."""
+    from datafusion_test_spark.pipeline import quality
+
+    plan = _plan(quality.split_train_holdout(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange only
+
+
+def test_time_range_window_single_sort(spark, sf_dir):
+    from datafusion_test_spark.operators import windows
+
+    plan = _plan(windows.win_time_range(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_scd2_single_exchange_for_all_windows(spark, sf_dir):
+    """lag + lead + row_number share one (user_id) exchange + sort."""
+    from datafusion_test_spark.operators import maintenance
+
+    plan = _plan(maintenance.scd2_build(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
