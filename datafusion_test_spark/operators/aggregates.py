@@ -353,6 +353,55 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mode, "l_returnflag")
 
 
+def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate set INTERSECTION from union-only HLL sketches via
+    inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B| — the sketch-algebra
+    identity that answers audience-overlap questions (clickers ∩ buyers)
+    from per-segment sketches WITHOUT rescanning raw keys.  HLL only
+    unions; intersection error compounds (~rse·√3·|A∪B|), so the oracle
+    asserts a 10% band against the exact overlap plus exact anchors.
+
+    At 100 TB the three sketches come from the persisted per-day sketch
+    table (agg_hll_merge's pattern); this query touches no raw data.
+    """
+    e = table(spark, sf_dir, "events")
+    lgk = F.lit(12)
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("event_type") == "purchase")
+    est = (
+        a.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", lgk)).alias("ea"))
+        .crossJoin(
+            b.agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id", lgk)).alias(
+                    "eb"
+                )
+            )
+        )
+        .crossJoin(
+            a.unionByName(b).agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id", lgk)).alias(
+                    "eu"
+                )
+            )
+        )
+    )
+    exact = (
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    # the estimate itself is sketch-state-dependent and NOT hash-stable
+    # cross-engine; the driver-checked output is the exact anchor + the
+    # tolerance boolean (same policy as agg_approx_distinct/agg_hll_merge)
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_overlap",
+        (
+            F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("exact_overlap"))
+            <= 0.10 * F.col("exact_overlap") + F.lit(3.0)
+        ).alias("within_10pct"),
+    )
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) of
     l_extendedprice per return flag — the exact anchor next to the
@@ -493,6 +542,7 @@ QUERIES = {
     "agg_count_min": agg_count_min,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
+    "agg_hll_intersect": agg_hll_intersect,
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
     "agg_count_distinct": agg_count_distinct,
@@ -514,6 +564,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_hll_intersect": """
+        SELECT CAST((SELECT count(*) FROM (
+                   SELECT user_id FROM events WHERE event_type = 'click'
+                   INTERSECT
+                   SELECT user_id FROM events WHERE event_type = 'purchase'
+               )) AS BIGINT) AS exact_overlap,
+               true AS within_10pct
+    """,
     "agg_histogram": """
         WITH b AS (
             SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi

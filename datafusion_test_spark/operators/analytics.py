@@ -130,13 +130,135 @@ def seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated by any
+    earlier-day order with an at-most-equal price — 'was this the cheapest
+    order seen so far?'.  The O(n log n) window phrasing: running MIN of
+    price over STRICTLY earlier days via an integer-day RANGE frame,
+    versus the naive O(n²) self-join a skyline is usually written as.
+    One shuffle (the global sort); day granularity keeps the strictness
+    predicate integral and exact.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    w = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+    m = o.withColumn("best_earlier", F.min("o_totalprice").over(w))
+    return m.filter(
+        F.col("best_earlier").isNull()
+        | (F.col("o_totalprice") < F.col("best_earlier"))
+    ).select("o_orderkey", "day", "o_totalprice")
+
+
+def interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coverage (union of overlapping intervals): each event
+    opens a 10-minute activity interval; overlapping intervals per user
+    merge into maximal islands.  The gaps-and-islands phrasing: running
+    MAX of interval end over preceding rows, a new island wherever the
+    next start exceeds it, cumulative-sum island ids — two window passes
+    over ONE (user_id) exchange, all integer microseconds (exact).
+    Output: per-user island count and total covered seconds.
+    """
+    from pyspark.sql import Window
+
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prevmax = (
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prevmax.isNull() | (F.col("s") > prevmax), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("is_e") - F.col("is_s")).alias("covered_us"),
+        F.max(F.col("is_e") - F.col("is_s")).alias("longest_us"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "agg_retention_cohort": agg_retention_cohort,
     "seq_pattern_detect": seq_pattern_detect,
+    "skyline_pareto": skyline_pareto,
+    "interval_union": interval_union,
 }
 
 ORACLE = {
+    "skyline_pareto": """
+        WITH o AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                        AS INTEGER) AS day
+            FROM orders
+        ),
+        m AS (
+            SELECT o_orderkey, day, o_totalprice,
+                   min(o_totalprice) OVER (
+                       ORDER BY day
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_earlier
+            FROM o
+        )
+        SELECT o_orderkey, day, o_totalprice
+        FROM m
+        WHERE best_earlier IS NULL OR o_totalprice < best_earlier
+    """,
+    "interval_union": """
+        WITH iv AS (
+            SELECT user_id,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts) + 600000000 AS e
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, s, e,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        lab AS (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM marked
+        ),
+        islands AS (
+            SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+            FROM lab GROUP BY user_id, island
+        )
+        SELECT user_id, count(*) AS n_islands,
+               CAST(SUM(is_e - is_s) AS BIGINT) AS covered_us,
+               CAST(MAX(is_e - is_s) AS BIGINT) AS longest_us
+        FROM islands GROUP BY user_id
+    """,
     "seq_pattern_detect": """
         WITH m AS (
             SELECT user_id, event_type, ts,

@@ -160,6 +160,9 @@ _PRIORITY = [
     "seq_pattern_detect",
     "agg_histogram",
     "join_partition_pruned",
+    "agg_hll_intersect",
+    "skyline_pareto",
+    "interval_union",
 ]
 
 

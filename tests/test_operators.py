@@ -702,3 +702,38 @@ def test_dpp_plan_applied(spark, sf_dir):
     r = joins.join_partition_pruned(spark, sf_dir).collect()[0]
     assert r["dpp_applied"], "dynamic partition pruning must appear in the plan"
     assert r["n_orders"] > 0
+
+
+def test_skyline_no_dominated_member(spark, sf_dir):
+    from datafusion_test_spark.operators import analytics
+
+    rows = analytics.skyline_pareto(spark, sf_dir).collect()
+    assert rows
+    # pairwise: no member strictly dominated (earlier day AND <= price)
+    for a in rows:
+        for b in rows:
+            if b["day"] < a["day"]:
+                assert b["o_totalprice"] > a["o_totalprice"]
+
+
+def test_interval_union_bounds(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import analytics
+
+    rows = analytics.interval_union(spark, sf_dir).collect()
+    per_user = (
+        t(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    )
+    nev = {r["user_id"]: r["count"] for r in per_user}
+    for r in rows:
+        assert 1 <= r["n_islands"] <= nev[r["user_id"]]
+        # coverage within [one interval, n * interval]
+        assert 600_000_000 <= r["covered_us"] <= nev[r["user_id"]] * 600_000_000
+        assert r["longest_us"] >= 600_000_000
+
+
+def test_hll_intersect_within_band(spark, sf_dir):
+    from datafusion_test_spark.operators import aggregates
+
+    r = aggregates.agg_hll_intersect(spark, sf_dir).collect()[0]
+    assert r["within_10pct"] and r["exact_overlap"] >= 0
