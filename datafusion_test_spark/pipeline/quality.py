@@ -154,13 +154,154 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 32   # tokens per training chunk
+_STRIDE = 24  # chunk stride (overlap = _CHUNK - _STRIDE)
+_VOCAB_K = 20  # vocabulary size for text_vocab_build
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking — the context-window sharding step
+    of LLM training prep: documents split into 32-token chunks at stride
+    24 (8-token overlap keeps boundary context), provenance preserved as
+    (doc_id, chunk_idx).  Map-side only: the chunk explode is bounded by
+    ceil(tokens/stride) per document and never shuffles; at 100 TB the
+    chunk stream feeds seq_pack's bin packing directly.
+
+    Output stays scalar (counts + boundary tokens) — chunk token arrays
+    are the payload in production but arrays are not driver-hashable.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    chunks = d.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("w") - F.lit(1)) / F.lit(_STRIDE)).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _STRIDE + 1
+    toks = F.slice("w", start, F.lit(_CHUNK))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(toks).alias("n_tokens"),
+        F.element_at("w", start).alias("first_tok"),
+        F.element_at(
+            "w", F.least(F.col("chunk_idx") * _STRIDE + _CHUNK, F.col("n_words"))
+        ).alias("last_tok"),
+    )
+
+
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary construction with contiguous ids and a
+    corpus OOV (out-of-vocabulary) rate — the tokenizer-table build.  One
+    explode + one map-side-combined count shuffle; the rank window runs
+    over the K surviving rows.  Coverage (vocab tokens / all tokens) rides
+    on every row so the OOV rate is driver-verified.
+    """
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    vocab = (
+        words.withColumn("vocab_id", F.row_number().over(w))
+        .filter(F.col("vocab_id") <= _VOCAB_K)
+    )
+    totals = words.agg(F.sum("freq").alias("n_total"))
+    covered = vocab.agg(F.sum("freq").alias("n_covered"))
+    cov = F.broadcast(totals).crossJoin(F.broadcast(covered))
+    return vocab.crossJoin(cov).select(
+        "word",
+        "freq",
+        "vocab_id",
+        F.round(
+            F.lit(1.0) - F.col("n_covered") / F.col("n_total").cast("double"), 4
+        ).alias("oov_rate"),
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a NEW batch (doc_id % 5 >= 3) checked
+    against the historical corpus index (doc_id % 5 < 3) by exact text
+    key — the daily-crawl shape where only the delta is fingerprinted and
+    the history is a persisted index joined by hash key, never rescanned
+    as text.  Left join against the index's min-doc_id representative;
+    at scale the index side is bucketed on the text hash so the probe is
+    shuffle-free (join_bucketed's layout).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 5 < 3)
+    new = d.filter(F.col("doc_id") % 5 >= 3)
+    index = old.groupBy("text").agg(F.min("doc_id").alias("dup_of"))
+    return new.join(index, "text", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
 QUERIES = {
     "text_quality_gopher": text_quality_gopher,
     "split_train_holdout": split_train_holdout,
     "agg_heavy_hitters": agg_heavy_hitters,
+    "text_chunk_overlap": text_chunk_overlap,
+    "text_vocab_build": text_vocab_build,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE = {
+    "text_chunk_overlap": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        c AS (
+            SELECT doc_id, len(w) AS n_words, w, g AS chunk_idx
+            FROM d, (SELECT unnest(range(0, 64)) AS g)
+            WHERE g * {_STRIDE} < len(w)
+        )
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(len(list_slice(w, chunk_idx * {_STRIDE} + 1,
+                    LEAST(chunk_idx * {_STRIDE} + {_CHUNK}, n_words)))
+                    AS INTEGER) AS n_tokens,
+               w[chunk_idx * {_STRIDE} + 1] AS first_tok,
+               w[LEAST(chunk_idx * {_STRIDE} + {_CHUNK}, n_words)] AS last_tok
+        FROM c
+    """,
+    "text_vocab_build": f"""
+        WITH words AS (
+            SELECT w AS word, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        ),
+        v AS (
+            SELECT word, freq,
+                   CAST(row_number() OVER (ORDER BY freq DESC, word ASC)
+                        AS INTEGER) AS vocab_id
+            FROM words QUALIFY vocab_id <= {_VOCAB_K}
+        )
+        SELECT word, freq, vocab_id,
+               round(1.0 - (SELECT SUM(freq) FROM v)
+                         / (SELECT CAST(SUM(freq) AS DOUBLE) FROM words), 4)
+                   AS oov_rate
+        FROM v
+    """,
+    "dedup_incremental": """
+        WITH idx AS (
+            SELECT text, min(doc_id) AS dup_of
+            FROM documents WHERE doc_id % 5 < 3 GROUP BY text
+        )
+        SELECT d.doc_id, (idx.dup_of IS NOT NULL) AS is_dup, idx.dup_of
+        FROM documents d LEFT JOIN idx ON d.text = idx.text
+        WHERE d.doc_id % 5 >= 3
+    """,
     "text_quality_gopher": f"""
         WITH t AS (
             SELECT doc_id,

@@ -163,6 +163,9 @@ _PRIORITY = [
     "agg_hll_intersect",
     "skyline_pareto",
     "interval_union",
+    "text_chunk_overlap",
+    "text_vocab_build",
+    "dedup_incremental",
 ]
 
 

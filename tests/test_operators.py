@@ -737,3 +737,52 @@ def test_hll_intersect_within_band(spark, sf_dir):
 
     r = aggregates.agg_hll_intersect(spark, sf_dir).collect()[0]
     assert r["within_10pct"] and r["exact_overlap"] >= 0
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.pipeline import quality
+    from pyspark.sql import functions as F
+
+    chunks = quality.text_chunk_overlap(spark, sf_dir).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc, cs in by_doc.items():
+        cs.sort(key=lambda c: c["chunk_idx"])
+        assert cs[0]["chunk_idx"] == 0
+        # stride coverage: chunk i starts at i*24; last chunk reaches the end
+        covered = (len(cs) - 1) * 24 + cs[-1]["n_tokens"]
+        assert covered == n_words[doc]
+        assert all(c["n_tokens"] <= 32 for c in cs)
+
+
+def test_vocab_ids_contiguous_and_oov_consistent(spark, sf_dir):
+    from datafusion_test_spark.pipeline import quality
+
+    rows = sorted(
+        quality.text_vocab_build(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_id"],
+    )
+    assert [r["vocab_id"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert len({r["oov_rate"] for r in rows}) == 1 and rows[0]["oov_rate"] >= 0
+
+
+def test_incremental_dedup_flags_cross_batch_dups(spark, sf_dir):
+    from datafusion_test_spark.pipeline import quality
+
+    rows = quality.dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["is_dup"]:
+            assert r["dup_of"] is not None and r["dup_of"] % 5 < 3
+        else:
+            assert r["dup_of"] is None
