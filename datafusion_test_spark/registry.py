@@ -180,7 +180,12 @@ def _collect() -> tuple[dict, dict]:
 
             print(f"[registry] skipping {modname}: {exc!r}", file=sys.stderr)
             continue
-        queries.update(getattr(mod, "QUERIES", {}))
+        mod_q = getattr(mod, "QUERIES", {})
+        dup = set(mod_q) & set(queries)
+        # a name declared twice would silently shadow the earlier operator
+        # (and its oracle could pair with the WRONG query) — fail loudly
+        assert not dup, f"duplicate registry names from {modname}: {sorted(dup)}"
+        queries.update(mod_q)
         oracles.update(getattr(mod, "ORACLE", {}))
     # a stale/typo'd priority name must fail loudly, not silently demote the
     # entry to the back of the driver's ~50-entry correctness budget

@@ -69,3 +69,17 @@ def test_conjunctive_filter_composes(spark, sf_dir, p, q):
     chained = li.filter(_pred(*p)).filter(_pred(*q))
     combined = li.filter(_pred(*p) & _pred(*q))
     assert chained.count() == combined.count()
+
+
+def test_registry_consistency():
+    """Every oracle pairs with a declared query; no orphans, no duplicate
+    names across operator modules (asserted inside _collect), and every
+    oracle is a non-empty SELECT/WITH statement."""
+    from datafusion_test_spark import registry
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        head = sql.strip().split(None, 1)[0].upper()
+        assert head in ("SELECT", "WITH"), f"{name}: oracle must be a query"
