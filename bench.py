@@ -86,6 +86,13 @@ HEADLINE = [
     "join_bloom",
     "fn_bitmap",
     "stream_join_outer",
+    "rollup_gapfill",
+    "agg_count_min",
+    "funnel_conversion",
+    "interval_union",
+    "layout_zorder",
+    "join_partition_pruned",
+    "text_chunk_overlap",
 ]
 
 

@@ -231,11 +231,71 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training-shard funnel — quality gate -> exact dedup
+    -> deterministic split -> token-budget bin packing, i.e. the
+    composition of text_quality_gopher, dedup_exact's keep-list,
+    split_train_holdout, and seq_pack into the one job a data team
+    actually ships.  Each stage reuses the standalone operator's exact
+    semantics, so the composite is SQL-oracle-checkable end to end.
+
+    Scale shape: the quality flags and split are map-side; dedup is one
+    text-key shuffle; packing is the two-phase distributed prefix sum
+    (NO global-order window).  Stages fuse: Catalyst pipelines the gate
+    and split into the dedup shuffle's map side.
+    """
+    from .quality import text_quality_gopher
+
+    passing = text_quality_gopher(spark, sf_dir).filter(
+        F.col("pass_quality")
+    ).select("doc_id", F.col("n_words").alias("tok"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_text = passing.join(docs, "doc_id")
+    w = Window.partitionBy("text")
+    deduped = (
+        with_text.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("keeper") == F.col("doc_id"))
+        .select("doc_id", "tok")
+    )
+    draw = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    train = deduped.filter(draw < "cccccccc")
+
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranged = (
+        train.repartitionByRange(par, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "lpre", F.coalesce(F.sum("tok").over(w_local), F.lit(0))
+    )
+    ptot = local.groupBy("pid").agg(F.sum("tok").alias("ptok"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.withColumn(
+        "off", F.coalesce(F.sum("ptok").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    packed = local.join(F.broadcast(offs), "pid").withColumn(
+        "shard_id", F.expr(f"(lpre + off) div {_BIN_TOKENS}")
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
     "text_contamination": text_contamination,
     "seq_pack": seq_pack,
     "domain_mix": domain_mix,
     "dedup_url": dedup_url,
+    "pipeline_training_shards": pipeline_training_shards,
 }
 
 _G5 = sql_shingles("text", n=5)
@@ -250,6 +310,61 @@ def _mix_copies_sql() -> str:
             f"CASE WHEN draw < '{_frac_threshold_hex(r)}' THEN 1 ELSE 0 END"
         )
     return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+def _shards_oracle() -> str:
+    from .quality import _DISTINCT_20X, _MIN_WORDS, _MWL_HI, _MWL_LO, _TOP_10X
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   length(replace(text, ' ', '')) AS n_alpha
+            FROM documents
+        ),
+        tw AS (
+            SELECT doc_id, max(c) AS top_cnt FROM (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w
+            ) GROUP BY doc_id
+        ),
+        passing AS (
+            SELECT t.doc_id, t.text, t.n_words AS tok
+            FROM t JOIN tw ON t.doc_id = tw.doc_id
+            WHERE t.n_words >= {_MIN_WORDS}
+              AND 20 * t.n_distinct >= {_DISTINCT_20X} * t.n_words
+              AND t.n_alpha >= {_MWL_LO} * t.n_words
+              AND t.n_alpha <= {_MWL_HI} * t.n_words
+              AND 10 * tw.top_cnt <= {_TOP_10X} * t.n_words
+        ),
+        deduped AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, tok,
+                       min(doc_id) OVER (PARTITION BY text) AS keeper
+                FROM passing
+            ) WHERE doc_id = keeper
+        ),
+        train AS (
+            SELECT doc_id, tok FROM deduped
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        ),
+        packed AS (
+            SELECT doc_id, tok,
+                   COALESCE(SUM(tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {_BIN_TOKENS} AS shard_id
+            FROM train
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS tok_sum,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM packed GROUP BY shard_id
+    """
+
 
 ORACLE = {
     "text_contamination": f"""
@@ -348,4 +463,5 @@ ORACLE = {
         SELECT norm_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM n GROUP BY norm_url
     """,
+    "pipeline_training_shards": _shards_oracle(),
 }

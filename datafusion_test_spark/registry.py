@@ -166,6 +166,7 @@ _PRIORITY = [
     "text_chunk_overlap",
     "text_vocab_build",
     "dedup_incremental",
+    "pipeline_training_shards",
 ]
 
 

