@@ -306,8 +306,25 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_ci.crossJoin(F.broadcast(counts))
 
 
+def fn_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generator (explode_outer): documents keep a row
+    even when their generated list is empty — the LEFT-JOIN-shaped
+    explode every fan-out that must not drop parents needs (a plain
+    explode silently loses empty-list rows, a classic lineage bug).
+    Long words (>= 8 chars) are the generated list; short-only documents
+    surface with a NULL word."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split("text", " "), lambda w: F.length(w) >= 8
+        ).alias("lw"),
+    )
+    return d.select("doc_id", F.explode_outer("lw").alias("word"))
+
+
 QUERIES = {
     "fn_collation": fn_collation,
+    "fn_generator_outer": fn_generator_outer,
     "fn_string": fn_string,
     "fn_regex": fn_regex,
     "fn_date": fn_date,
@@ -324,6 +341,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_generator_outer": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               w -> length(w) >= 8) AS lw
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(CASE WHEN len(lw) = 0
+                           THEN [CAST(NULL AS VARCHAR)] ELSE lw END) AS word
+        FROM d
+    """,
     "fn_collation": """
         WITH u AS (
             SELECT doc_id,

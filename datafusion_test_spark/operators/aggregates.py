@@ -402,6 +402,30 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures in long
+    format — the feature-correlation profile.  All pairs compute in ONE
+    aggregate pass (partial moments combine map-side); round(…,4) per the
+    _util AVG/STDDEV policy."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 4).alias(f"{a}__{b}"))
+    wide = li.groupBy().agg(*aggs)
+    pairs = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            row = wide.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"{a}__{b}").alias("pearson_r"),
+            )
+            pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) of
     l_extendedprice per return flag — the exact anchor next to the
@@ -543,6 +567,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
     "agg_hll_intersect": agg_hll_intersect,
+    "agg_corr_matrix": agg_corr_matrix,
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
     "agg_count_distinct": agg_count_distinct,
@@ -564,6 +589,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_corr_matrix": """
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, round(corr(l_quantity, l_discount), 4) AS pearson_r FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, round(corr(l_quantity, l_tax), 4) AS pearson_r FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, round(corr(l_extendedprice, l_discount), 4) AS pearson_r FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, round(corr(l_extendedprice, l_tax), 4) AS pearson_r FROM lineitem
+        UNION ALL
+        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, round(corr(l_discount, l_tax), 4) AS pearson_r FROM lineitem
+    """,
     "agg_hll_intersect": """
         SELECT CAST((SELECT count(*) FROM (
                    SELECT user_id FROM events WHERE event_type = 'click'

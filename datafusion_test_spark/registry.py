@@ -167,6 +167,8 @@ _PRIORITY = [
     "text_vocab_build",
     "dedup_incremental",
     "pipeline_training_shards",
+    "agg_corr_matrix",
+    "fn_generator_outer",
 ]
 
 

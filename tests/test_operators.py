@@ -803,3 +803,21 @@ def test_training_shards_budget_and_order(spark, sf_dir):
     # every full shard's token sum stays within [budget, budget + max doc)
     for r in rows[:-1]:
         assert r["tok_sum"] >= 1
+
+
+def test_corr_matrix_bounds(spark, sf_dir):
+    from datafusion_test_spark.operators import aggregates
+
+    rows = aggregates.agg_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(-1.0 <= r["pearson_r"] <= 1.0 for r in rows)
+
+
+def test_generator_outer_keeps_empty_docs(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.functions import scalar
+
+    rows = scalar.fn_generator_outer(spark, sf_dir).collect()
+    docs_in = t(spark, sf_dir, "documents").count()
+    assert len({r["doc_id"] for r in rows}) == docs_in, "no parent dropped"
+    assert any(r["word"] is None for r in rows), "empty lists surface as NULL"
