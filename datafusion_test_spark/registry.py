@@ -169,6 +169,7 @@ _PRIORITY = [
     "pipeline_training_shards",
     "agg_corr_matrix",
     "fn_generator_outer",
+    "scan_json_corrupt",
 ]
 
 

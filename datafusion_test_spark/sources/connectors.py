@@ -79,6 +79,52 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with corrupt-record capture — crawl and
+    log feeds ALWAYS contain broken lines, and a 100 TB load must land
+    them in a quarantine column instead of failing the job (FAILFAST) or
+    silently dropping them (DROPMALFORMED).  A JSONL copy of documents
+    gets one malformed line per 50 docs injected; the scan keeps good
+    rows typed and surfaces bad lines via _corrupt_record.
+
+    The corrupt count and the good-row aggregate are both exact and
+    SQL-derivable (the injection rule is deterministic), so the oracle
+    verifies the quarantine accounting itself."""
+    base = tempfile.mkdtemp(prefix="dfts_jsonc_")
+    path = os.path.join(base, "docs.jsonl")
+    rows = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(
+                f'{{"doc_id": {r["doc_id"]}, "lang": "{r["lang"]}", '
+                f'"n_chars": {r["n_chars"]}}}\n'
+            )
+            if r["doc_id"] % 50 == 0:
+                f.write('{"doc_id": broken-not-json\n')
+    schema = (
+        "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
+    )
+    rt = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return rt.groupBy().agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("doc_id").alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
 def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot/time-travel reads over a versioned table layout — the
     poor-man's table format: every commit writes a full snapshot directory
@@ -409,6 +455,7 @@ QUERIES = {
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "layout_zonemap": layout_zonemap,
     "scan_schema_evolution": scan_schema_evolution,
+    "scan_json_corrupt": scan_json_corrupt,
     "scan_time_travel": scan_time_travel,
     "catalog_stats": catalog_stats,
     "layout_zorder": layout_zorder,
@@ -449,6 +496,16 @@ ORACLE = {
                true AS stats_rows_match,
                true AS ndv_within_10pct
         FROM orders
+    """,
+    "scan_json_corrupt": """
+        SELECT (SELECT count(*) FROM documents)
+                 + (SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
+                 AS n_lines,
+               (SELECT count(*) FROM documents) AS n_good,
+               CAST((SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
+                    AS BIGINT) AS n_corrupt,
+               CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT)
+                   AS chars_sum
     """,
     "scan_time_travel": f"""
         SELECT o_orderstatus, count(*) AS n_orders,

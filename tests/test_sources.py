@@ -103,3 +103,14 @@ def test_zorder_locality_and_exact_z(spark, sf_dir):
     assert all(r["two_dim_locality"] and r["files_ok"] for r in rows)
     for r in rows:
         assert r["z_min"] <= r["z_max"] and r["n_orders"] > 0
+
+
+def test_json_corrupt_quarantine_accounting(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.sources import connectors
+
+    r = connectors.scan_json_corrupt(spark, sf_dir).collect()[0]
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert r["n_good"] == n_docs
+    assert r["n_corrupt"] >= 1
+    assert r["n_lines"] == r["n_good"] + r["n_corrupt"]
