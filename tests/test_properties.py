@@ -1,0 +1,51 @@
+"""Property-based tests (hypothesis) for the pure cross-engine helpers —
+the hex-draw thresholds, Morton interleave SQL, and LSH sizing that the
+oracle determinism contract leans on."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_test_spark.pipeline._expr import lsh_bits
+from datafusion_test_spark.pipeline.curation import _frac_threshold_hex
+from datafusion_test_spark.sources.connectors import _Z_SQL
+
+
+@given(st.floats(min_value=0.0, max_value=4.0, allow_nan=False))
+def test_frac_threshold_hex_is_fraction_exact(rate):
+    t = _frac_threshold_hex(rate)
+    assert len(t) == 8 and t == t.lower()
+    frac = rate - int(rate)
+    assert abs(int(t, 16) / 16**8 - frac) <= 1.0 / 16**8 + 1e-12
+
+
+def _morton_ref(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+def test_z_interleave_sql_matches_reference(x, y):
+    got = duckdb.sql(f"SELECT {_Z_SQL} AS z FROM (SELECT {x} AS zx, {y} AS zy)").fetchone()[0]
+    assert got == _morton_ref(x, y)
+
+
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+def test_morton_locality_monotone_in_each_dim_prefix(x, y):
+    # z-order preserves per-dimension bit-prefix ordering: doubling a
+    # coordinate's high bit always raises z past any lower-half value
+    assert _morton_ref(x | 0x80, y) > _morton_ref(x & 0x7F, y)
+    assert _morton_ref(x, y | 0x80) > _morton_ref(x, y & 0x7F)
+
+
+@given(st.integers(min_value=1, max_value=10**12))
+def test_lsh_bits_monotone_and_clamped(n):
+    b = lsh_bits(n)
+    assert 8 <= b <= 24
+    assert lsh_bits(n * 2) >= b
