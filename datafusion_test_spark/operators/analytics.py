@@ -38,9 +38,6 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
-            "_t_click_any"
-        ),
     )
     # stage 2/3 must happen AFTER the previous stage's time: re-aggregate
     # conditionally against the per-user anchors (broadcast back onto the

@@ -132,14 +132,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        "event_id", "user_id", "ts", "value"
     )
 
+    # the purchase's OWN event_id rides along so the window order is total
+    # even for two purchases at the same (user_id, ts) — a NULL here made
+    # the carried p_value partitioning-dependent on ts ties
     tagged = purchases.select(
         "user_id",
         "ts",
         F.lit(0).alias("is_click"),
-        F.lit(None).cast("long").alias("event_id"),
+        "event_id",
         F.col("ts").alias("p_ts"),
         F.col("value").alias("p_value"),
     ).unionByName(
@@ -224,13 +227,16 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        "event_id", "user_id", "ts", "value"
     )
+    # the purchase's OWN event_id rides along so the window order is total
+    # even for two purchases at the same (user_id, ts) — a NULL here made
+    # the carried p_value partitioning-dependent on ts ties
     tagged = purchases.select(
         "user_id",
         "ts",
         F.lit(0).alias("is_click"),
-        F.lit(None).cast("long").alias("event_id"),
+        "event_id",
         F.col("ts").alias("p_ts"),
         F.col("value").alias("p_value"),
     ).unionByName(
@@ -329,9 +335,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_qty"),
+            dsum(F.col("l_quantity"), "sum_qty"),
         )
     )
 
@@ -378,9 +382,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_price"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
         )
     )
     plan = plan_string(joined)

@@ -88,16 +88,20 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing: documents in doc_id order fill
-    _BIN_TOKENS-token training bins; bin id = exclusive-prefix-sum(tokens)
-    div budget.  Deterministic, and the bin assignment is independent of
-    the physical partitioning (the prefix sum is over the logical doc_id
-    order).  Returns per-bin packing stats.
+def _pack_bins(
+    spark: SparkSession, d: DataFrame, bin_col: str = "bin_id"
+) -> DataFrame:
+    """Two-phase DISTRIBUTED exclusive prefix sum over (doc_id, tok) ->
+    token-budget bin assignment (shared by seq_pack and
+    pipeline_training_shards so the packing semantics cannot drift).
+
+    Range-repartition by doc_id (ranges ordered by partition id), local
+    prefix sums via a pid-partitioned window, per-partition totals turned
+    into offsets by a #partitions-row global window, broadcast back.  The
+    bin id is a pure function of the logical doc_id order — independent
+    of physical partitioning — and NO window ever sees more than a
+    partition (the global-ORDER-BY single-partition trap, avoided).
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("tok")
-    )
     par = max(4, spark.sparkContext.defaultParallelism // 4)
     ranged = (
         d.repartitionByRange(par, "doc_id")
@@ -119,14 +123,27 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off", F.coalesce(F.sum("ptok").over(w_off), F.lit(0))
     ).select("pid", "off")
     packed = local.join(F.broadcast(offs), "pid").withColumn(
-        "bin_id", F.expr(f"(lpre + off) div {_BIN_TOKENS}")
+        bin_col, F.expr(f"(lpre + off) div {_BIN_TOKENS}")
     )
-    return packed.groupBy("bin_id").agg(
+    return packed.groupBy(bin_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("tok_sum"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents in doc_id order fill
+    _BIN_TOKENS-token training bins; bin id = exclusive-prefix-sum(tokens)
+    div budget.  Deterministic, and the bin assignment is independent of
+    the physical partitioning (the prefix sum is over the logical doc_id
+    order; see _pack_bins).  Returns per-bin packing stats.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    return _pack_bins(spark, d)
 
 
 # Target sampling rate per language for domain_mix: <1 downsamples,
@@ -244,7 +261,7 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NO global-order window).  Stages fuse: Catalyst pipelines the gate
     and split into the dedup shuffle's map side.
     """
-    from .quality import text_quality_gopher
+    from .quality import _TRAIN_HEX, text_quality_gopher
 
     passing = text_quality_gopher(spark, sf_dir).filter(
         F.col("pass_quality")
@@ -258,36 +275,8 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok")
     )
     draw = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    train = deduped.filter(draw < "cccccccc")
-
-    par = max(4, spark.sparkContext.defaultParallelism // 4)
-    ranged = (
-        train.repartitionByRange(par, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "lpre", F.coalesce(F.sum("tok").over(w_local), F.lit(0))
-    )
-    ptot = local.groupBy("pid").agg(F.sum("tok").alias("ptok"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ptot.withColumn(
-        "off", F.coalesce(F.sum("ptok").over(w_off), F.lit(0))
-    ).select("pid", "off")
-    packed = local.join(F.broadcast(offs), "pid").withColumn(
-        "shard_id", F.expr(f"(lpre + off) div {_BIN_TOKENS}")
-    )
-    return packed.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tok").alias("tok_sum"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
+    train = deduped.filter(draw < _TRAIN_HEX)
+    return _pack_bins(spark, train, bin_col="shard_id")
 
 
 QUERIES = {
@@ -312,7 +301,14 @@ def _mix_copies_sql() -> str:
     return "CASE " + " ".join(whens) + " ELSE 0 END"
 
 def _shards_oracle() -> str:
-    from .quality import _DISTINCT_20X, _MIN_WORDS, _MWL_HI, _MWL_LO, _TOP_10X
+    from .quality import (
+        _DISTINCT_20X,
+        _MIN_WORDS,
+        _MWL_HI,
+        _MWL_LO,
+        _TOP_10X,
+        _TRAIN_HEX,
+    )
 
     return f"""
         WITH t AS (
@@ -348,7 +344,7 @@ def _shards_oracle() -> str:
         ),
         train AS (
             SELECT doc_id, tok FROM deduped
-            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_TRAIN_HEX}'
         ),
         packed AS (
             SELECT doc_id, tok,

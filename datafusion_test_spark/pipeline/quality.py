@@ -262,9 +262,15 @@ ORACLE = {
         WITH d AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
         ),
+        -- chunk-index domain derived from the longest document, never a
+        -- literal cap: a fixed range would silently truncate long docs
+        g AS (
+            SELECT unnest(range(0,
+                (SELECT max(len(w)) // {_STRIDE} + 1 FROM d))) AS g
+        ),
         c AS (
             SELECT doc_id, len(w) AS n_words, w, g AS chunk_idx
-            FROM d, (SELECT unnest(range(0, 64)) AS g)
+            FROM d, g
             WHERE g * {_STRIDE} < len(w)
         )
         SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,

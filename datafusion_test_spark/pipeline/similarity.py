@@ -240,6 +240,11 @@ def _ivf_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     ).select("vec_id", (-F.col("best.ncid")).alias("cid"))
 
 
+# live caches of the most recent sim_ivf invocation (released lazily at the
+# START of the next invocation — see sim_ivf)
+_IVF_CACHES: list = []
+
+
 def ivf_centroids(
     spark: SparkSession, vecs: DataFrame, k: int = 16, iters: int = 2
 ) -> DataFrame:
@@ -266,6 +271,7 @@ def ivf_centroids(
             F.col("embedding").alias("cvec"),
         )
     )
+    prev = None
     for _ in range(iters):
         assign = _ivf_assign(vecs, cent)
         cent = (
@@ -282,6 +288,12 @@ def ivf_centroids(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # materialize the new round (k rows), THEN drop the previous one:
+        # unpersisting first would force the next round to recompute it
+        cent.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cent
     return cent
 
 
@@ -297,6 +309,12 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, assignment, probing, and ranking.  `probed_subset` asserts
     the probe actually pruned the corpus (ANN, not a rebranded full scan).
     """
+    # caches from the PREVIOUS invocation are released here: the returned
+    # DataFrame still references assign/cand, so they cannot be unpersisted
+    # inside their own invocation, but repeated registry/bench runs must
+    # not accumulate dead cached blocks in executor storage
+    while _IVF_CACHES:
+        _IVF_CACHES.pop().unpersist()
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = ivf_centroids(spark, e)
     assign = _ivf_assign(e, cent).persist(StorageLevel.MEMORY_AND_DISK)
@@ -328,6 +346,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total"))).crossJoin(
         F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_probed")))
     )
+    _IVF_CACHES.extend([cent, assign, cand])
     return top1.crossJoin(counts).select(
         F.col("qid").alias("query_id"),
         (F.col("vec_id") == F.col("qid")).alias("self_is_top"),

@@ -176,25 +176,37 @@ _PRIORITY = [
 def _collect() -> tuple[dict, dict]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
+    skipped: dict[str, str] = {}
     for modname in _MODULES:
         try:
             mod = importlib.import_module(modname)
         except Exception as exc:  # pragma: no cover - defensive
             import sys
 
+            skipped[modname] = repr(exc)
             print(f"[registry] skipping {modname}: {exc!r}", file=sys.stderr)
             continue
         mod_q = getattr(mod, "QUERIES", {})
         dup = set(mod_q) & set(queries)
-        # a name declared twice would silently shadow the earlier operator
-        # (and its oracle could pair with the WRONG query) — fail loudly
-        assert not dup, f"duplicate registry names from {modname}: {sorted(dup)}"
+        if dup:
+            # a name declared twice would silently shadow the earlier
+            # operator (and its oracle could pair with the WRONG query).
+            # RuntimeError, not assert: python -O must not strip the guard.
+            raise RuntimeError(
+                f"duplicate registry names from {modname}: {sorted(dup)}"
+            )
         queries.update(mod_q)
         oracles.update(getattr(mod, "ORACLE", {}))
     # a stale/typo'd priority name must fail loudly, not silently demote the
-    # entry to the back of the driver's ~50-entry correctness budget
+    # entry to the back of the driver's ~50-entry correctness budget; when a
+    # module failed to import, surface THAT as the cause instead of the
+    # misleading pile of its missing names
     missing = [n for n in _PRIORITY if n not in queries]
-    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    if missing:
+        raise RuntimeError(
+            f"_PRIORITY names not in registry: {missing}"
+            + (f" (modules failed to import: {skipped})" if skipped else "")
+        )
     ordered = {n: queries[n] for n in _PRIORITY}
     ordered.update({n: fn for n, fn in queries.items() if n not in ordered})
     return ordered, oracles

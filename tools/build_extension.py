@@ -66,12 +66,29 @@ def build(force: bool = False) -> str:
         capture_output=True,
         text=True,
     )
-    with zipfile.ZipFile(JAR, "w") as zf:
-        for root, _dirs, files in os.walk(OUT_DIR):
-            for f in files:
-                full = os.path.join(root, f)
-                zf.write(full, os.path.relpath(full, OUT_DIR))
+    # Reproducible jar: fixed entry timestamps (zip embeds file mtimes, so a
+    # naive rebuild always produces different bytes) and sorted entry order.
+    # Rebuilt-but-identical output then leaves the committed jar untouched —
+    # no permanent 'M …/dfts-extensions.jar' churn from every test run.
+    tmp_jar = JAR + ".tmp"
+    entries = []
+    for root, _dirs, files in os.walk(OUT_DIR):
+        for f in files:
+            full = os.path.join(root, f)
+            entries.append((os.path.relpath(full, OUT_DIR), full))
+    with zipfile.ZipFile(tmp_jar, "w") as zf:
+        for arcname, full in sorted(entries):
+            info = zipfile.ZipInfo(arcname, date_time=(2020, 1, 1, 0, 0, 0))
+            with open(full, "rb") as fh:
+                zf.writestr(info, fh.read())
     shutil.rmtree(OUT_DIR, ignore_errors=True)
+    if os.path.exists(JAR):
+        with open(JAR, "rb") as a, open(tmp_jar, "rb") as b:
+            same = a.read() == b.read()
+        if same:
+            os.remove(tmp_jar)
+            return JAR
+    os.replace(tmp_jar, JAR)
     return JAR
 
 
