@@ -426,6 +426,27 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def agg_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report that justifies (or vetoes)
+    salting/AQE-skew-join before a 100 TB shuffle: per-key group sizes of
+    lineitem on l_partkey reduced to the hot-key fingerprint (max / median
+    group, hottest key's share, a salting trigger at max > 5x average).
+    Two chained aggregates, both map-side combinable; the second runs
+    over one row per distinct key.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    sizes = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("g"))
+    return sizes.groupBy().agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("g").alias("n_rows"),
+        F.max("g").alias("max_group"),
+        F.round(F.median("g"), 4).alias("median_group"),
+        (F.max("g") * F.count(F.lit(1)) > 5 * F.sum("g")).alias(
+            "salting_recommended"
+        ),
+    )
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) of
     l_extendedprice per return flag — the exact anchor next to the
@@ -568,6 +589,7 @@ QUERIES = {
     "agg_histogram": agg_histogram,
     "agg_hll_intersect": agg_hll_intersect,
     "agg_corr_matrix": agg_corr_matrix,
+    "agg_skew_diagnose": agg_skew_diagnose,
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
     "agg_count_distinct": agg_count_distinct,
@@ -589,6 +611,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_skew_diagnose": """
+        WITH sizes AS (
+            SELECT l_partkey, count(*) AS g FROM lineitem GROUP BY l_partkey
+        )
+        SELECT count(*) AS n_keys,
+               CAST(SUM(g) AS BIGINT) AS n_rows,
+               max(g) AS max_group,
+               round(median(g), 4) AS median_group,
+               (max(g) * count(*) > 5 * SUM(g)) AS salting_recommended
+        FROM sizes
+    """,
     "agg_corr_matrix": """
         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
         UNION ALL

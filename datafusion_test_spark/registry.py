@@ -170,6 +170,7 @@ _PRIORITY = [
     "agg_corr_matrix",
     "fn_generator_outer",
     "scan_json_corrupt",
+    "agg_skew_diagnose",
 ]
 
 

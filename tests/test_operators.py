@@ -821,3 +821,13 @@ def test_generator_outer_keeps_empty_docs(spark, sf_dir):
     docs_in = t(spark, sf_dir, "documents").count()
     assert len({r["doc_id"] for r in rows}) == docs_in, "no parent dropped"
     assert any(r["word"] is None for r in rows), "empty lists surface as NULL"
+
+
+def test_skew_diagnose_consistent(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import aggregates
+
+    r = aggregates.agg_skew_diagnose(spark, sf_dir).collect()[0]
+    li = t(spark, sf_dir, "lineitem")
+    assert r["n_rows"] == li.count()
+    assert r["max_group"] >= r["median_group"] >= 1
