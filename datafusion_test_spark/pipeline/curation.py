@@ -89,7 +89,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_bins(
-    spark: SparkSession, d: DataFrame, bin_col: str = "bin_id"
+    spark: SparkSession,
+    d: DataFrame,
+    bin_col: str = "bin_id",
+    par: int | None = None,
 ) -> DataFrame:
     """Two-phase DISTRIBUTED exclusive prefix sum over (doc_id, tok) ->
     token-budget bin assignment (shared by seq_pack and
@@ -102,7 +105,8 @@ def _pack_bins(
     of physical partitioning — and NO window ever sees more than a
     partition (the global-ORDER-BY single-partition trap, avoided).
     """
-    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    if par is None:
+        par = max(4, spark.sparkContext.defaultParallelism // 4)
     ranged = (
         d.repartitionByRange(par, "doc_id")
         .sortWithinPartitions("doc_id")

@@ -831,3 +831,21 @@ def test_skew_diagnose_consistent(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     assert r["n_rows"] == li.count()
     assert r["max_group"] >= r["median_group"] >= 1
+
+
+def test_pack_bins_partitioning_invariant(spark, sf_dir):
+    """The distributed prefix sum's bin assignment is a pure function of
+    the LOGICAL doc_id order — re-running with different physical
+    partition counts must produce identical bins (the property that lets
+    the same job run on 4 or 4000 executors)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.pipeline.curation import _pack_bins
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    a = {tuple(r) for r in _pack_bins(spark, d, par=3).collect()}
+    b = {tuple(r) for r in _pack_bins(spark, d, par=7).collect()}
+    assert a == b
