@@ -344,3 +344,84 @@ def test_streaming_outer_join_emits_on_eviction(spark, sf_dir, events_dir):
     }
     missing = evictable - streamed_null_ids
     assert not missing, f"evictable unmatched clicks not emitted: {sorted(missing)[:5]}"
+
+
+def test_foreachbatch_merge_converges_to_batch_compaction(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch MERGE sink: the change log arrives in
+    multiple micro-batches; each batch LWW-merges into a parquet target
+    (what a Delta/Iceberg MERGE sink does per micro-batch).  The final
+    target state must equal the one-shot batch compaction
+    (stream_cdc_apply's semantics) — the idempotent-upsert convergence
+    a production CDC sink is judged by."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark.sources.connectors import stream_cdc_apply
+
+    ev = table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "cdc_feed")
+    # several files => several availableNow micro-batches
+    ev.repartition(5).write.mode("overwrite").parquet(src_dir)
+    target = str(tmp_path / "cdc_target")
+
+    log = lambda df: df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+    def merge_batch(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        incoming = log(batch_df)
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            current = batch_df.sparkSession.read.parquet(target)
+            merged_src = current.unionByName(incoming)
+        else:
+            merged_src = incoming
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        out = (
+            merged_src.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # tombstones stay in the target (they must keep shadowing older
+        # upserts from earlier batches); they are filtered at read time
+        out.cache().count()
+        out.write.mode("overwrite").parquet(target + "_tmp")
+        batch_df.sparkSession.read.parquet(target + "_tmp").write.mode(
+            "overwrite"
+        ).parquet(target)
+        out.unpersist()
+
+    schema = spark.read.parquet(src_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = (
+        spark.read.parquet(target)
+        .filter(F.col("op") == "U")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    streamed = {tuple(r) for r in final.collect()}
+    batch = {tuple(r) for r in stream_cdc_apply(spark, sf_dir).collect()}
+    assert streamed == batch
