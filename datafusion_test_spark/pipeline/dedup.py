@@ -674,7 +674,79 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph (exact ∪ Jaccard edges,
+    the dedup_clusters relation): triangle count, wedge count, and the
+    global closure coefficient (3·triangles / wedges) — the structural
+    fingerprint that says whether near-dup clusters are tight cliques
+    (crawl mirrors) or loose chains (template drift), which picks the
+    right dedup aggressiveness.
+
+    Shape: edges oriented a<b make each triangle counted exactly once via
+    two joins (path a<b<c closed by (a,c)); join fanout is bounded by
+    out-degree.  At web scale the standard upgrade is degree ordering
+    (orient from low- to high-degree) which bounds work by graph
+    arboricity rather than max degree — same two joins.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("text")
+    exact = (
+        docs.withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("root") != F.col("doc_id"))
+        .select(F.col("root").alias("a"), F.col("doc_id").alias("b"))
+    )
+    jac = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = (
+        exact.unionByName(jac)
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    x, y, z = edges.alias("x"), edges.alias("y"), edges.alias("z")
+    tri = (
+        x.join(y, F.col("x.b") == F.col("y.a"))
+        .join(
+            z,
+            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = (
+        F.broadcast(wedges)
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"),
+                    4,
+                ),
+            ).alias("closure"),
+        )
+    )
+    return out
+
+
 QUERIES = {
+    "graph_triangles": graph_triangles,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
@@ -717,6 +789,42 @@ _JACCARD_CTES = f"""sh AS (
         )"""
 
 ORACLE = {
+    "graph_triangles": f"""
+        WITH {{_JACCARD_CTES}},
+        exact AS (
+            SELECT mn AS a, doc_id AS b FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS mn
+                FROM documents
+            ) WHERE mn <> doc_id
+        ),
+        edges AS (
+            SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM (
+                SELECT a, b FROM exact
+                UNION ALL SELECT doc_a, doc_b FROM jpairs
+            )
+        ),
+        sym AS (
+            SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+        ),
+        deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM edges x
+            JOIN edges y ON x.b = y.a
+            JOIN edges z ON z.a = x.a AND z.b = y.b
+        )
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM edges) AS n_edges,
+               n_triangles,
+               (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+                   AS n_wedges,
+               CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+                    THEN round(3.0 * n_triangles /
+                         CAST((SELECT SUM(d * (d - 1) // 2) FROM deg)
+                              AS DOUBLE), 4)
+               END AS closure
+        FROM tri
+    """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_exact": """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
         FROM documents GROUP BY text

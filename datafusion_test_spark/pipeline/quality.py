@@ -228,6 +228,63 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_N = 50  # systematic-sample target size
+
+
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SYSTEMATIC sampling — n_chars-proportional selection with
+    zero randomness: a document is selected iff its cumulative-weight
+    interval [cum, cum+w) contains a multiple of step = total_weight div
+    N.  Equivalent in expectation to weighted reservoir sampling but
+    bit-deterministic (integer arithmetic only) — the property that makes
+    the sample reproducible across engines, retries, and partitionings,
+    where the classic -ln(u)/w exponential-key method depends on libm.
+
+    Distributed shape: the cumulative weight is the same two-phase
+    range-partitioned prefix sum as seq_pack/_pack_bins — no global-order
+    window; selection is then a per-row integer predicate.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("wgt")
+    )
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranged = (
+        d.repartitionByRange(par, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = (
+        W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "lpre", F.coalesce(F.sum("wgt").over(w_local), F.lit(0))
+    )
+    ptot = local.groupBy("pid").agg(F.sum("wgt").alias("ptok"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = ptot.withColumn(
+        "off", F.coalesce(F.sum("ptok").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    total = F.broadcast(d.agg(F.sum("wgt").alias("tw")))
+    cum = (
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("cum", F.col("lpre") + F.col("off"))
+        .crossJoin(total)
+        .withColumn("step", F.expr(f"tw DIV {_SAMPLE_N}"))
+    )
+    # [cum, cum+wgt) contains a multiple of step
+    # <=> (cum + wgt - 1) div step > (cum - 1) div step  (cum >= 1 case)
+    # handle cum = 0 (first row) explicitly: 0 is a multiple of step
+    selected = cum.filter(
+        (F.col("cum") == 0)
+        | (
+            F.expr("(cum + wgt - 1) DIV step") > F.expr("(cum - 1) DIV step")
+        )
+    )
+    return selected.select("doc_id", "wgt", "cum")
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: a NEW batch (doc_id % 5 >= 3) checked
     against the historical corpus index (doc_id % 5 < 3) by exact text
@@ -255,6 +312,7 @@ QUERIES = {
     "text_chunk_overlap": text_chunk_overlap,
     "text_vocab_build": text_vocab_build,
     "dedup_incremental": dedup_incremental,
+    "sample_systematic": sample_systematic,
 }
 
 ORACLE = {
@@ -298,6 +356,21 @@ ORACLE = {
                          / (SELECT CAST(SUM(freq) AS DOUBLE) FROM words), 4)
                    AS oov_rate
         FROM v
+    """,
+    "sample_systematic": f"""
+        WITH c AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS wgt,
+                   COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
+                       // {_SAMPLE_N} AS step
+            FROM documents
+        )
+        SELECT doc_id, wgt, cum
+        FROM c
+        WHERE cum = 0 OR (cum + wgt - 1) // step > (cum - 1) // step
     """,
     "dedup_incremental": """
         WITH idx AS (

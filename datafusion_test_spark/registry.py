@@ -171,6 +171,8 @@ _PRIORITY = [
     "fn_generator_outer",
     "scan_json_corrupt",
     "agg_skew_diagnose",
+    "sample_systematic",
+    "graph_triangles",
 ]
 
 

@@ -849,3 +849,23 @@ def test_pack_bins_partitioning_invariant(spark, sf_dir):
     a = {tuple(r) for r in _pack_bins(spark, d, par=3).collect()}
     b = {tuple(r) for r in _pack_bins(spark, d, par=7).collect()}
     assert a == b
+
+
+def test_systematic_sample_size_and_determinism(spark, sf_dir):
+    from datafusion_test_spark.pipeline import quality
+
+    a = sorted(r["doc_id"] for r in quality.sample_systematic(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in quality.sample_systematic(spark, sf_dir).collect())
+    assert a == b, "zero-randomness sampling must be identical across runs"
+    # near the target size: one selection per step interval (+ the cum=0 row)
+    assert 45 <= len(a) <= 55
+
+
+def test_triangle_census_bounds(spark, sf_dir):
+    from datafusion_test_spark.pipeline import dedup
+
+    r = dedup.graph_triangles(spark, sf_dir).collect()[0]
+    assert r["n_nodes"] >= 0 and r["n_edges"] >= 0
+    assert 3 * r["n_triangles"] <= max(r["n_wedges"] or 0, 0) or r["n_triangles"] == 0
+    if r["closure"] is not None:
+        assert 0.0 <= r["closure"] <= 1.0
