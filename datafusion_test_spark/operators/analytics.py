@@ -192,7 +192,54 @@ def interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seq_string_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-motif mining over per-user event strings: each user's
+    history collapses to a string of event initials in (ts, event_id)
+    order, and adjacency motifs (view→click, click→purchase, error→error)
+    are counted with exact REPLACE-length arithmetic — a regex-free
+    formulation that is bit-identical across engines (regex COUNT
+    semantics differ between leftmost-first and leftmost-longest
+    matchers; literal REPLACE does not).
+
+    One shuffle on user_id; the sort is per-group (collect_list +
+    array_sort over O(events/user) elements).  The string form is the
+    cheap carrier for any fixed-alphabet motif query — at 100 TB it is
+    materialized once and every motif afterwards is a map-side scan.
+    """
+    from pyspark.sql import functions as FF
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = e.groupBy("user_id").agg(
+        FF.array_join(
+            FF.transform(
+                FF.array_sort(
+                    FF.collect_list(FF.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: FF.substring(s["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("seq")
+    )
+
+    def motif(m: str, alias: str):
+        return (
+            (FF.length("seq") - FF.length(FF.replace(FF.col("seq"), FF.lit(m))))
+            / len(m)
+        ).cast("long").alias(alias)
+
+    return seq.select(
+        "user_id",
+        FF.length("seq").alias("seq_len"),
+        motif("vc", "n_view_click"),
+        motif("cp", "n_click_purchase"),
+        motif("ee", "n_error_pair"),
+    )
+
+
 QUERIES = {
+    "seq_string_mine": seq_string_mine,
     "funnel_conversion": funnel_conversion,
     "agg_retention_cohort": agg_retention_cohort,
     "seq_pattern_detect": seq_pattern_detect,
@@ -201,6 +248,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "seq_string_mine": """
+        WITH s AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS INTEGER) AS seq_len,
+               CAST((length(seq) - length(replace(seq, 'vc', ''))) // 2
+                    AS BIGINT) AS n_view_click,
+               CAST((length(seq) - length(replace(seq, 'cp', ''))) // 2
+                    AS BIGINT) AS n_click_purchase,
+               CAST((length(seq) - length(replace(seq, 'ee', ''))) // 2
+                    AS BIGINT) AS n_error_pair
+        FROM s
+    """,
     "skyline_pareto": """
         WITH o AS (
             SELECT o_orderkey, o_totalprice,

@@ -173,6 +173,7 @@ _PRIORITY = [
     "agg_skew_diagnose",
     "sample_systematic",
     "graph_triangles",
+    "seq_string_mine",
 ]
 
 

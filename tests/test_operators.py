@@ -869,3 +869,19 @@ def test_triangle_census_bounds(spark, sf_dir):
     assert 3 * r["n_triangles"] <= max(r["n_wedges"] or 0, 0) or r["n_triangles"] == 0
     if r["closure"] is not None:
         assert 0.0 <= r["closure"] <= 1.0
+
+
+def test_seq_string_mine_consistent_with_events(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import analytics
+
+    rows = analytics.seq_string_mine(spark, sf_dir).collect()
+    per_user = {
+        r["user_id"]: r["count"]
+        for r in t(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    }
+    for r in rows:
+        assert r["seq_len"] == per_user[r["user_id"]]
+        # adjacency motifs are bounded by floor(len/2) occurrences
+        for m in ("n_view_click", "n_click_purchase", "n_error_pair"):
+            assert 0 <= r[m] <= r["seq_len"] // 2
