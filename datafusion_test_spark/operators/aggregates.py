@@ -426,6 +426,37 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix (nats) — the
+    domain-diversity metric curation dashboards track per crawl source
+    (a zero-entropy source is monolingual; ln(5) ≈ 1.609 is uniform over
+    the 5 corpus languages).  Two chained aggregates, both map-side
+    combinable.  round(…,4): ln is correctly-rounded-ish but not
+    bit-contracted across libms — same policy as AVG/STDDEV.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("source", "lang")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.withColumn(
+            "tot", F.sum("c").over(Window.partitionBy("source"))
+        )
+        .groupBy("source")
+        .agg(
+            F.max("tot").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("tot"))
+                    * F.log(F.col("c") / F.col("tot"))
+                ),
+                4,
+            ).alias("lang_entropy"),
+        )
+    )
+
+
 def agg_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis — the report that justifies (or vetoes)
     salting/AQE-skew-join before a 100 TB shuffle: per-key group sizes of
@@ -590,6 +621,7 @@ QUERIES = {
     "agg_hll_intersect": agg_hll_intersect,
     "agg_corr_matrix": agg_corr_matrix,
     "agg_skew_diagnose": agg_skew_diagnose,
+    "agg_entropy": agg_entropy,
     "agg_global": agg_global,
     "agg_groupby": agg_groupby,
     "agg_count_distinct": agg_count_distinct,
@@ -611,6 +643,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_entropy": """
+        WITH c AS (
+            SELECT source, lang, count(*) AS c
+            FROM documents GROUP BY source, lang
+        ),
+        t AS (SELECT source, SUM(c) AS tot FROM c GROUP BY source)
+        SELECT c.source, CAST(max(t.tot) AS BIGINT) AS n_docs,
+               count(*) AS n_langs,
+               round(-SUM((c.c / CAST(t.tot AS DOUBLE))
+                          * ln(c.c / CAST(t.tot AS DOUBLE))), 4)
+                   AS lang_entropy
+        FROM c JOIN t ON c.source = t.source
+        GROUP BY c.source
+    """,
     "agg_skew_diagnose": """
         WITH sizes AS (
             SELECT l_partkey, count(*) AS g FROM lineitem GROUP BY l_partkey

@@ -140,8 +140,54 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding via windows: per user, the longest streak of
+    consecutive same-type events (in (ts, event_id) order) and how many
+    distinct runs the history splits into.  The lag-compare → cumulative
+    run-id → per-run length ladder is the RLE idiom behind uptime
+    streaks, sensor-state runs, and repeated-token compression — two
+    window passes and one aggregate over a single (user_id) exchange.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = marked.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("event_type").alias("event_type"),
+    )
+    summary = runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_streak"),
+    )
+    # deterministic tie-break for the winning type: max event_type among
+    # runs achieving the longest length (portable — no max_by semantics)
+    winner = (
+        runs.join(
+            summary.select("user_id", F.col("longest_streak").alias("ls")),
+            "user_id",
+        )
+        .filter(F.col("run_len") == F.col("ls"))
+        .groupBy("user_id")
+        .agg(F.max("event_type").alias("longest_streak_type"))
+    )
+    return summary.join(winner, "user_id")
+
+
 QUERIES = {
     "win_time_range": win_time_range,
+    "win_streaks": win_streaks,
     "win_ranking": win_ranking,
     "win_percent": win_percent,
     "win_lag_lead": win_lag_lead,
@@ -152,6 +198,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_streaks": """
+        WITH m AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        r AS (
+            SELECT user_id, event_type,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS run_id
+            FROM m
+        ),
+        runs AS (
+            SELECT user_id, run_id, count(*) AS run_len,
+                   min(event_type) AS event_type
+            FROM r GROUP BY user_id, run_id
+        ),
+        summary AS (
+            SELECT user_id, count(*) AS n_runs, max(run_len) AS longest_streak
+            FROM runs GROUP BY user_id
+        )
+        SELECT s.user_id, s.n_runs, s.longest_streak,
+               (SELECT max(event_type) FROM runs ru
+                WHERE ru.user_id = s.user_id
+                  AND ru.run_len = s.longest_streak) AS longest_streak_type
+        FROM summary s
+    """,
     "win_time_range": """
         SELECT event_id, user_id, ts,
                count(*) OVER w AS n_trailing_1h,

@@ -174,6 +174,8 @@ _PRIORITY = [
     "sample_systematic",
     "graph_triangles",
     "seq_string_mine",
+    "win_streaks",
+    "agg_entropy",
 ]
 
 

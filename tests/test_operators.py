@@ -885,3 +885,29 @@ def test_seq_string_mine_consistent_with_events(spark, sf_dir):
         # adjacency motifs are bounded by floor(len/2) occurrences
         for m in ("n_view_click", "n_click_purchase", "n_error_pair"):
             assert 0 <= r[m] <= r["seq_len"] // 2
+
+
+def test_streaks_partition_runs(spark, sf_dir):
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.operators import windows
+
+    rows = windows.win_streaks(spark, sf_dir).collect()
+    per_user = {
+        r["user_id"]: r["count"]
+        for r in t(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    }
+    for r in rows:
+        assert 1 <= r["longest_streak"] <= per_user[r["user_id"]]
+        assert 1 <= r["n_runs"] <= per_user[r["user_id"]]
+        # runs cover all events; longest run fits in the event budget
+        assert r["n_runs"] - 1 + r["longest_streak"] <= per_user[r["user_id"]]
+
+
+def test_entropy_bounds(spark, sf_dir):
+    import math
+
+    from datafusion_test_spark.operators import aggregates
+
+    rows = aggregates.agg_entropy(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["lang_entropy"] <= round(math.log(r["n_langs"]), 4) + 1e-9
