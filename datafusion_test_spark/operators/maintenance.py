@@ -266,7 +266,7 @@ ORACLE = {
             FROM events GROUP BY event_type, event_id % 2
         ),
         merged AS (
-            SELECT event_type, SUM(pn) AS n_events,
+            SELECT event_type, CAST(SUM(pn) AS BIGINT) AS n_events,
                    CAST(SUM(psum) AS DOUBLE) AS sum_value,
                    min(pmin) AS min_value, max(pmax) AS max_value
             FROM partial GROUP BY event_type

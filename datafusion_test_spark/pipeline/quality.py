@@ -360,10 +360,10 @@ ORACLE = {
     "sample_systematic": f"""
         WITH c AS (
             SELECT doc_id, CAST(n_chars AS BIGINT) AS wgt,
-                   COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+                   CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS cum,
+                   ), 0) AS BIGINT) AS cum,
                    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
                        // {_SAMPLE_N} AS step
             FROM documents

@@ -43,71 +43,18 @@ _MODULES = [
 ]
 
 # Registry iteration order = the driver's correctness-check order, and the
-# driver's per-round budget (~50 entries per round) can stop mid-list.  Round 3
-# ordering: the single round-2 red row (fn_cast, decimal canonicalization, now
-# fixed) re-verifies first, then the 38 entries with no driver row in EITHER
-# CORRECTNESS_r01.json or CORRECTNESS_r02.json (rounds 1+2 together covered 98
-# of 136 names), then new round-3 operators.  The 97 already-green names sort
-# to the back — their rows are on record.
+# driver's per-round budget (~50 entries per round) can stop mid-list.  Round 4
+# ordering (VERDICT.md r3 item 1): rotate so the 71 entries without a green
+# driver row lead — the lone red (tpch_q12_shape, oracle HUGEINT artifact) first,
+# then the 70 never-checked names in registry order; the 146 r1-r3 greens sort
+# to the back (their rows are on record).
 _PRIORITY = [
-    # round-2 red row, fixed this round — re-verify first
-    "fn_cast",
-    # --- never driver-checked (absent from both r01 and r02 budgets) ---
-    "stream_foreach_batch",
-    "stream_stateful_run",
-    "agg_listagg",
-    "agg_approx_quantile",
-    "text_profile",
-    "text_sample_stratified",
-    "mm_feature_stub",
-    "mm_resize_stub",
-    "sim_pairwise_lsh",
-    "pipeline_prep",
-    "join_range",
-    "rollup_timeseries",
-    "udf_arrow",
-    "text_pii_scrub",
-    "tablesample",
-    "write_partitioned",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "scan_orc_roundtrip",
-    "tpch_q1_shape",
-    "tpch_q4_shape",
-    "tpch_q6_shape",
-    "tpch_q19_shape",
-    "tpch_q14_shape",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "tpch_q10_shape",
-    "tpch_q18_shape",
-    "sub_scalar",
-    "sub_in",
-    "sub_correlated_scalar",
-    "sub_exists_correlated",
-    "sub_scalar_select",
-    "cte_multi",
-    "cte_recursive",
-    "join_lateral",
-    "pivot_wide",
-    "unpivot_long",
-    # --- new in round 3: the 13 shapes completing the TPC-H Q1-Q22 suite ---
-    # (slots beyond ~50 spill past this round's driver budget and lead the
-    # round-4 queue)
-    "tpch_q2_shape",
-    "tpch_q7_shape",
-    "tpch_q8_shape",
-    "tpch_q9_shape",
-    "tpch_q11_shape",
+    # --- round-4 head: the one red row (q12, oracle HUGEINT cast fixed this
+    # round) then every entry with NO driver row in r01/r02/r03 — the driver
+    # budget (~50/round) burns down this verification debt over rounds 4-5 ---
     "tpch_q12_shape",
-    "tpch_q13_shape",
-    "tpch_q15_shape",
-    "tpch_q16_shape",
-    "tpch_q17_shape",
-    "tpch_q20_shape",
     "tpch_q21_shape",
     "tpch_q22_shape",
-    # round-3 pipeline additions
     "dedup_clusters",
     "text_tfidf",
     "embed_quantize",
@@ -176,6 +123,153 @@ _PRIORITY = [
     "seq_string_mine",
     "win_streaks",
     "agg_entropy",
+    # --- driver-verified green in r01|r02|r03 — re-verify last ---
+    "fn_cast",
+    "stream_foreach_batch",
+    "stream_stateful_run",
+    "agg_listagg",
+    "agg_approx_quantile",
+    "text_profile",
+    "text_sample_stratified",
+    "mm_feature_stub",
+    "mm_resize_stub",
+    "sim_pairwise_lsh",
+    "pipeline_prep",
+    "join_range",
+    "rollup_timeseries",
+    "udf_arrow",
+    "text_pii_scrub",
+    "tablesample",
+    "write_partitioned",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "tpch_q1_shape",
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q19_shape",
+    "tpch_q14_shape",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q10_shape",
+    "tpch_q18_shape",
+    "sub_scalar",
+    "sub_in",
+    "sub_correlated_scalar",
+    "sub_exists_correlated",
+    "sub_scalar_select",
+    "cte_multi",
+    "cte_recursive",
+    "join_lateral",
+    "pivot_wide",
+    "unpivot_long",
+    "tpch_q2_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q13_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q20_shape",
+    "scan_parquet",
+    "project",
+    "distinct",
+    "coalesce_partitions",
+    "partitioned_exec",
+    "parquet_pushdown",
+    "collect_stream",
+    "load_inmemory",
+    "filter_compare",
+    "filter_boolean",
+    "filter_in_between",
+    "filter_like",
+    "filter_null",
+    "agg_global",
+    "agg_groupby",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_filter_clause",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect",
+    "agg_minmax_by",
+    "agg_bitwise",
+    "agg_product",
+    "agg_stats",
+    "join_inner",
+    "join_skew_salted",
+    "join_broadcast",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta",
+    "join_asof",
+    "win_ranking",
+    "win_percent",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_first_last",
+    "sort_multi",
+    "limit",
+    "topk_per_group",
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "except",
+    "udf_python",
+    "udf_pandas",
+    "udaf_grouped",
+    "udtf_explode",
+    "fn_string",
+    "fn_regex",
+    "fn_date",
+    "fn_math",
+    "fn_trig",
+    "fn_hash",
+    "fn_conditional",
+    "fn_array",
+    "fn_map_struct",
+    "fn_json",
+    "generate_random_table",
+    "bench_cancel_table",
+    "find_or_generate",
+    "write_parquet",
+    "cancel_query",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful_count",
+    "stream_watermark_late",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_near",
+    "dedup_simhash",
+    "dedup_embed_cosine",
+    "dedup_embed_lsh",
+    "sim_topk",
+    "sim_pairwise_topk",
+    "sim_ann_lsh",
+    "text_stats",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_topterms",
+    "multimodal_cols",
+    "mm_binary_meta",
+    "mm_decode_stub",
+    "mm_frame_sample",
 ]
 
 
