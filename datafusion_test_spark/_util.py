@@ -40,3 +40,28 @@ def r4(col: Column, alias: str) -> Column:
 def sql_dsum(expr: str, alias: str) -> str:
     """Oracle-side twin of :func:`dsum`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+_SCRATCH_ROOT: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh unique directory under one per-process scratch root that is
+    removed at interpreter exit.
+
+    Operators that materialize layouts (bucketed warehouses, compaction
+    targets, format round-trips) need a private directory per invocation,
+    but a bare ``tempfile.mkdtemp`` per call leaks disk across repeated
+    bench/registry runs (ADVICE r3).  Routing every call through one
+    atexit-cleaned root keeps per-invocation isolation and bounds the leak
+    to a single process lifetime.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="dfts_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])

@@ -40,9 +40,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
     )
     # stage 2/3 must happen AFTER the previous stage's time: re-aggregate
-    # conditionally against the per-user anchors (broadcast back onto the
-    # event scan — one more pass, still a single shuffle each)
-    anchors = F.broadcast(per_user.select("user_id", "t_view"))
+    # conditionally against the per-user anchors.  The anchor side is
+    # O(all users), so no broadcast hint — at harness scale AQE broadcasts
+    # it anyway, at 100 TB it must shuffle-hash-join (ADVICE r3)
+    anchors = per_user.select("user_id", "t_view")
     clicks = (
         e.join(anchors, "user_id")
         .filter(
@@ -51,7 +52,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
-    anchors2 = F.broadcast(clicks)
+    anchors2 = clicks  # same O(users) cardinality — let AQE pick the strategy
     purchases = (
         e.join(anchors2, "user_id")
         .filter(
@@ -82,7 +83,9 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     active = e.distinct()
     first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    j = active.join(F.broadcast(first), "user_id")
+    # first-active is one row per user — O(all users), so no broadcast
+    # hint here either; AQE broadcasts at small scale, shuffles at 100 TB
+    j = active.join(first, "user_id")
     return (
         j.groupBy(
             "cohort_day",

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import dsum
+from .._util import dsum, scratch_dir
 from ..io import table
 
 
@@ -189,7 +189,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.introspect import plan_string
 
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_dpp_"), "orders_by_status")
+    out = os.path.join(scratch_dir("dfts_dpp_"), "orders_by_status")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
@@ -358,7 +358,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.introspect import plan_string
 
-    wh = tempfile.mkdtemp(prefix="dfts_bucket_wh_")
+    wh = scratch_dir("dfts_bucket_wh_")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS dfts_bucketdb LOCATION '{wh}'")
     # bucket only the columns this join consumes — the layout property under
     # test is per-key co-location, not table width (a production layout

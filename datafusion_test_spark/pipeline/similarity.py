@@ -314,7 +314,13 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside their own invocation, but repeated registry/bench runs must
     # not accumulate dead cached blocks in executor storage
     while _IVF_CACHES:
-        _IVF_CACHES.pop().unpersist()
+        stale = _IVF_CACHES.pop()
+        try:
+            stale.unpersist()
+        except Exception:
+            # the owning SparkSession may have been stopped between
+            # invocations (ADVICE r3) — dead cached blocks died with it
+            pass
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = ivf_centroids(spark, e)
     assign = _ivf_assign(e, cent).persist(StorageLevel.MEMORY_AND_DISK)

@@ -19,13 +19,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .._util import dsum, sql_dsum
+from .._util import dsum, sql_dsum, scratch_dir
 from ..io import table
 
 
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer -> CSV (header) -> re-read with explicit schema."""
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_csv_"), "customer_csv")
+    out = os.path.join(scratch_dir("dfts_csv_"), "customer_csv")
     c = table(spark, sf_dir, "customer")
     c.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(c.schema).option("header", True).csv(out)
@@ -34,7 +34,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> JSON lines -> re-read with explicit schema (timestamps
     serialize as ISO-8601 and parse back losslessly at µs precision)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_json_"), "events_json")
+    out = os.path.join(scratch_dir("dfts_json_"), "events_json")
     ev = table(spark, sf_dir, "events")
     # default JSON timestampFormat truncates to milliseconds; pin µs
     fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -44,7 +44,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders -> ORC -> re-read (the other columnar container)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_orc_"), "orders_orc")
+    out = os.path.join(scratch_dir("dfts_orc_"), "orders_orc")
     o = table(spark, sf_dir, "orders")
     o.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
@@ -62,7 +62,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin the merged schema explicitly (or keep it in a catalog) so the
     planner doesn't stat every footer; the per-row cost of absent columns
     is zero (parquet column chunks simply aren't there to read)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_evo_"), "docs_evo")
+    out = os.path.join(scratch_dir("dfts_evo_"), "docs_evo")
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     old = d.filter(F.col("doc_id") % 2 == 0).drop("n_chars")
     new = d.filter(F.col("doc_id") % 2 == 1)
@@ -90,7 +90,7 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corrupt count and the good-row aggregate are both exact and
     SQL-derivable (the injection rule is deterministic), so the oracle
     verifies the quarantine accounting itself."""
-    base = tempfile.mkdtemp(prefix="dfts_jsonc_")
+    base = scratch_dir("dfts_jsonc_")
     path = os.path.join(base, "docs.jsonl")
     rows = (
         table(spark, sf_dir, "documents")
@@ -140,7 +140,7 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is precisely the write-amplification argument FOR table formats at
     100 TB, stated by construction.
     """
-    base = os.path.join(tempfile.mkdtemp(prefix="dfts_tt_"), "orders_vers")
+    base = os.path.join(scratch_dir("dfts_tt_"), "orders_vers")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -197,7 +197,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pyarrow.parquet as pq
 
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_zord_"), "orders_z")
+    out = os.path.join(scratch_dir("dfts_zord_"), "orders_z")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_custkey") % 256).alias("zx"),
@@ -296,7 +296,7 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     become PartitionFilters (directory pruning, zero data read for pruned
     partitions; asserted in tests/test_plans.py).  Oracle hash-matches the
     source table, proving the layout round-trip is lossless."""
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_part_"), "orders_part")
+    out = os.path.join(scratch_dir("dfts_part_"), "orders_part")
     o = table(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     rt = spark.read.parquet(out)
@@ -416,7 +416,7 @@ def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pyarrow.parquet as pq
 
-    out = os.path.join(tempfile.mkdtemp(prefix="dfts_zone_"), "docs_zoned")
+    out = os.path.join(scratch_dir("dfts_zone_"), "docs_zoned")
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
     (
         d.repartitionByRange(4, "n_chars")

@@ -21,6 +21,7 @@ import os
 import shutil
 import tempfile
 
+from .._util import scratch_dir
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,7 +128,7 @@ def q_generate_random_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_find_or_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap contract: generate into a temp dir, then a second call must
     reuse (identical counts).  Returns the verification frame."""
-    base = tempfile.mkdtemp(prefix="dfts_bootstrap_")
+    base = scratch_dir("dfts_bootstrap_")
     data_dir = os.path.join(base, "data")
     try:
         first = find_or_generate(spark, data_dir, n_files=2, rows_per_file=5_000)
@@ -146,7 +147,7 @@ def q_write_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip write (src/main.rs:249-262): write lineitem to a scratch
     dir, re-read, return the re-read frame — the SQL oracle hash-matching
     the original proves lossless write."""
-    out = tempfile.mkdtemp(prefix="dfts_writepq_")
+    out = scratch_dir("dfts_writepq_")
     path = os.path.join(out, "lineitem_rt")
     li = table(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").parquet(path)

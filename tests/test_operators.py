@@ -502,7 +502,8 @@ def test_layout_compaction_preserves_content(spark, sf_dir):
     r = maintenance.layout_compaction(spark, sf_dir).collect()[0]
     src = t(spark, sf_dir, "documents")
     assert r["n_rows"] == src.count()
-    assert r["n_files_compacted"] < r["n_files_small"] and r["files_reduced"]
+    assert r["n_files_small"] == min(64, r["n_rows"])
+    assert r["compacted_le_4"] and r["files_reduced"]
 
 
 def test_rollup_gapfill_grid_dense_and_locf(spark, sf_dir):
