@@ -47,6 +47,11 @@ from ._expr import cosine_prenormed, norm2, shingle_sql, sql_cosine, sql_shingle
 # bounds any bucket's pair fanout to ~500k at any scale.
 _DF_CAP = 1000
 
+# realized large-star/small-star round count of the last dedup_clusters run
+# (including the final fixpoint-confirming round); tests assert the log2
+# bound that makes the star contraction the 100 TB-safe choice
+_LAST_CC_ROUNDS = 0
+
 # Planted-duplicate id offset for the self-verifying harnesses (far above any
 # real doc_id/vec_id in the testdata).
 _PLANT_OFFSET = 10_000_000
@@ -407,14 +412,20 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.95), blocked on `label`.
 
     The label block stands in for an ANN/LSH pre-filter: pairs are only
-    formed within a block, so the self-join is |block|² not N².
+    formed within a block, so the self-join is |block|² not N².  Labels
+    over _DF_CAP members are dropped by the same hot-bucket guard as every
+    other blocked dedup path — the label population here grows linearly
+    with the corpus (10 fixed labels in the testdata), so without the cap
+    ONE skewed label goes quadratic at 100× scale.  The oracle mirrors the
+    cap (HAVING count(*) <= cap), which is a no-op at test scale; the
+    capped behavior itself is pinned by the _DF_CAP=1 unit test.  The
+    uncapped-at-any-scale variant is dedup_embed_lsh, whose bucket
+    population is corpus-size-independent.
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(norm2(F.col("embedding"))).alias("nrm"),
-    )
+    e = _drop_hot(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+        ["label"],
+    ).withColumn("nrm", F.sqrt(norm2(F.col("embedding"))))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -537,16 +548,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edges = exact-duplicate links (doc -> its text group's min doc_id) ∪
     3-gram-Jaccard pairs (>= 0.6, the dedup_ngram_jaccard relation).
-    Components by iterative min-label propagation: each round every node
-    takes the min label among itself and its neighbors — converges in
-    O(graph diameter) rounds (near-dup clusters are shallow; bounded at 25,
-    convergence is CHECKED and non-convergence raises rather than returning
-    a wrong answer).  Per round: one shuffle join edges⋈labels + one min
-    aggregate; labels persisted and the previous round unpersisted, so
-    lineage stays O(1) deep per round and the convergence count() action
-    reuses the cache.  At 100 TB the same loop runs with the edge relation
-    bucketed on src; the alternating large-star/small-star variant (O(log n)
-    rounds) is the drop-in upgrade if diameters grow.
+    Components by ALTERNATING LARGE-STAR / SMALL-STAR rounds (the CC-MR
+    / "Connected Components in MapReduce and Beyond" construction):
+
+      large-star: every node connects its strictly-LARGER neighbors to the
+                  minimum of its closed neighborhood;
+      small-star: with edges oriented larger->smaller, every node connects
+                  its smaller neighbors AND itself to the minimum one.
+
+    Both steps preserve connectivity and only ever lower the partner a
+    node is attached to; the edge set converges to one star per component
+    centered on the component's min doc_id in O(log n) rounds — path
+    lengths roughly HALVE per round, vs one hop per round for plain
+    min-label propagation, which is the difference between ~40 rounds and
+    ~6 on a diameter-40 chain at 100 TB.  Convergence is CHECKED (edge-set
+    signature fixpoint; non-convergence raises rather than returning a
+    wrong answer, bounded at 25 rounds) and the realized round count is
+    exported as ``_LAST_CC_ROUNDS`` with a log₂ bound asserted in
+    tests/test_properties.py.  Per round: two key-grouped min aggregates +
+    two co-keyed joins on the (small, shrinking) edge relation, each round
+    persisted and the previous unpersisted so lineage depth stays O(1).
 
     Output: one row per multi-member cluster (cluster_id = min doc_id,
     n_members).  Oracle: DuckDB recursive-CTE reachability over the same
@@ -563,11 +584,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     edges = exact.unionByName(jac)
-    # Persist the symmetrized edges HASH-PARTITIONED ON src: the cached
-    # partitioning satisfies every round's join requirement, so per round
-    # only the (much smaller) label relation shuffles — the big edge
-    # relation is shuffled exactly once for the whole loop.  This is the
-    # bucketed-edge layout of the 100 TB docstring note, via cache.
     # Partition count is sized from the corpus row count (a footer-cheap
     # metadata aggregate, same policy as _expr.lsh_bits): the dup graph is
     # orders of magnitude smaller than the corpus, and iterating 500 edges
@@ -580,65 +596,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism,
         )
     )
-    sym = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .repartition(par, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Propagate over the edge-induced subgraph only: isolated documents are
-    # fixed points (label = doc_id) and can never join a multi-member
-    # cluster, so iterating them is pure waste — at 100 TB the dup graph is
-    # a few % of the corpus and each round costs O(E + V_graph), not O(N).
-    # `sym` holds both directions, so src alone covers every graph node.
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .coalesce(par)
-        .withColumn("label", F.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    prev_cache = labels
-    converged = False
-    for _ in range(25):
-        # Change detection is FOLDED INTO the propagation aggregate: each
-        # node's own label rides along (own=1) so old vs new compare needs
-        # no second join — one shuffle and one action per round.  min-label
-        # propagation only ever lowers labels, so new != old <=> changed.
-        prop = sym.join(labels, sym.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "label", F.lit(0).alias("own")
-        )
-        combined = (
-            labels.select("doc_id", "label", F.lit(1).alias("own"))
-            .unionByName(prop)
-            .groupBy("doc_id")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("own") == 1, F.col("label"))).alias(
-                    "old_label"
-                ),
-            )
-            .coalesce(par)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        changed = combined.filter(F.col("label") != F.col("old_label")).count()
-        prev_cache.unpersist()
-        prev_cache = combined
-        labels = combined.select("doc_id", "label")
-        if changed == 0:
-            converged = True
-            break
-    sym.unpersist()
-    if not converged:  # pragma: no cover - 25 rounds >> any real dup diameter
-        raise RuntimeError("label propagation did not converge in 25 rounds")
+    stars = _star_contract(edges, par)
+    # At the fixpoint every non-root node carries exactly one edge to its
+    # component's min doc_id: sizes = per-root edge count + 1 for the root.
     return (
-        labels.groupBy(F.col("label").alias("cluster_id"))
-        .agg(F.count(F.lit(1)).alias("n_members"))
+        stars.groupBy(F.col("v").alias("cluster_id"))
+        .agg((F.count(F.lit(1)) + F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") > 1)
         .orderBy(F.col("n_members").desc(), "cluster_id")
     )
+
+
+def _star_contract(edges: DataFrame, par: int) -> DataFrame:
+    """Alternating large-star/small-star contraction of an undirected edge
+    relation (src, dst) down to its fixpoint: one (node, component_min)
+    star edge per non-root node.  Sets ``_LAST_CC_ROUNDS``.
+
+    Only the edge-induced subgraph is iterated — isolated documents can
+    never join a multi-member cluster; at 100 TB the dup graph is a few %
+    of the corpus and each round costs O(E_t), with E_t shrinking as stars
+    form.  localCheckpoint, not persist: each star round references its
+    input in SEVERAL plan branches, so the LOGICAL plan grows ~16x per
+    round even when execution hits a cache — by round 3 the analyzer walks
+    a million-node tree and OOMs (observed).  Eager localCheckpoint both
+    materializes the edges and TRUNCATES lineage to the stored blocks, so
+    every round starts from an O(1)-depth plan.  On a cluster the
+    fault-tolerant variant is setCheckpointDir + .checkpoint(); the
+    algorithm is unchanged.
+    """
+    # Canonical orientation (u > v)
+    E = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(par, "u")
+        .localCheckpoint(eager=True)
+    )
+    sig_prev = None
+    converged = False
+    rounds = 0
+    for _ in range(25):
+        rounds += 1
+        # -- large-star: m(u) = min over the CLOSED neighborhood of u; every
+        # neighbor v > u re-attaches to m(u).  Output keeps (larger, smaller)
+        # orientation because m <= u < v.
+        sym_e = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym_e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        # persisted: consumed twice below (mins2 aggregate + the re-attach
+        # join), and its lineage contains the whole large-star stage
+        ls = (
+            sym_e.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .coalesce(par)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # -- small-star: edges already oriented u > v; m(u) = min smaller
+        # neighbor; every smaller neighbor (except m itself) and u attach
+        # to m.  Again v >= m and u > m, so orientation is preserved.
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        E_new = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("node"), "m")
+            .filter(F.col("node") != F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("node"), "m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .coalesce(par)
+            .localCheckpoint(eager=True)
+        )
+        # Fixpoint detection by edge-set signature (count + xxhash64 XOR —
+        # xor, not sum: order-independent, cannot overflow under ANSI, and
+        # E is distinct so no pair self-cancels): one action per round on
+        # the checkpointed blocks; both star steps are deterministic, so
+        # signature equality == the composite's fixpoint, which is exactly
+        # the one-star-per-component state.
+        sig = tuple(
+            E_new.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+            ).collect()[0]
+        )
+        ls.unpersist()
+        E = E_new
+        if sig == sig_prev:
+            converged = True
+            break
+        sig_prev = sig
+    global _LAST_CC_ROUNDS
+    _LAST_CC_ROUNDS = rounds
+    if not converged:  # pragma: no cover - 25 rounds >> log2 of any corpus
+        raise RuntimeError("star contraction did not converge in 25 rounds")
+    return E
 
 
 def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,11 +903,15 @@ ORACLE = {
               <= GREATEST(length(da.text), length(db.text))
     """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_embed_cosine": f"""
+        WITH cool AS (
+            SELECT label FROM embeddings GROUP BY label HAVING count(*) <= {_DF_CAP}
+        )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.95
+          AND a.label IN (SELECT label FROM cool)
     """,
     # Planted-duplicate containment invariants (the pair sets themselves are
     # hash-function-dependent; the anchors + booleans are exact SQL).

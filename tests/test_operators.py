@@ -912,3 +912,59 @@ def test_entropy_bounds(spark, sf_dir):
     rows = aggregates.agg_entropy(spark, sf_dir).collect()
     for r in rows:
         assert 0.0 <= r["lang_entropy"] <= round(math.log(r["n_langs"]), 4) + 1e-9
+
+
+def test_star_contraction_chain_log_rounds(spark):
+    """Worst-case connectivity for label propagation is a long path: plain
+    min-label propagation needs O(diameter) rounds, the large-star/small-star
+    contraction needs O(log n).  A 64-node path (diameter 63) must resolve to
+    ONE component rooted at node 0 within ceil(log2(64)) + 3 = 9 rounds."""
+    import math
+
+    from datafusion_test_spark.pipeline import dedup
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stars = dedup._star_contract(chain, par=2).collect()
+    assert dedup._LAST_CC_ROUNDS <= math.ceil(math.log2(n)) + 3
+    # one star: every non-root node points straight at the component min
+    assert {(r["u"], r["v"]) for r in stars} == {(i, 0) for i in range(1, n)}
+
+
+def test_star_contraction_multi_component(spark):
+    from datafusion_test_spark.pipeline import dedup
+
+    # two components: a triangle {1,2,3} (+ chord) and a pair {10, 11}
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (3, 1), (10, 11)], "src long, dst long"
+    )
+    stars = dedup._star_contract(edges, par=2).collect()
+    assert {(r["u"], r["v"]) for r in stars} == {(2, 1), (3, 1), (11, 10)}
+
+
+def test_dedup_clusters_rounds_logbound(spark, sf_dir):
+    import math
+
+    from datafusion_test_spark.pipeline import dedup
+
+    rows = dedup.dedup_clusters(spark, sf_dir).collect()
+    assert rows, "expected at least one multi-member duplicate cluster"
+    n_nodes = sum(r["n_members"] for r in rows)
+    assert dedup._LAST_CC_ROUNDS <= math.ceil(math.log2(max(2, n_nodes))) + 3
+
+
+def test_embed_cosine_hot_label_cap(spark, sf_dir, monkeypatch):
+    """dedup_embed_cosine rides the same hot-bucket guard as the other
+    blocked dedup paths: with the cap forced to 1 every label (all have
+    >= 2 members) is dropped and the pair set is empty; with the default
+    cap the testdata labels are all under the cap and pairs appear."""
+    from datafusion_test_spark.pipeline import dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    # testdata labels are all under the default cap -> guard passes all rows
+    assert dedup._drop_hot(e, ["label"]).count() == e.count()
+    monkeypatch.setattr(dedup, "_DF_CAP", 1)
+    assert dedup._drop_hot(e, ["label"]).count() == 0
+    assert dedup.dedup_embed_cosine(spark, sf_dir).count() == 0
