@@ -1,9 +1,13 @@
 """Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS] and prints:
+on local[$SPARK_GRAFT_CPUS] and prints one JSON line:
     {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>, "rows": {...}}
+     "queries": {name: sec, ...}, "layout_queries": {...},
+     "layout_wall_sec": <sec>, "sf": <sf>, "machine": {...}}
+The headline total prices QUERIES; pay-once layout builds are timed in the
+separate layout group.  "machine" records cpu count and load1 before/after
+so cross-round offsets are attributable in-data.
 
 Queries are materialized with the noop sink (full execution, no driver-side
 result transfer), after a warm-up scan so JVM/codegen startup is excluded
@@ -90,9 +94,25 @@ HEADLINE = [
     "agg_count_min",
     "funnel_conversion",
     "interval_union",
-    "layout_zorder",
-    "join_partition_pruned",
     "text_chunk_overlap",
+    # round-4: previously-unbenched shuffle-heavy entries (VERDICT r3 item 4)
+    "merge_upsert",
+    "embed_pca",
+    "pipeline_training_shards",
+    "graph_triangles",
+    "dedup_incremental",
+]
+
+# Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
+# in production these costs amortize over every later query, so pricing them
+# inside the per-query headline number double-charges the layout.  They are
+# timed identically but reported as a separate group and excluded from the
+# headline total (VERDICT r3 item 4).
+LAYOUT = [
+    "join_bucketed",
+    "join_partition_pruned",
+    "layout_zorder",
+    "layout_compaction",
 ]
 
 
@@ -101,9 +121,32 @@ def materialize(df) -> int:
     return 0
 
 
+def _bench_group(spark, qs, names, sf_dir) -> dict[str, float]:
+    # Best-of-2 per query: single-shot numbers at this scale carry 2-3x
+    # run-to-run noise from tmp-dir IO and first-touch JIT (scan_orc_roundtrip
+    # measured 0.48s vs 1.67s across r01 runs); min-of-2 reports steady-state
+    # throughput, which is the quantity comparable across rounds.
+    times: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Machine condition recorded IN the output (VERDICT r3 item 5): a uniform
+    # +20-30% offset across unrelated queries in past rounds was traceable
+    # only by narrative; load1 at start/end makes it attributable in-data.
+    # (Spark's own executor threads inflate load DURING the run, so the
+    # honest contention signal is load measured before the session starts.)
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_session("bench")
 
     # Warm-up: JVM, whole-stage-codegen compilation, parquet footer caches —
@@ -112,25 +155,14 @@ def main() -> None:
     qs = registry.queries()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in HEADLINE + LAYOUT:
             try:
                 materialize(qs[name](spark, warm_dir))
             except Exception:
                 pass
     table(spark, sf_dir, "lineitem").count()
-    # Best-of-2 per query: single-shot numbers at this scale carry 2-3x
-    # run-to-run noise from tmp-dir IO and first-touch JIT (scan_orc_roundtrip
-    # measured 0.48s vs 1.67s across r01 runs); min-of-2 reports steady-state
-    # throughput, which is the quantity comparable across rounds.
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+    times = _bench_group(spark, qs, HEADLINE, sf_dir)
+    layout_times = _bench_group(spark, qs, LAYOUT, sf_dir)
 
     total = round(sum(times.values()), 3)
     print(
@@ -140,7 +172,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "layout_queries": layout_times,
+                "layout_wall_sec": round(sum(layout_times.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "machine": {
+                    "cpus": os.cpu_count(),
+                    "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                    "load1_start": load_start,
+                    "load1_end": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )
