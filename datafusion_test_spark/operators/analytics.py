@@ -25,7 +25,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -241,7 +241,65 @@ def seq_string_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_BUCKETS = 10
+
+
+def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning (decile bucketing of o_totalprice)
+    WITHOUT a global single-partition window — the featurization step a
+    training pipeline runs to turn a heavy-tailed numeric into a uniform
+    categorical.
+
+    The global rank over (o_totalprice, o_orderkey) is computed with the
+    same two-phase distributed prefix count as seq_pack/sample_systematic:
+    range-repartition on the sort key, per-partition row_number, partition
+    offsets from a #partitions-row window, broadcast back.  Bucket id is
+    then integer arithmetic on (rank, N) — floor((rank-1)*k/N) — so the
+    assignment is exact and engine-portable (the oracle states the same
+    formula over row_number), unlike percentile-interpolated edges which
+    can flip a boundary row on float noise.  NO window ever sees more than
+    one partition's rows; the oracle's single-partition row_number is the
+    sf0.01 restatement, not the Spark plan.
+
+    Output: per-bucket row count and [lo, hi] value range (10 rows).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranged = (
+        o.repartitionByRange(par, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = ranged.withColumn("rn", F.row_number().over(w_local))
+    pcnt = local.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    # #partitions rows — the single-partition window here is O(par), not O(N)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pcnt.withColumn(
+        "off", F.coalesce(F.sum("pn").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    n_total = o.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    binned = (
+        local.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "bucket",
+            F.expr(f"((rn + off - 1) * {_N_BUCKETS}) div n_total"),
+        )
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
+    "feature_bucketize": feature_bucketize,
     "seq_string_mine": seq_string_mine,
     "funnel_conversion": funnel_conversion,
     "agg_retention_cohort": agg_retention_cohort,
@@ -251,6 +309,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feature_bucketize": f"""
+        WITH r AS (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+                       AS rk,
+                   count(*) OVER () AS n_total
+            FROM orders
+        )
+        SELECT CAST((rk * {_N_BUCKETS}) // n_total AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM r
+        GROUP BY 1
+        ORDER BY bucket
+    """,
     "seq_string_mine": """
         WITH s AS (
             SELECT user_id,

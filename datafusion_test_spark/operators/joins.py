@@ -264,6 +264,63 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (feature-store semantics): the
+    latest purchase at-or-before each click counts only if it is at most
+    1 hour old; older matches are nulled out, exactly like a feature-store
+    point-in-time lookup with a max-staleness SLA.
+
+    Same union + one-shuffle window shape as join_asof — the tolerance is
+    a post-window columnar filter, so the 100 TB cost is identical to the
+    unbounded variant (no extra join, no extra shuffle).  Oracle: DuckDB
+    ASOF LEFT JOIN with the staleness applied as a CASE on the match.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # purchase event_id rides along as the final tie-break, same total-order
+    # idiom as join_asof
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        "event_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_click"),
+            "event_id",
+            F.lit(None).cast("timestamp").alias("p_ts"),
+            F.lit(None).cast("double").alias("p_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        tagged.withColumn("asof_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+    )
+    fresh = F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+        F.when(fresh, F.col("asof_value")).alias("asof_value"),
+    )
+
+
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join with NO equi key, bucketed: for each click
     event, the count and decimal-exact value sum of ALL events (any user)
@@ -436,6 +493,7 @@ QUERIES = {
     "join_theta": join_theta,
     "join_asof": join_asof,
     "join_asof_forward": join_asof_forward,
+    "join_asof_tolerance": join_asof_tolerance,
     "join_partition_pruned": join_partition_pruned,
     "join_range": join_range,
 }
@@ -535,6 +593,17 @@ ORACLE = {
         ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    "join_asof_tolerance": """
+        SELECT c.event_id, c.user_id, c.ts,
+               CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.ts END
+                   AS asof_ts,
+               CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.value END
+                   AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
     """,
     # the naive inequality join the bucketed Spark plan must equal exactly
     "join_range": """

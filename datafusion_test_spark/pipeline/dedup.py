@@ -698,6 +698,60 @@ def _star_contract(edges: DataFrame, par: int) -> DataFrame:
     return E
 
 
+_CHUNK_LEN = 40
+_CHUNK_MIN_SHARED = 2
+
+
+def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-CHUNK duplicate detection — the granularity between
+    whole-document hashing (dedup_exact) and token shingles
+    (dedup_ngram_jaccard): texts are cut into fixed non-overlapping
+    40-character chunks and documents sharing >= 2 chunks are reported
+    with the shared count.  This is the web-crawl pattern for catching
+    boilerplate reuse and partial copies (shared headers, quoted blocks)
+    that whole-doc hashes miss and token Jaccard underweights.
+
+    Scale shape: identical to the other inverted-index paths — explode to
+    (doc_id, chunk), distinct, hot-chunk cap via _drop_hot (a boilerplate
+    chunk shared by everything would otherwise go quadratic), self-join
+    per chunk group (|group|² bounded by the cap), count per pair.  The
+    join key is the chunk STRING itself so Spark and the SQL oracle agree
+    byte-for-byte without a portable-hash contract; at 100 TB the key
+    would be xxhash64(chunk) to shrink shuffle width — same plan shape.
+    Docs shorter than one chunk have no chunks and cannot pair (the
+    ascending-sequence guard: Spark's sequence(1, 0) is DESCENDING, so
+    the length filter is load-bearing, not cosmetic).
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= _CHUNK_LEN)
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, cast(length(text) div {_CHUNK_LEN}"
+                    f" as int)), k -> substring(text, (k-1)*{_CHUNK_LEN}+1,"
+                    f" {_CHUNK_LEN}))"
+                )
+            ).alias("chunk"),
+        )
+        .distinct()
+    )
+    cool = _drop_hot(chunks, ["chunk"])
+    a = cool.select(F.col("doc_id").alias("doc_a"), "chunk")
+    b = cool.select(F.col("doc_id").alias("doc_b"), "chunk")
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CHUNK_MIN_SHARED)
+    )
+
+
 def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance refinement of the blocked near-dup candidates — the
     precision pass a production dedup runs AFTER cheap blocking: levenshtein
@@ -813,6 +867,7 @@ QUERIES = {
     "dedup_embed_cosine": dedup_embed_cosine,
     "dedup_embed_lsh": dedup_embed_lsh,
     "dedup_clusters": dedup_clusters,
+    "dedup_chunk": dedup_chunk,
     "dedup_editdist": dedup_editdist,
 }
 
@@ -890,6 +945,33 @@ ORACLE = {
         WITH {{_JACCARD_CTES}}
         SELECT doc_a, doc_b, jaccard FROM jpairs
     """.format(_JACCARD_CTES=_JACCARD_CTES),
+    "dedup_chunk": f"""
+        WITH ks AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, CAST(length(text) // {_CHUNK_LEN} AS BIGINT))) AS k
+            FROM documents
+            WHERE length(text) >= {_CHUNK_LEN}
+        ),
+        ch AS (
+            SELECT DISTINCT doc_id,
+                   substring(text, CAST((k-1)*{_CHUNK_LEN}+1 AS INT),
+                             {_CHUNK_LEN}) AS chunk
+            FROM ks
+        ),
+        cool AS (
+            SELECT chunk FROM ch GROUP BY chunk HAVING count(*) <= {_DF_CAP}
+        ),
+        cf AS (
+            SELECT doc_id, chunk FROM ch
+            WHERE chunk IN (SELECT chunk FROM cool)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM cf a JOIN cf b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_CHUNK_MIN_SHARED}
+    """,
     "dedup_editdist": f"""
         WITH {{_JACCARD_CTES}}
         SELECT j.doc_a, j.doc_b,

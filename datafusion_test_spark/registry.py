@@ -123,6 +123,10 @@ _PRIORITY = [
     "seq_string_mine",
     "win_streaks",
     "agg_entropy",
+    # --- new in round 4 (queue behind the round-3 verification debt) ---
+    "dedup_chunk",
+    "join_asof_tolerance",
+    "feature_bucketize",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -968,3 +968,57 @@ def test_embed_cosine_hot_label_cap(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "_DF_CAP", 1)
     assert dedup._drop_hot(e, ["label"]).count() == 0
     assert dedup.dedup_embed_cosine(spark, sf_dir).count() == 0
+
+
+def test_dedup_chunk_finds_exact_duplicates(spark, sf_dir):
+    """Exact-duplicate texts (>= 2 chunks long) share ALL their chunks, so
+    every exact-dup pair must appear in the chunk-dedup relation with
+    n_shared >= 2."""
+    from datafusion_test_spark.pipeline.dedup import _CHUNK_LEN, dedup_chunk
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in dedup_chunk(spark, sf_dir).collect()}
+    assert pairs, "expected chunk-sharing pairs in the corpus"
+    dup_groups = (
+        docs.filter(F.length("text") >= 2 * _CHUNK_LEN)
+        .groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    for g in dup_groups:
+        ids = sorted(g["ids"])
+        for i in ids[1:]:
+            assert (ids[0], i) in pairs, (ids[0], i)
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_join_asof_tolerance_staleness(spark, sf_dir):
+    """Tolerance variant == unbounded as-of with stale matches nulled."""
+    from datafusion_test_spark.operators.joins import join_asof, join_asof_tolerance
+
+    base = {r["event_id"]: (r["asof_ts"], r["asof_value"]) for r in join_asof(spark, sf_dir).collect()}
+    tol = join_asof_tolerance(spark, sf_dir).collect()
+    assert len(tol) == len(base)
+    for r in tol:
+        b_ts, b_val = base[r["event_id"]]
+        if r["asof_ts"] is not None:
+            assert (r["asof_ts"], r["asof_value"]) == (b_ts, b_val)
+            assert (r["ts"] - r["asof_ts"]).total_seconds() <= 3600
+        else:
+            assert b_ts is None or (r["ts"] - b_ts).total_seconds() > 3600
+
+
+def test_feature_bucketize_equal_frequency(spark, sf_dir):
+    from datafusion_test_spark.operators.analytics import feature_bucketize
+
+    rows = feature_bucketize(spark, sf_dir).collect()
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert [r["bucket"] for r in rows] == list(range(10))
+    assert sum(r["n"] for r in rows) == n_orders
+    # equal frequency: bucket sizes differ by at most 1
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # value ranges are ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
