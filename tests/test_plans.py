@@ -202,3 +202,35 @@ def test_scd2_single_exchange_for_all_windows(spark, sf_dir):
 
     plan = _plan(maintenance.scd2_build(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_asof_tolerance_single_user_shuffle(spark, sf_dir):
+    """join_asof_tolerance must keep join_asof's one-shuffle union+window
+    shape: exactly one hash exchange on user_id feeding one WindowExec —
+    the staleness bound is a columnar post-filter, never a second join."""
+    plan = _plan(joins.join_asof_tolerance(spark, sf_dir))
+    assert "Join" not in plan  # union + window, no join operator at all
+    assert plan.count("Window") >= 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_dedup_chunk_no_cartesian(spark, sf_dir):
+    """The chunk self-join must be an equi join on the chunk key (inverted
+    index), never a cartesian/nested-loop product."""
+    from datafusion_test_spark.pipeline import dedup
+
+    plan = _plan(dedup.dedup_chunk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_bucketize_no_global_data_window(spark, sf_dir):
+    """The rank window must be partitioned (by pid); the only unpartitioned
+    window runs over the #partitions-row offsets relation, not the data."""
+    from datafusion_test_spark.operators.analytics import feature_bucketize
+
+    plan = _plan(feature_bucketize(spark, sf_dir))
+    # the data-sized window is keyed by the physical partition id
+    assert "windowspecdefinition(pid" in plan
+    # row_number over the raw sort keys must never appear unpartitioned
+    assert "windowspecdefinition(o_totalprice" not in plan
