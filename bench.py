@@ -101,6 +101,12 @@ HEADLINE = [
     "pipeline_training_shards",
     "graph_triangles",
     "dedup_incremental",
+    # round-4 new operators
+    "dedup_chunk",
+    "join_asof_tolerance",
+    "feature_bucketize",
+    "embed_pq",
+    "lm_quality_filter",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -305,7 +305,68 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_UNSEEN_PCT = 300  # low-quality when 1000*n_unseen >= 300*n_bigrams (30%)
+
+
+def lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model quality gate — the perplexity-filter shape
+    (score documents against a model trained on a DIFFERENT slice) with an
+    integer-exact statistic: a scored doc's word bigram is "unseen" if the
+    reference half of the corpus (even doc_ids) never produced it, and the
+    doc is flagged low-quality when >= 30% of its bigrams are unseen.
+    Counting unseen bigrams instead of summing log-probs keeps the gate
+    bit-identical cross-engine (same discipline as text_ngram_lm's
+    rational surprise: log() is not correctly-rounded libm).
+
+    Scale shape: the reference bigram table is O(corpus vocabulary²-ish) —
+    joined DISTRIBUTIVELY (left join on the bigram key, map-side combined
+    distinct on both sides), never broadcast; at 100 TB the reference
+    table is trained once and persisted bucketed on (w1, w2), making the
+    nightly scoring join shuffle-free on the model side.  The threshold is
+    an integer cross-multiplication, no float ratio.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    bi = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    ref = (
+        bi.filter(F.col("doc_id") % 2 == 0).select("w1", "w2").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    scored = (
+        bi.filter(F.col("doc_id") % 2 == 1)
+        .join(ref, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("seen").isNull(), 1)).alias("n_unseen"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        (1000 * F.col("n_unseen") >= _LM_UNSEEN_PCT * F.col("n_bigrams")).alias(
+            "low_quality"
+        ),
+    )
+
+
 QUERIES = {
+    "lm_quality_filter": lm_quality_filter,
     "text_quality_gopher": text_quality_gopher,
     "split_train_holdout": split_train_holdout,
     "agg_heavy_hitters": agg_heavy_hitters,
@@ -316,6 +377,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lm_quality_filter": f"""
+        WITH wd AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, w[k] AS w1, w[k+1] AS w2
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS k
+                FROM wd WHERE len(w) >= 2
+            )
+        ),
+        ref AS (
+            SELECT DISTINCT w1, w2 FROM bi WHERE doc_id % 2 = 0
+        )
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(*) FILTER (WHERE r.w1 IS NULL) AS BIGINT) AS n_unseen,
+               (1000 * count(*) FILTER (WHERE r.w1 IS NULL)
+                    >= {_LM_UNSEEN_PCT} * count(*)) AS low_quality
+        FROM bi b
+        LEFT JOIN ref r ON b.w1 = r.w1 AND b.w2 = r.w2
+        WHERE b.doc_id % 2 = 1
+        GROUP BY b.doc_id
+    """,
     "text_chunk_overlap": f"""
         WITH d AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents

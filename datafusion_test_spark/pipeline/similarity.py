@@ -416,6 +416,165 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4                 # subspaces
+_PQ_K = 16                # codes per subspace codebook
+_PQ_SUB = _DIM // _PQ_M   # dims per subvector
+_PQ_DEC = "decimal(25,15)"  # exact-sum carrier for the ADC equality check
+
+
+def _pq_subvecs(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): each embedding split into _PQ_M contiguous
+    subvectors — the PQ decomposition, one exploded row per subspace."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                ),
+            )
+        ).alias("t"),
+    ).select("vec_id", F.col("t.sub").alias("sub"), F.col("t.sv").alias("sv"))
+
+
+def _pq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _pq_assign(subvecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, sub, cid): nearest codebook entry per subspace.  The
+    codebook is m*k rows — always broadcast; the per-sub join fans each
+    subvector out k ways and the argmin collapses map-side (same shape as
+    _ivf_assign).  Ties break to the smallest cid, so identical subvectors
+    ALWAYS encode to identical codes — the determinism the planted-twin
+    invariant rides on."""
+    scored = subvecs.join(F.broadcast(cent), "sub").select(
+        "vec_id", "sub", "cid", _pq_l2(F.col("sv"), F.col("cvec")).alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("best"))
+        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
+    )
+
+
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — THE 100 TB ANN memory layout (IVF-PQ): each
+    64-dim float vector is encoded as _PQ_M=4 one-byte codes (64x smaller
+    than fp32), one per contiguous subspace, against per-subspace k=16
+    codebooks trained with 2 Lloyd rounds.  All m codebooks train in the
+    SAME DataFrame jobs (subspace is just a grouping column), so the cost
+    is one k-means, not m.
+
+    Query scoring is ADC (asymmetric distance): the query builds an m x k
+    lookup table of subvector->centroid distances once, and every
+    candidate's distance is a 4-term LUT sum over its codes — no float
+    vectors touched at scan time.  At scale the codes column lives next to
+    the IVF cell id (sim_ivf) as a bucketed layout; the LUT is a broadcast
+    of m*k doubles.
+
+    Self-verifying output (1 row, constants + booleans so the oracle is
+    exact SQL): a planted identical twin of the min-vec_id query (vec_id +
+    _PLANT_OFFSET, same embedding — planted HERE, same harness as
+    sim_pairwise_lsh) must encode to the SAME codes, hence the ADC
+    distance to the twin EQUALS the query's own quantization distance —
+    compared in decimal so the 4-term sums are associative-exact.
+    codebook_bounded pins |used codes| <= m*k.
+    """
+    from .dedup import _PLANT_OFFSET
+
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = base.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
+    e = base.unionByName(twin)
+    # eager localCheckpoint, not persist: (a) the Lloyd loop re-reads this
+    # relation every round so lineage must truncate (dedup_clusters lesson),
+    # (b) a persisted plan's shuffles bypass AQE partition coalescing on a
+    # vanilla session (canChangeCachedPlanOutputPartitioning=false default),
+    # which turned the tiny per-round aggregates into 200-task stages.
+    par = max(2, min(spark.sparkContext.defaultParallelism, 8))
+    subvecs = _pq_subvecs(e).repartition(par).localCheckpoint(eager=True)
+    # deterministic seeds: the k hash-lowest vec_ids' subvectors, cid by
+    # the same hash order (scan-cheap TakeOrdered, no stored model)
+    seed_ids = (
+        e.orderBy(F.xxhash64("vec_id"))
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            F.row_number().over(Window.orderBy(F.xxhash64("vec_id"))).alias("cid"),
+        )
+    )
+    cent = subvecs.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub", "cid", F.col("sv").alias("cvec")
+    )
+    for _ in range(2):
+        assign = _pq_assign(subvecs, cent)
+        cent = (
+            subvecs.join(assign, ["vec_id", "sub"])
+            .select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .coalesce(1)  # m*k = 64 rows
+            .localCheckpoint(eager=True)
+        )
+    codes = _pq_assign(subvecs, cent).localCheckpoint(eager=True)
+    qid = e.agg(F.min("vec_id").alias("qid"))
+    # ADC lookup table: the query's subvectors against the whole codebook
+    lut = (
+        subvecs.join(F.broadcast(qid), F.col("vec_id") == F.col("qid"))
+        .join(F.broadcast(cent), "sub")
+        .select(
+            "sub",
+            "cid",
+            _pq_l2(F.col("sv"), F.col("cvec")).cast(_PQ_DEC).alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+    )
+    self_adc = adc.join(
+        F.broadcast(qid), F.col("vec_id") == F.col("qid")
+    ).select(F.col("adc").alias("self_adc"))
+    twin_adc = adc.join(
+        F.broadcast(qid), F.col("vec_id") == F.col("qid") + F.lit(_PLANT_OFFSET)
+    ).select(F.col("adc").alias("twin_adc"))
+    used = codes.select("sub", "cid").distinct().agg(
+        F.count(F.lit(1)).alias("n_used")
+    )
+    # count the BASE corpus (the oracle states count(*) over embeddings);
+    # the planted twin is harness-only
+    n = base.agg(F.count(F.lit(1)).alias("n_vectors"))
+    res = (
+        n.crossJoin(F.broadcast(self_adc))
+        .crossJoin(F.broadcast(twin_adc))
+        .crossJoin(F.broadcast(used))
+    )
+    return res.select(
+        "n_vectors",
+        F.lit(_PQ_M).alias("m"),
+        F.lit(_PQ_K).alias("k"),
+        F.lit(4 * _DIM // _PQ_M).alias("compression_x"),
+        (F.col("twin_adc") == F.col("self_adc")).alias("planted_adc_equals_self"),
+        (F.col("n_used") <= F.lit(_PQ_M * _PQ_K)).alias("codebook_bounded"),
+    )
+
+
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding column — the dimensionality-
     reduction step before clustering/visualization of a vector corpus.
@@ -499,6 +658,7 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "agg_vector_centroid": agg_vector_centroid,
     "embed_pca": embed_pca,
+    "embed_pq": embed_pq,
     "embed_quantize": embed_quantize,
     "sim_topk": sim_topk,
     "sim_pairwise_topk": sim_pairwise_topk,
@@ -514,6 +674,15 @@ ORACLE = {
                count(*) AS n_vecs
         FROM embeddings, (SELECT unnest(range(1, 65)) AS g)
         GROUP BY label, pos
+    """,
+    "embed_pq": """
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               4 AS m,
+               16 AS k,
+               64 AS compression_x,
+               true AS planted_adc_equals_self,
+               true AS codebook_bounded
+        FROM embeddings
     """,
     "embed_pca": """
         SELECT count(*) AS n_vecs,

@@ -127,6 +127,8 @@ _PRIORITY = [
     "dedup_chunk",
     "join_asof_tolerance",
     "feature_bucketize",
+    "embed_pq",
+    "lm_quality_filter",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

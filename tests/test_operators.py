@@ -1022,3 +1022,26 @@ def test_feature_bucketize_equal_frequency(spark, sf_dir):
     # value ranges are ordered and non-overlapping
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_embed_pq_invariants(spark, sf_dir):
+    from datafusion_test_spark.pipeline.similarity import embed_pq
+
+    r = embed_pq(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["planted_adc_equals_self"] is True
+    assert row["codebook_bounded"] is True
+    assert row["compression_x"] == 64
+
+
+def test_lm_quality_filter_counts(spark, sf_dir):
+    from datafusion_test_spark.pipeline.quality import lm_quality_filter
+
+    rows = lm_quality_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 2 == 1          # only held-out docs scored
+        assert 0 <= r["n_unseen"] <= r["n_bigrams"]
+        expect = 1000 * r["n_unseen"] >= 300 * r["n_bigrams"]
+        assert r["low_quality"] == expect
