@@ -240,11 +240,6 @@ def _ivf_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     ).select("vec_id", (-F.col("best.ncid")).alias("cid"))
 
 
-# live caches of the most recent sim_ivf invocation (released lazily at the
-# START of the next invocation — see sim_ivf)
-_IVF_CACHES: list = []
-
-
 def ivf_centroids(
     spark: SparkSession, vecs: DataFrame, k: int = 16, iters: int = 2
 ) -> DataFrame:
@@ -254,9 +249,13 @@ def ivf_centroids(
     the mean update (posexplode → per-(cid,dim) avg → array reassembly,
     O(N·d) rows through one shuffle).  Seeds are the k hash-lowest vec_ids:
     deterministic and scan-cheap (TakeOrderedAndProject), no stored model.
-    Each round's centroids are persisted so round r+1's lineage starts from
-    materialized data, not a 2^r-deep recompute (same discipline as
-    dedup_clusters' label propagation).  At 100 TB: train on a sample
+    Each round's centroids are eagerly localCheckpointed so round r+1's
+    lineage starts from materialized data, not a 2^r-deep recompute — and
+    NOT persisted: a persisted plan's shuffles bypass AQE partition
+    coalescing on a vanilla session (canChangeCachedPlanOutputPartitioning
+    defaults false), which ran the k-row aggregates as 200-task stages in
+    the driver's environment (r3: 4.4 s driver vs 1.2 s tuned-session for
+    sim_ivf).  At 100 TB: train on a sample
     (centroids need statistical, not total, coverage), then one final
     assignment pass writes the cell id as a partition/bucket column — every
     later query is a cell-pruned scan.
@@ -286,14 +285,9 @@ def ivf_centroids(
                     lambda s: s["m"],
                 ).alias("cvec")
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .coalesce(1)  # k rows
+            .localCheckpoint(eager=True)
         )
-        # materialize the new round (k rows), THEN drop the previous one:
-        # unpersisting first would force the next round to recompute it
-        cent.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cent
     return cent
 
 
@@ -309,21 +303,14 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, assignment, probing, and ranking.  `probed_subset` asserts
     the probe actually pruned the corpus (ANN, not a rebranded full scan).
     """
-    # caches from the PREVIOUS invocation are released here: the returned
-    # DataFrame still references assign/cand, so they cannot be unpersisted
-    # inside their own invocation, but repeated registry/bench runs must
-    # not accumulate dead cached blocks in executor storage
-    while _IVF_CACHES:
-        stale = _IVF_CACHES.pop()
-        try:
-            stale.unpersist()
-        except Exception:
-            # the owning SparkSession may have been stopped between
-            # invocations (ADVICE r3) — dead cached blocks died with it
-            pass
+    # assign/cand are eagerly localCheckpointed, not persisted: lineage
+    # truncates the same way, downstream shuffles keep AQE coalescing on a
+    # vanilla session, and the checkpoint blocks are released by the
+    # ContextCleaner when the DataFrames go out of scope — which also
+    # retires the old cross-invocation _IVF_CACHES bookkeeping (ADVICE r3)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = ivf_centroids(spark, e)
-    assign = _ivf_assign(e, cent).persist(StorageLevel.MEMORY_AND_DISK)
+    assign = _ivf_assign(e, cent).localCheckpoint(eager=True)
     q = F.broadcast(
         e.join(
             F.broadcast(e.agg(F.min("vec_id").alias("qid"))),
@@ -341,7 +328,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         assign.join(F.broadcast(probes), "cid")
         .join(e, "vec_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     top1 = (
         cand.crossJoin(q)
@@ -352,7 +339,6 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total"))).crossJoin(
         F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_probed")))
     )
-    _IVF_CACHES.extend([cent, assign, cand])
     return top1.crossJoin(counts).select(
         F.col("qid").alias("query_id"),
         (F.col("vec_id") == F.col("qid")).alias("self_is_top"),
