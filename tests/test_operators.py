@@ -1045,3 +1045,46 @@ def test_lm_quality_filter_counts(spark, sf_dir):
         assert 0 <= r["n_unseen"] <= r["n_bigrams"]
         expect = 1000 * r["n_unseen"] >= 300 * r["n_bigrams"]
         assert r["low_quality"] == expect
+
+
+def test_star_contraction_random_graphs_vs_union_find(spark):
+    """Differential test: 30 seeded random graphs (Erdős–Rényi-ish, varying
+    density) packed into ONE edge relation via disjoint id ranges; the star
+    contraction's components must equal a Python union-find reference on
+    every graph.  One Spark run covers all 30 graphs."""
+    import random
+
+    from datafusion_test_spark.pipeline import dedup
+
+    rng = random.Random(20260814)
+    edges, expected = [], {}
+    for g in range(30):
+        base = g * 1000
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 2 * n)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for _ in range(m):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b:
+                continue
+            edges.append((base + a, base + b))
+            parent[find(a)] = find(b)
+        comps = {}
+        for v in range(n):
+            comps.setdefault(find(v), []).append(base + v)
+        for members in comps.values():
+            if len(members) > 1:
+                root = min(members)
+                for v in members:
+                    if v != root:
+                        expected[v] = root
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stars = {r["u"]: r["v"] for r in dedup._star_contract(df, par=4).collect()}
+    assert stars == expected
