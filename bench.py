@@ -107,6 +107,7 @@ HEADLINE = [
     "feature_bucketize",
     "embed_pq",
     "lm_quality_filter",
+    "join_dim_snapshot",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -85,6 +85,62 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 join — "which dimension state was in effect when
+    the fact happened": every purchase event joined to the scd2_build
+    dimension row whose [effective_from, effective_to) interval contains
+    the purchase ts.
+
+    The naive phrasing is an interval-containment theta join (nested loop,
+    O(facts x dim-rows-per-user)); the scale phrasing used here is the
+    union + window idiom shared with join_asof: dimension VERSIONS are
+    points (effective_from), so the containing interval is the last
+    version at-or-before the fact ts — one shuffle on user_id, last-non-
+    null carry.  Same-ts pairs resolve identically on both sides: versions
+    order before facts at equal ts and the highest same-ts version wins
+    (its interval is the non-empty one), which the oracle's containment
+    predicate (from <= ts < to) states declaratively.
+    """
+    dim = scd2_build(spark, sf_dir).select(
+        "user_id",
+        F.col("effective_from").alias("t"),
+        F.lit(0).alias("is_fact"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("state").alias("d_state"),
+        F.col("version").alias("d_version"),
+    )
+    facts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(1).alias("is_fact"),
+            "event_id",
+            F.lit(None).cast("string").alias("d_state"),
+            F.lit(None).cast("int").alias("d_version"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_fact", "d_version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dim.unionByName(facts)
+        .withColumn("state_at", F.last("d_state", ignorenulls=True).over(w))
+        .withColumn("version_at", F.last("d_version", ignorenulls=True).over(w))
+        .filter(F.col("is_fact") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            "state_at",
+            "version_at",
+        )
+    )
+
+
 def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-aggregate merge equals direct aggregate, bit-for-bit.
 
@@ -240,6 +296,7 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "scd2_build": scd2_build,
+    "join_dim_snapshot": join_dim_snapshot,
     "agg_incremental": agg_incremental,
     "join_bloom": join_bloom,
     "fn_bitmap": fn_bitmap,
@@ -261,6 +318,30 @@ ORACLE = {
         FROM ch
         WHERE prev IS NULL OR prev <> event_type
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "join_dim_snapshot": """
+        WITH ch AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        dim AS (
+            SELECT user_id, event_type AS state, ts AS effective_from,
+                   lead(ts) OVER w AS effective_to,
+                   CAST(row_number() OVER w AS INTEGER) AS version
+            FROM ch
+            WHERE prev IS NULL OR prev <> event_type
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT f.event_id, f.user_id, f.ts,
+               d.state AS state_at, d.version AS version_at
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') f
+        LEFT JOIN dim d
+          ON d.user_id = f.user_id
+         AND d.effective_from <= f.ts
+         AND (d.effective_to IS NULL OR f.ts < d.effective_to)
     """,
     "agg_incremental": f"""
         WITH partial AS (

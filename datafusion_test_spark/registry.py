@@ -129,6 +129,7 @@ _PRIORITY = [
     "feature_bucketize",
     "embed_pq",
     "lm_quality_filter",
+    "join_dim_snapshot",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

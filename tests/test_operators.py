@@ -1088,3 +1088,30 @@ def test_star_contraction_random_graphs_vs_union_find(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     stars = {r["u"]: r["v"] for r in dedup._star_contract(df, par=4).collect()}
     assert stars == expected
+
+
+def test_join_dim_snapshot_state_matches_interval(spark, sf_dir):
+    """Every purchase's point-in-time state must be the scd2 interval
+    containing its ts (containment recomputed driver-side)."""
+    from datafusion_test_spark.operators.maintenance import (
+        join_dim_snapshot,
+        scd2_build,
+    )
+
+    dim = {}
+    for r in scd2_build(spark, sf_dir).collect():
+        dim.setdefault(r["user_id"], []).append(r)
+    out = join_dim_snapshot(spark, sf_dir).collect()
+    assert out
+    for f in out:
+        match = [
+            d
+            for d in dim.get(f["user_id"], [])
+            if d["effective_from"] <= f["ts"]
+            and (d["effective_to"] is None or f["ts"] < d["effective_to"])
+        ]
+        assert len(match) == 1, (f["event_id"], match)
+        assert (f["state_at"], f["version_at"]) == (
+            match[0]["state"],
+            match[0]["version"],
+        )
