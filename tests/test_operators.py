@@ -1115,3 +1115,14 @@ def test_join_dim_snapshot_state_matches_interval(spark, sf_dir):
             match[0]["state"],
             match[0]["version"],
         )
+
+
+def test_dedup_chunk_short_doc_guard(spark, sf_dir, monkeypatch):
+    """Docs shorter than one chunk must produce NO chunks (Spark's
+    sequence(1, 0) is descending — the length filter is load-bearing).
+    Forcing the chunk length above every document length must yield an
+    empty pair set, not an explode over a descending sequence."""
+    from datafusion_test_spark.pipeline import dedup
+
+    monkeypatch.setattr(dedup, "_CHUNK_LEN", 10**6)
+    assert dedup.dedup_chunk(spark, sf_dir).count() == 0

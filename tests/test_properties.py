@@ -49,3 +49,21 @@ def test_lsh_bits_monotone_and_clamped(n):
     b = lsh_bits(n)
     assert 8 <= b <= 24
     assert lsh_bits(n * 2) >= b
+
+
+@given(st.integers(min_value=1, max_value=400))
+def test_bucketize_formula_equal_frequency(n):
+    """feature_bucketize's bucket id floor((rank-1)*k/n): for any corpus
+    size, bucket sizes differ by at most 1 and ids are the contiguous
+    prefix of range(k) — the equal-frequency contract the operator's
+    oracle restates over row_number()."""
+    k = 10
+    buckets = [(r * k) // n for r in range(n)]
+    sizes = {}
+    for b in buckets:
+        sizes[b] = sizes.get(b, 0) + 1
+    assert len(sizes) == min(k, n)
+    if n >= k:  # full corpora fill every bucket exactly
+        assert sorted(sizes) == list(range(k))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert buckets == sorted(buckets)
