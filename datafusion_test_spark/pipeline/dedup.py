@@ -856,7 +856,53 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ER_MAX_LEV = 2  # er_fuzzy_blocked: max edit distance for an entity match
+
+
+def er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names — the
+    master-data-matching shape: collapse records to distinct entities,
+    block on a stable attribute, and run the expensive pairwise edit
+    distance only within blocks.  The block key is the name's last token
+    (the product noun), which keeps the variant pairs the corpus actually
+    contains — 'cold bolt'/'old bolt' (lev 1), 'new ring'/'red ring'
+    (lev 2) — in the same block; a first-letter key would miss every one
+    of them (recall is a property of the blocking key, and this operator
+    demonstrates choosing it from the data).
+
+    Scale: entities are DISTINCT names (map-side-combined groupBy), so
+    the self-join is O(Σ block²) over the far smaller entity relation,
+    never the record count; the shared _drop_hot cap bounds any hot noun
+    block, mirrored in the oracle's HAVING guard.  levenshtein is the
+    precision pass only — same layering as dedup_editdist.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ents = p.groupBy("p_name").agg(F.min("p_partkey").alias("entity_id"))
+    blocked = ents.withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1)
+    )
+    cool = _drop_hot(blocked, ["block"])
+    a = cool.select(
+        "block",
+        F.col("p_name").alias("name_a"),
+        F.col("entity_id").alias("id_a"),
+    )
+    b = cool.select(
+        "block",
+        F.col("p_name").alias("name_b"),
+        F.col("entity_id").alias("id_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("lev") <= _ER_MAX_LEV)
+        .select("block", "name_a", "name_b", "id_a", "id_b", "lev")
+    )
+
+
 QUERIES = {
+    "er_fuzzy_blocked": er_fuzzy_blocked,
     "graph_triangles": graph_triangles,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -971,6 +1017,29 @@ ORACLE = {
         FROM cf a JOIN cf b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) >= {_CHUNK_MIN_SHARED}
+    """,
+    "er_fuzzy_blocked": f"""
+        WITH e AS (
+            SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS entity_id
+            FROM part GROUP BY p_name
+        ),
+        b AS (
+            SELECT p_name, entity_id,
+                   string_split(p_name, ' ')[-1] AS block
+            FROM e
+        ),
+        cool AS (
+            SELECT * FROM b WHERE block IN (
+                SELECT block FROM b GROUP BY block
+                HAVING count(*) <= {_DF_CAP}
+            )
+        )
+        SELECT a.block, a.p_name AS name_a, b2.p_name AS name_b,
+               a.entity_id AS id_a, b2.entity_id AS id_b,
+               CAST(levenshtein(a.p_name, b2.p_name) AS INTEGER) AS lev
+        FROM cool a JOIN cool b2
+          ON a.block = b2.block AND a.p_name < b2.p_name
+        WHERE levenshtein(a.p_name, b2.p_name) <= {_ER_MAX_LEV}
     """,
     "dedup_editdist": f"""
         WITH {{_JACCARD_CTES}}

@@ -238,7 +238,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair alignment gate — the CLIP-score filter of a
+    LAION-style multimodal curation pipeline: each pair is an (image
+    embedding, caption embedding) couple, and pairs below the alignment
+    threshold are flagged for drop.  Pairing is modeled on the embeddings
+    table (even vec_id = image, odd vec_id = caption, pair_id = vec_id/2)
+    since the container has no CLIP model; the join/score/gate plumbing is
+    the production shape.
+
+    Plan: one equi-join on pair_id (both sides derive from the same scan;
+    at 100 TB image and caption embedding tables are bucketed on pair_id
+    so the join is shuffle-free), cosine folded JVM-side (pipeline._expr),
+    gate evaluated on the UNROUNDED cosine.  Emits every pair with its
+    kept flag rather than filtering, so the driver verifies both sides of
+    the gate.
+    """
+    from ._expr import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    img = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.expr("vec_id DIV 2").alias("pair_id"),
+        F.col("vec_id").alias("img_id"),
+        F.col("embedding").alias("img_vec"),
+    )
+    txt = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.expr("vec_id DIV 2").alias("pair_id"),
+        F.col("vec_id").alias("txt_id"),
+        F.col("embedding").alias("txt_vec"),
+    )
+    cos = cosine(F.col("img_vec"), F.col("txt_vec"))
+    return (
+        img.join(txt, "pair_id")
+        .select(
+            "pair_id",
+            "img_id",
+            "txt_id",
+            F.round(cos, 4).alias("clip_sim"),
+            (cos >= 0.0).alias("kept"),
+        )
+    )
+
+
 QUERIES = {
+    "mm_clip_filter": mm_clip_filter,
     "multimodal_cols": multimodal_cols,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stub": mm_decode_stub,
@@ -247,7 +290,23 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
 }
 
+def _clip_oracle() -> str:
+    from ._expr import sql_cosine
+
+    c = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+        SELECT a.vec_id // 2 AS pair_id,
+               a.vec_id AS img_id, b.vec_id AS txt_id,
+               round({c}, 4) AS clip_sim,
+               ({c} >= 0.0) AS kept
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id // 2 = b.vec_id // 2
+        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    """
+
+
 ORACLE = {
+    "mm_clip_filter": _clip_oracle(),
     "multimodal_cols": """
         SELECT d.doc_id, d.lang, d.n_chars,
                CAST(len(e.embedding) AS INT) AS dim,

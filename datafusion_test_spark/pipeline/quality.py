@@ -365,7 +365,154 @@ def lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the `view`
+    and `click` event-value distributions — the data-quality monitor that
+    gates a training pipeline on "did today's feed drift from yesterday's".
+    The statistic is exact and integer-carried: D = max |F_a - F_b| is
+    computed as max |cum_a·n_b - cum_b·n_a| (an integer), divided once at
+    the end — no float CDF accumulation, so both engines agree bitwise.
+
+    Scale shape: duplicate values collapse in one map-side-combined
+    groupBy; the cumulative counts then use the two-phase range-partitioned
+    prefix sum (same idiom as sample_systematic/seq_pack) — local window
+    per range partition + an offsets window over #partitions rows — never
+    a global single-partition ORDER BY window.  The final max is a plain
+    aggregate.  (Carrier note: cum·n products stay < 2^63 up to ~3·10⁹
+    rows per side; past that, rescale one side by sampling — the statistic
+    is a fraction, not a count.)
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    u = e.filter(F.col("event_type").isin("view", "click")).select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ib"),
+    )
+    g = u.groupBy("value").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranged = (
+        g.repartitionByRange(par, "value")
+        .sortWithinPartitions("value")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = W.partitionBy("pid").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = ranged.withColumn("la", F.sum("ca").over(w_local)).withColumn(
+        "lb", F.sum("cb").over(w_local)
+    )
+    ptot = ranged.groupBy("pid").agg(
+        F.sum("ca").alias("pa"), F.sum("cb").alias("pb")
+    )
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = ptot.select(
+        "pid",
+        F.coalesce(F.sum("pa").over(w_off), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("pb").over(w_off), F.lit(0)).alias("ob"),
+    )
+    tot = F.broadcast(u.agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb")))
+    diffs = (
+        local.join(F.broadcast(offs), "pid")
+        .crossJoin(tot)
+        .select(
+            "na",
+            "nb",
+            F.abs(
+                (F.col("la") + F.col("oa")) * F.col("nb")
+                - (F.col("lb") + F.col("ob")) * F.col("na")
+            ).alias("diff"),
+        )
+    )
+    return diffs.groupBy("na", "nb").agg(F.max("diff").alias("d")).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("d").cast("long").alias("d_num"),
+        F.round(
+            F.col("d") / (F.col("na") * F.col("nb")).cast("double"), 6
+        ).alias("ks_stat"),
+    )
+
+
+# text_repetition thresholds (Gopher App. A1.1 uses char fractions of the
+# most frequent n-gram; carried here as word-count shares with integer
+# cross-multiplications): top-2-gram share <= 20%, top-3-gram share <= 18%.
+_REP2_NUM, _REP2_DEN = 1, 5   # 2*top2/n <= 1/5   <=> 10*top2 <= n... (x2 folded)
+_REP3_NUM, _REP3_DEN = 9, 50  # 3*top3/n <= 9/50  <=> 150*top3 <= 9*n
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram repetition signals — the Gopher repetition
+    filters text_quality_gopher does not cover: the share of words inside
+    the most frequent word 2-gram / 3-gram.  A doc dominated by one
+    repeated phrase fails.  Thresholds are integer cross-multiplications
+    (2·2gram_cnt·5 <= n_words etc.) so the booleans are bit-exact.
+
+    Plan: n-grams are built positionally (transform over sequence — NOT
+    distinct'd, repetition is the signal), exploded, counted per (doc,
+    gram) with map-side combine, maxed per doc.  Docs shorter than the
+    gram width contribute zero counts via the left join + coalesce.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    base = d.select("doc_id", F.size("w").alias("n_words"), "w")
+
+    def grams(n: int):
+        return base.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("w") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at("w", i + k) for k in range(n)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+
+    def top(n: int, alias: str):
+        return (
+            grams(n)
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(alias))
+        )
+
+    j = (
+        base.select("doc_id", "n_words")
+        .join(top(2, "top2_cnt"), "doc_id", "left")
+        .join(top(3, "top3_cnt"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("top2_cnt", F.lit(0)).alias("top2_cnt"),
+            F.coalesce("top3_cnt", F.lit(0)).alias("top3_cnt"),
+        )
+    )
+    ok2 = 2 * _REP2_DEN * F.col("top2_cnt") <= _REP2_NUM * F.col("n_words")
+    ok3 = 3 * _REP3_DEN * F.col("top3_cnt") <= _REP3_NUM * F.col("n_words")
+    return j.select(
+        "doc_id",
+        "n_words",
+        "top2_cnt",
+        "top3_cnt",
+        ok2.alias("ok_2gram"),
+        ok3.alias("ok_3gram"),
+        (ok2 & ok3).alias("pass_repetition"),
+    )
+
+
 QUERIES = {
+    "drift_ks": drift_ks,
+    "text_repetition": text_repetition,
     "lm_quality_filter": lm_quality_filter,
     "text_quality_gopher": text_quality_gopher,
     "split_train_holdout": split_train_holdout,
@@ -377,6 +524,74 @@ QUERIES = {
 }
 
 ORACLE = {
+    "drift_ks": """
+        WITH u AS (
+            SELECT value,
+                   CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                        AS BIGINT) AS ia,
+                   CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                        AS BIGINT) AS ib
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        g AS (
+            SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,
+                   CAST(SUM(ib) AS BIGINT) AS cb
+            FROM u GROUP BY value
+        ),
+        t AS (
+            SELECT CAST(SUM(ia) AS BIGINT) AS na,
+                   CAST(SUM(ib) AS BIGINT) AS nb FROM u
+        ),
+        c AS (
+            SELECT CAST(SUM(ca) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+                   CAST(SUM(cb) OVER (ORDER BY value) AS BIGINT) AS cum_b
+            FROM g
+        )
+        SELECT t.na AS n_a, t.nb AS n_b,
+               CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_num,
+               round(CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE)
+                     / (t.na * t.nb), 6) AS ks_stat
+        FROM c, t GROUP BY t.na, t.nb
+    """,
+    "text_repetition": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        base AS (SELECT doc_id, len(w) AS n_words, w FROM d),
+        g2 AS (
+            SELECT doc_id, max(c) AS top2_cnt FROM (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS gram, count(*) AS c
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM base WHERE len(w) >= 2)
+                GROUP BY doc_id, gram
+            ) GROUP BY doc_id
+        ),
+        g3 AS (
+            SELECT doc_id, max(c) AS top3_cnt FROM (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram,
+                       count(*) AS c
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM base WHERE len(w) >= 3)
+                GROUP BY doc_id, gram
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(COALESCE(top2_cnt, 0) AS BIGINT) AS top2_cnt,
+               CAST(COALESCE(top3_cnt, 0) AS BIGINT) AS top3_cnt,
+               (2 * {_REP2_DEN} * COALESCE(top2_cnt, 0)
+                    <= {_REP2_NUM} * n_words) AS ok_2gram,
+               (3 * {_REP3_DEN} * COALESCE(top3_cnt, 0)
+                    <= {_REP3_NUM} * n_words) AS ok_3gram,
+               ((2 * {_REP2_DEN} * COALESCE(top2_cnt, 0)
+                    <= {_REP2_NUM} * n_words)
+                AND (3 * {_REP3_DEN} * COALESCE(top3_cnt, 0)
+                    <= {_REP3_NUM} * n_words)) AS pass_repetition
+        FROM base b
+        LEFT JOIN g2 ON b.doc_id = g2.doc_id
+        LEFT JOIN g3 ON b.doc_id = g3.doc_id
+    """,
     "lm_quality_filter": f"""
         WITH wd AS (
             SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

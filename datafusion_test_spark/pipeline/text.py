@@ -316,7 +316,87 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval constants: fixed query term set; k1 = 1.2, b = 0.75 carried
+# as exact rationals (22/10 saturation numerator, 3/10 + 9/10·dl/avgdl
+# denominator after multiplying through by 10·total_words).
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_TOPK = 10
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for a fixed 3-term query.
+
+    Exactness discipline (same as text_tfidf): the idf uses the LINEAR
+    rational surrogate (2N-2df+1)/(2df+1) instead of its log — log() is
+    not correctly-rounded libm and a last-ulp flip could reorder the
+    boundary rank; the tf saturation tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    is multiplied through by 10·total_words so numerator and denominator
+    are exact int64 products, leaving exactly two IEEE divides and one
+    multiply per (doc, term) — bit-identical on both engines.  Per-doc
+    term scores sum through decimal(18,6) (order-independent exact
+    addition, the text_ngram_lm idiom).
+
+    Plan shape: the query-term filter pushes into the token explode before
+    any shuffle, so tf is O(matching tokens) not O(corpus); df and the
+    corpus totals are 3-row / 1-row broadcasts; the final top-10 is
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, k rows to
+    the driver) with a 10-row window for the rank column — never a global
+    sort.  At 100 TB this is the inverted-index-free scoring baseline; the
+    production variant persists the (term, doc, tf) relation bucketed by
+    term and probes only the query terms' buckets.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    base = w.select("doc_id", F.size("w").cast("long").alias("dl"), "w")
+    tok = base.select(
+        "doc_id", "dl", F.explode("w").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfr = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    corpus = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_words")
+        )
+    )
+    idf = (2 * F.col("n_docs") - 2 * F.col("df") + 1) / (2 * F.col("df") + 1)
+    sat = (22 * F.col("tf") * F.col("t_words")) / (
+        10 * F.col("tf") * F.col("t_words")
+        + 3 * F.col("t_words")
+        + 9 * F.col("dl") * F.col("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(corpus)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum((idf * sat).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score_raw"),
+        )
+    )
+    top = scored.orderBy(F.col("score_raw").desc(), "doc_id").limit(_BM25_TOPK)
+    w10 = Window.orderBy(F.col("score_raw").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w10).cast("int"))
+        .select(
+            "doc_id",
+            "rk",
+            "n_terms_hit",
+            F.round("score_raw", 4).alias("score"),
+        )
+    )
+
+
 QUERIES = {
+    "text_bm25_topk": text_bm25_topk,
     "text_stats": text_stats,
     "text_tfidf": text_tfidf,
     "text_profile": text_profile,
@@ -343,7 +423,50 @@ _PRED_SQL = "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' " + " ".join(
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+1-555-[0-9]{4}"
 
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
 ORACLE = {
+    "text_bm25_topk": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM w),
+        tok AS (
+            SELECT doc_id, dl, unnest(w) AS term FROM base
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok WHERE term IN ({_BM25_IN})
+            GROUP BY doc_id, dl, term
+        ),
+        dfr AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok WHERE term IN ({_BM25_IN}) GROUP BY term
+        ),
+        c AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS t_words
+            FROM base
+        ),
+        s AS (
+            SELECT tf.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms_hit,
+                   SUM(CAST(
+                       ((2 * c.n_docs - 2 * dfr.df + 1) / (2 * dfr.df + 1))
+                       * ((22 * tf.tf * c.t_words)
+                          / (10 * tf.tf * c.t_words + 3 * c.t_words
+                             + 9 * tf.dl * c.n_docs))
+                       AS DECIMAL(18,6))) AS score_dec
+            FROM tf JOIN dfr USING (term) CROSS JOIN c
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id)
+                    AS INTEGER) AS rk,
+               n_terms_hit,
+               round(CAST(score_dec AS DOUBLE), 4) AS score
+        FROM s ORDER BY score_dec DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
     "text_ngram_lm": """
         WITH w AS (
             SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

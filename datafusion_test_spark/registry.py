@@ -130,6 +130,11 @@ _PRIORITY = [
     "embed_pq",
     "lm_quality_filter",
     "join_dim_snapshot",
+    "drift_ks",
+    "text_repetition",
+    "text_bm25_topk",
+    "er_fuzzy_blocked",
+    "mm_clip_filter",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1126,3 +1126,82 @@ def test_dedup_chunk_short_doc_guard(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(dedup, "_CHUNK_LEN", 10**6)
     assert dedup.dedup_chunk(spark, sf_dir).count() == 0
+
+
+def test_drift_ks_matches_bruteforce(spark, sf_dir):
+    """The two-phase prefix-sum KS must equal a driver-side brute force
+    (sorted merge of collected samples) — guards the partition-offset
+    arithmetic against off-by-one regressions."""
+    from datafusion_test_spark.pipeline.quality import drift_ks
+
+    e = table(spark, sf_dir, "events").select("event_type", "value").collect()
+    a = sorted(r["value"] for r in e if r["event_type"] == "view")
+    b = sorted(r["value"] for r in e if r["event_type"] == "click")
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * len(b) - bisect.bisect_right(b, v) * len(a))
+        for v in set(a) | set(b)
+    )
+    row = drift_ks(spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["n_b"], row["d_num"]) == (len(a), len(b), d_num)
+    assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_text_repetition_trigram_bounded_by_bigram(spark, sf_dir):
+    """Every trigram occurrence contains its prefix bigram, so the top
+    trigram count can never exceed the top bigram count; one row per doc."""
+    from datafusion_test_spark.pipeline.quality import text_repetition
+
+    rows = text_repetition(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["top3_cnt"] <= r["top2_cnt"] <= r["n_words"]
+        assert r["pass_repetition"] == (r["ok_2gram"] and r["ok_3gram"])
+
+
+def test_bm25_ranks_contiguous_and_sorted(spark, sf_dir):
+    from datafusion_test_spark.pipeline.text import text_bm25_topk
+
+    rows = text_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+        range(1, len(rows) + 1)
+    )
+    by_rank = sorted(rows, key=lambda r: r["rk"])
+    for hi, lo in zip(by_rank, by_rank[1:]):
+        assert hi["score"] >= lo["score"]
+        assert 1 <= hi["n_terms_hit"] <= 3
+
+
+def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
+    """The noun-block key must catch the corpus's real variant families
+    (cold/old at lev 1); all pairs respect the lev cap and the canonical
+    a<b ordering."""
+    from datafusion_test_spark.pipeline.dedup import er_fuzzy_blocked
+
+    rows = er_fuzzy_blocked(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["lev"] <= 2
+        assert r["name_a"].rsplit(" ", 1)[-1] == r["name_b"].rsplit(" ", 1)[-1]
+    assert any(
+        r["name_a"].startswith("cold ") and r["name_b"].startswith("old ")
+        for r in rows
+    )
+
+
+def test_mm_clip_filter_covers_all_pairs(spark, sf_dir):
+    from datafusion_test_spark.pipeline.multimodal import mm_clip_filter
+
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    rows = mm_clip_filter(spark, sf_dir).collect()
+    assert len(rows) == n_vecs // 2
+    for r in rows:
+        assert r["img_id"] == 2 * r["pair_id"]
+        assert r["txt_id"] == 2 * r["pair_id"] + 1
+        assert -1.0001 <= r["clip_sim"] <= 1.0001
+        if abs(r["clip_sim"]) > 1e-3:  # away from the gate boundary
+            assert r["kept"] == (r["clip_sim"] > 0)
