@@ -337,7 +337,11 @@ def simhash_pairs(
     ).withColumn("h", F.xxhash64("t"))
     # Per-bit ±1 vote sums as 64 aggregate expressions over the token rows —
     # no 64× row explosion, and every sum combines map-side before the one
-    # shuffle on doc_id.
+    # shuffle on doc_id.  Measured negative result (round 4): packing the
+    # votes as set-bit counts in 4×16-bit lanes per long (16 sums + a count
+    # instead of 64 sums, signature bit-identical via vote = 2·cnt − n_tok)
+    # changed the warm sf0.1 wall by < 5% — the band self-join dominates,
+    # not the vote aggregation — so the simpler unpacked form stays.
     vote_sums = [
         F.sum(F.expr(f"CAST(shiftright(h, {i}) & 1 AS INT) * 2 - 1")).alias(f"b{i}")
         for i in range(64)
