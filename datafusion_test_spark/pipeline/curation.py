@@ -283,7 +283,53 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_bins(spark, train, bin_col="shard_id")
 
 
+def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — the epoch-0 example
+    permutation every trainer needs, as a REPRODUCIBLE pseudorandom order:
+    sort key = md5(doc_id) (algorithm-defined, so retries / engines / a
+    different partitioning all reproduce it — rand() cannot), position =
+    the exact global rank.
+
+    The rank is the two-phase range-partitioned index (local row_number
+    per range partition + an offsets window over #partitions rows — the
+    seq_pack/sample_systematic idiom), never a single-partition global
+    window.  At 100 TB the repartitionByRange on the draw IS the shuffled
+    dataset: shard files land in position order and the training loader
+    streams them sequentially; re-keying the draw with an epoch salt
+    (md5(epoch || doc_id)) gives every epoch a fresh permutation at the
+    same cost.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    drawn = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("draw")
+    )
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranged = (
+        drawn.repartitionByRange(par, "draw", "doc_id")
+        .sortWithinPartitions("draw", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = W.partitionBy("pid").orderBy("draw", "doc_id")
+    local = ranged.withColumn("lrk", F.row_number().over(w_local))
+    ptot = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = ptot.select(
+        "pid", F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .select(
+            "doc_id",
+            "draw",
+            (F.col("lrk") + F.col("off")).cast("long").alias("pos"),
+        )
+    )
+
+
 QUERIES = {
+    "pipeline_shuffle": pipeline_shuffle,
     "text_contamination": text_contamination,
     "seq_pack": seq_pack,
     "domain_mix": domain_mix,
@@ -367,6 +413,13 @@ def _shards_oracle() -> str:
 
 
 ORACLE = {
+    "pipeline_shuffle": """
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS pos
+        FROM documents
+    """,
     "text_contamination": f"""
         WITH ev AS (
             SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {_N_EVAL}

@@ -450,41 +450,20 @@ def _pq_assign(subvecs: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization — THE 100 TB ANN memory layout (IVF-PQ): each
-    64-dim float vector is encoded as _PQ_M=4 one-byte codes (64x smaller
-    than fp32), one per contiguous subspace, against per-subspace k=16
-    codebooks trained with 2 Lloyd rounds.  All m codebooks train in the
-    SAME DataFrame jobs (subspace is just a grouping column), so the cost
-    is one k-means, not m.
+def _pq_train(spark: SparkSession, e: DataFrame):
+    """Train the _PQ_M×_PQ_K product-quantization codebooks over a
+    (vec_id, embedding) relation with 2 Lloyd rounds; returns (subvecs,
+    codebook, codes).  All m codebooks train in the SAME DataFrame jobs
+    (subspace is just a grouping column).  Shared by embed_pq (codec
+    invariants) and sim_ivfpq (IVF-PQ search).
 
-    Query scoring is ADC (asymmetric distance): the query builds an m x k
-    lookup table of subvector->centroid distances once, and every
-    candidate's distance is a 4-term LUT sum over its codes — no float
-    vectors touched at scan time.  At scale the codes column lives next to
-    the IVF cell id (sim_ivf) as a bucketed layout; the LUT is a broadcast
-    of m*k doubles.
-
-    Self-verifying output (1 row, constants + booleans so the oracle is
-    exact SQL): a planted identical twin of the min-vec_id query (vec_id +
-    _PLANT_OFFSET, same embedding — planted HERE, same harness as
-    sim_pairwise_lsh) must encode to the SAME codes, hence the ADC
-    distance to the twin EQUALS the query's own quantization distance —
-    compared in decimal so the 4-term sums are associative-exact.
-    codebook_bounded pins |used codes| <= m*k.
+    Eager localCheckpoint, not persist: (a) the Lloyd loop re-reads the
+    subvector relation every round so lineage must truncate
+    (dedup_clusters lesson), (b) a persisted plan's shuffles bypass AQE
+    partition coalescing on a vanilla session
+    (canChangeCachedPlanOutputPartitioning=false default), which turned
+    the tiny per-round aggregates into 200-task stages.
     """
-    from .dedup import _PLANT_OFFSET
-
-    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    twin = base.orderBy("vec_id").limit(1).select(
-        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
-    )
-    e = base.unionByName(twin)
-    # eager localCheckpoint, not persist: (a) the Lloyd loop re-reads this
-    # relation every round so lineage must truncate (dedup_clusters lesson),
-    # (b) a persisted plan's shuffles bypass AQE partition coalescing on a
-    # vanilla session (canChangeCachedPlanOutputPartitioning=false default),
-    # which turned the tiny per-round aggregates into 200-task stages.
     par = max(2, min(spark.sparkContext.defaultParallelism, 8))
     subvecs = _pq_subvecs(e).repartition(par).localCheckpoint(eager=True)
     # deterministic seeds: the k hash-lowest vec_ids' subvectors, cid by
@@ -518,6 +497,40 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     codes = _pq_assign(subvecs, cent).localCheckpoint(eager=True)
+    return subvecs, cent, codes
+
+
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — THE 100 TB ANN memory layout (IVF-PQ): each
+    64-dim float vector is encoded as _PQ_M=4 one-byte codes (64x smaller
+    than fp32), one per contiguous subspace, against per-subspace k=16
+    codebooks trained with 2 Lloyd rounds.  All m codebooks train in the
+    SAME DataFrame jobs (subspace is just a grouping column), so the cost
+    is one k-means, not m.
+
+    Query scoring is ADC (asymmetric distance): the query builds an m x k
+    lookup table of subvector->centroid distances once, and every
+    candidate's distance is a 4-term LUT sum over its codes — no float
+    vectors touched at scan time.  At scale the codes column lives next to
+    the IVF cell id (sim_ivf) as a bucketed layout; the LUT is a broadcast
+    of m*k doubles.
+
+    Self-verifying output (1 row, constants + booleans so the oracle is
+    exact SQL): a planted identical twin of the min-vec_id query (vec_id +
+    _PLANT_OFFSET, same embedding — planted HERE, same harness as
+    sim_pairwise_lsh) must encode to the SAME codes, hence the ADC
+    distance to the twin EQUALS the query's own quantization distance —
+    compared in decimal so the 4-term sums are associative-exact.
+    codebook_bounded pins |used codes| <= m*k.
+    """
+    from .dedup import _PLANT_OFFSET
+
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = base.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
+    e = base.unionByName(twin)
+    subvecs, cent, codes = _pq_train(spark, e)
     qid = e.agg(F.min("vec_id").alias("qid"))
     # ADC lookup table: the query's subvectors against the whole codebook
     lut = (
@@ -641,7 +654,98 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the full billion-scale ANN composition: the IVF
+    coarse quantizer (sim_ivf's cells) prunes the corpus to nprobe=2
+    cells, then candidates are scored by ADC over their PQ codes
+    (embed_pq's codebooks) — float vectors are touched only to build the
+    query's m×k lookup table; every candidate costs a 4-term LUT sum.
+    At 100 TB the layout is (cell_id, codes) bucketed by cell: the probe
+    is a partition-pruned scan of byte codes, 64× smaller than the fp32
+    corpus, and the LUT is a broadcast of m·k doubles.
+
+    Self-verifying (the sim_ivf + embed_pq harnesses composed): a planted
+    identical twin of the min-vec_id query shares the query's cell
+    (identical embedding ⇒ identical argmax centroid, ties aligned) and
+    its codes, so it MUST survive the IVF pruning and tie the query's ADC
+    (compared in decimal — associative-exact).  ADC(query) is the global
+    minimum by construction (its codes are the per-subspace argmins), so
+    the query is top-1 under (adc asc, vec_id asc).  `probed_subset`
+    proves the cell probe actually pruned.
+    """
+    from .dedup import _PLANT_OFFSET
+
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = base.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
+    e = base.unionByName(twin).localCheckpoint(eager=True)
+    # coarse quantizer + cell assignment (sim_ivf's shapes)
+    cent = ivf_centroids(spark, e)
+    assign = _ivf_assign(e, cent).localCheckpoint(eager=True)
+    # PQ codebooks + codes (embed_pq's shapes)
+    subvecs, pq_cent, codes = _pq_train(spark, e)
+    q = F.broadcast(
+        e.join(
+            F.broadcast(e.agg(F.min("vec_id").alias("qid"))),
+            F.col("vec_id") == F.col("qid"),
+        ).select("qid", F.col("embedding").alias("qvec"))
+    )
+    probes = (
+        cent.crossJoin(q)
+        .select("cid", cosine(F.col("cvec"), F.col("qvec")).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col("cid"))
+        .limit(2)
+        .select("cid")
+    )
+    lut = (
+        subvecs.join(F.broadcast(q), F.col("vec_id") == F.col("qid"))
+        .join(F.broadcast(pq_cent), "sub")
+        .select(
+            "sub",
+            F.col("cid").alias("code"),
+            _pq_l2(F.col("sv"), F.col("cvec")).cast(_PQ_DEC).alias("d2q"),
+        )
+    )
+    cand = assign.join(F.broadcast(probes), "cid").select("vec_id")
+    adc = (
+        cand.join(codes, "vec_id")
+        .withColumnRenamed("cid", "code")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+        .localCheckpoint(eager=True)
+    )
+    top1 = adc.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(1)
+    qid_b = F.broadcast(e.agg(F.min("vec_id").alias("qid")))
+    self_adc = adc.join(qid_b, F.col("vec_id") == F.col("qid")).select(
+        F.col("adc").alias("self_adc")
+    )
+    twin_row = adc.join(
+        qid_b, F.col("vec_id") == F.col("qid") + F.lit(_PLANT_OFFSET)
+    ).select(F.col("adc").alias("twin_adc"))
+    counts = F.broadcast(
+        base.agg(F.count(F.lit(1)).alias("n_vectors"))
+    ).crossJoin(F.broadcast(adc.agg(F.count(F.lit(1)).alias("n_probed"))))
+    return (
+        top1.crossJoin(qid_b)
+        .crossJoin(F.broadcast(self_adc))
+        .crossJoin(F.broadcast(twin_row))
+        .crossJoin(counts)
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_vectors",
+            (F.col("vec_id") == F.col("qid")).alias("self_is_top"),
+            (F.col("twin_adc") == F.col("self_adc")).alias(
+                "twin_survives_with_equal_adc"
+            ),
+            (F.col("n_probed") < F.col("n_vectors")).alias("probed_subset"),
+        )
+    )
+
+
 QUERIES = {
+    "sim_ivfpq": sim_ivfpq,
     "agg_vector_centroid": agg_vector_centroid,
     "embed_pca": embed_pca,
     "embed_pq": embed_pq,
@@ -654,6 +758,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_ivfpq": """
+        SELECT CAST(min(vec_id) AS BIGINT) AS query_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               true AS self_is_top,
+               true AS twin_survives_with_equal_adc,
+               true AS probed_subset
+        FROM embeddings
+    """,
     "agg_vector_centroid": """
         SELECT label, CAST(g - 1 AS INTEGER) AS pos,
                round(avg(CAST(embedding[g] AS DOUBLE)), 4) AS centroid_val,

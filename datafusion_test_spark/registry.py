@@ -135,6 +135,8 @@ _PRIORITY = [
     "text_bm25_topk",
     "er_fuzzy_blocked",
     "mm_clip_filter",
+    "pipeline_shuffle",
+    "sim_ivfpq",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

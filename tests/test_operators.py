@@ -1205,3 +1205,29 @@ def test_mm_clip_filter_covers_all_pairs(spark, sf_dir):
         assert -1.0001 <= r["clip_sim"] <= 1.0001
         if abs(r["clip_sim"]) > 1e-3:  # away from the gate boundary
             assert r["kept"] == (r["clip_sim"] > 0)
+
+
+def test_pipeline_shuffle_is_permutation(spark, sf_dir):
+    """Positions must be exactly 1..N with no gaps or dups, and ordering
+    by position must equal ordering by (draw, doc_id) — the two-phase
+    offset arithmetic reproduces the global rank."""
+    from datafusion_test_spark.pipeline.curation import pipeline_shuffle
+
+    rows = pipeline_shuffle(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "documents").count()
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
+    by_draw = [
+        r["doc_id"] for r in sorted(rows, key=lambda r: (r["draw"], r["doc_id"]))
+    ]
+    assert by_pos == by_draw
+
+
+def test_sim_ivfpq_invariants(spark, sf_dir):
+    from datafusion_test_spark.pipeline.similarity import sim_ivfpq
+
+    row = sim_ivfpq(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["self_is_top"] and r["twin_survives_with_equal_adc"]
+    assert r["probed_subset"]
