@@ -108,6 +108,14 @@ HEADLINE = [
     "embed_pq",
     "lm_quality_filter",
     "join_dim_snapshot",
+    # round-4 (cont.): this session's additions
+    "drift_ks",
+    "text_repetition",
+    "text_bm25_topk",
+    "er_fuzzy_blocked",
+    "mm_clip_filter",
+    "pipeline_shuffle",
+    "sim_ivfpq",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

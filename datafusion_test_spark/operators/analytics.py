@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._util import r4
 from ..io import table
 
 
@@ -298,7 +299,72 @@ def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI linear-regression aggregates per event type: value regressed
+    on hour-of-day via regr_slope / regr_intercept / regr_r2 / regr_count
+    — the trend-fit surface a metrics warehouse exposes.  One shuffle on
+    the group key with map-side partial moment states (the regr_* family
+    is a mergeable (n, Σx, Σy, Σxx, Σxy, Σyy) sketch, so the plan is the
+    same partial/final split as any sum).  round(,4) absorbs the ulp-level
+    float noise of partial-state merge order (agg_stats discipline).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return e.groupBy("event_type").agg(
+        F.expr("regr_count(y, x)").cast("long").alias("n_points"),
+        r4(F.expr("regr_slope(y, x)"), "slope"),
+        r4(F.expr("regr_intercept(y, x)"), "intercept"),
+        r4(F.expr("regr_r2(y, x)"), "r2"),
+    )
+
+
+_MAD_K = 3 * 1.4826  # 3-sigma-equivalent MAD multiplier (normal consistency)
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median / MAD (median absolute
+    deviation) and the count of values beyond 3·1.4826·MAD — the
+    anomaly-detection primitive that survives skew where mean/stddev
+    z-scores break.  Exact percentile both times; the deviation column and
+    the threshold compare are single IEEE ops on identical inputs, so the
+    outlier counts are bit-identical cross-engine.
+
+    Plan: two grouped exact percentiles chained through k-row broadcast
+    joins (k = event types) — the events relation is scanned twice but
+    never self-joined.  At 100 TB swap percentile for approx_percentile
+    (t-digest): same two-pass shape, sketched carrier; the flag threshold
+    then carries the sketch's rank error, which is the standard trade.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.first("med"), "med"),
+            r4(F.first("mad"), "mad"),
+            F.count(
+                F.when(F.col("adev") > F.lit(_MAD_K) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_regression": agg_regression,
+    "anomaly_mad": anomaly_mad,
     "feature_bucketize": feature_bucketize,
     "seq_string_mine": seq_string_mine,
     "funnel_conversion": funnel_conversion,
@@ -309,6 +375,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_regression": """
+        SELECT event_type,
+               CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT)
+                   AS n_points,
+               round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4) AS slope,
+               round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4)
+                   AS intercept,
+               round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 4) AS r2
+        FROM events GROUP BY event_type
+    """,
+    "anomaly_mad": f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(any_value(d.med), 4) AS med,
+               round(any_value(ma.mad), 4) AS mad,
+               CAST(count(*) FILTER (WHERE d.adev > {_MAD_K!r} * ma.mad)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad ma USING (event_type)
+        GROUP BY d.event_type
+    """,
     "feature_bucketize": f"""
         WITH r AS (
             SELECT o_totalprice,

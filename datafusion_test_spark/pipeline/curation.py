@@ -283,7 +283,9 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_bins(spark, train, bin_col="shard_id")
 
 
-def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_shuffle(
+    spark: SparkSession, sf_dir: str, par: int | None = None
+) -> DataFrame:
     """Deterministic global training-order shuffle — the epoch-0 example
     permutation every trainer needs, as a REPRODUCIBLE pseudorandom order:
     sort key = md5(doc_id) (algorithm-defined, so retries / engines / a
@@ -305,7 +307,8 @@ def pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn = d.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("draw")
     )
-    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    # par injectable for the partition-count-invariance test
+    par = par or max(4, spark.sparkContext.defaultParallelism // 4)
     ranged = (
         drawn.repartitionByRange(par, "draw", "doc_id")
         .sortWithinPartitions("draw", "doc_id")

@@ -365,7 +365,7 @@ def lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def drift_ks(spark: SparkSession, sf_dir: str, par: int | None = None) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic between the `view`
     and `click` event-value distributions — the data-quality monitor that
     gates a training pipeline on "did today's feed drift from yesterday's".
@@ -393,7 +393,8 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = u.groupBy("value").agg(
         F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
     )
-    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    # par injectable for the partition-count-invariance test
+    par = par or max(4, spark.sparkContext.defaultParallelism // 4)
     ranged = (
         g.repartitionByRange(par, "value")
         .sortWithinPartitions("value")

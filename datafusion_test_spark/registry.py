@@ -137,6 +137,8 @@ _PRIORITY = [
     "mm_clip_filter",
     "pipeline_shuffle",
     "sim_ivfpq",
+    "agg_regression",
+    "anomaly_mad",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1231,3 +1231,26 @@ def test_sim_ivfpq_invariants(spark, sf_dir):
     r = row[0]
     assert r["self_is_top"] and r["twin_survives_with_equal_adc"]
     assert r["probed_subset"]
+
+
+def test_agg_regression_r2_bounds(spark, sf_dir):
+    from datafusion_test_spark.operators.analytics import agg_regression
+
+    rows = agg_regression(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r["n_points"] > 0
+        assert -0.0001 <= r["r2"] <= 1.0001
+
+
+def test_anomaly_mad_counts_consistent(spark, sf_dir):
+    """Outliers are a strict subset; med/mad non-negative; per-type counts
+    sum to the full events table."""
+    from datafusion_test_spark.operators.analytics import anomaly_mad
+
+    rows = anomaly_mad(spark, sf_dir).collect()
+    total = table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_outliers"] < r["n_events"]
+        assert r["mad"] >= 0

@@ -67,3 +67,28 @@ def test_bucketize_formula_equal_frequency(n):
         assert sorted(sizes) == list(range(k))
     assert max(sizes.values()) - min(sizes.values()) <= 1
     assert buckets == sorted(buckets)
+
+
+def test_drift_ks_partition_count_invariant(spark, sf_dir):
+    """The two-phase prefix-sum KS statistic must not depend on how many
+    range partitions carry the cumulative counts."""
+    from datafusion_test_spark.pipeline.quality import drift_ks
+
+    a = drift_ks(spark, sf_dir, par=3).collect()[0]
+    b = drift_ks(spark, sf_dir, par=7).collect()[0]
+    assert (a["n_a"], a["n_b"], a["d_num"], a["ks_stat"]) == (
+        b["n_a"],
+        b["n_b"],
+        b["d_num"],
+        b["ks_stat"],
+    )
+
+
+def test_pipeline_shuffle_partition_count_invariant(spark, sf_dir):
+    """Global shuffle positions are a pure function of the data, not of
+    the partition count used to compute the distributed rank."""
+    from datafusion_test_spark.pipeline.curation import pipeline_shuffle
+
+    a = {r["doc_id"]: r["pos"] for r in pipeline_shuffle(spark, sf_dir, par=3).collect()}
+    b = {r["doc_id"]: r["pos"] for r in pipeline_shuffle(spark, sf_dir, par=7).collect()}
+    assert a == b
