@@ -234,3 +234,54 @@ def test_feature_bucketize_no_global_data_window(spark, sf_dir):
     assert "windowspecdefinition(pid" in plan
     # row_number over the raw sort keys must never appear unpartitioned
     assert "windowspecdefinition(o_totalprice" not in plan
+
+
+def test_pipeline_shuffle_no_global_data_window(spark, sf_dir):
+    """The global shuffle rank must come from the pid-partitioned local
+    window + the #partitions-row offsets window — never a row_number over
+    the whole draw order in one partition."""
+    from datafusion_test_spark.pipeline.curation import pipeline_shuffle
+
+    plan = _plan(pipeline_shuffle(spark, sf_dir))
+    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(draw" not in plan
+
+
+def test_drift_ks_no_global_data_window(spark, sf_dir):
+    """Cumulative KS counts ride the pid-partitioned prefix window; the
+    only unpartitioned window is over the #partitions-row offsets."""
+    from datafusion_test_spark.pipeline.quality import drift_ks
+
+    plan = _plan(drift_ks(spark, sf_dir))
+    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(value" not in plan
+
+
+def test_anomaly_mad_broadcasts_k_row_medians(spark, sf_dir):
+    """Both percentile relations join back as broadcasts (k = event
+    types); the events table must never be shuffle-joined to itself."""
+    from datafusion_test_spark.operators.analytics import anomaly_mad
+
+    plan = _plan(anomaly_mad(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_mm_clip_filter_single_join_no_crossjoin(spark, sf_dir):
+    from datafusion_test_spark.pipeline.multimodal import mm_clip_filter
+
+    plan = _plan(mm_clip_filter(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_filter_pushes_before_aggregation(spark, sf_dir):
+    """The query-term isin filter must run before the tf aggregation —
+    tf is O(matching tokens), not O(corpus tokens)."""
+    from datafusion_test_spark.pipeline.text import text_bm25_topk
+
+    plan = _plan(text_bm25_topk(spark, sf_dir))
+    # the isin filter sits below (after, in tree order) the last-listed
+    # HashAggregate, i.e. on the explode side of the tf aggregation
+    below_aggs = plan.rsplit("HashAggregate", 1)[-1]
+    assert "term#" in below_aggs and " IN (" in below_aggs
+    assert "TakeOrderedAndProject" in plan  # top-10, not a global sort
