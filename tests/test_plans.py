@@ -280,8 +280,14 @@ def test_bm25_filter_pushes_before_aggregation(spark, sf_dir):
     from datafusion_test_spark.pipeline.text import text_bm25_topk
 
     plan = _plan(text_bm25_topk(spark, sf_dir))
-    # the isin filter sits below (after, in tree order) the last-listed
-    # HashAggregate, i.e. on the explode side of the tf aggregation
-    below_aggs = plan.rsplit("HashAggregate", 1)[-1]
-    assert "term#" in below_aggs and " IN (" in below_aggs
+    lines = plan.splitlines()
+    fidx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Filter" in ln and "IN (spark,merge,window)" in ln
+    ]
+    assert fidx, "query-term filter missing from the plan"
+    # each term filter sits DIRECTLY on its explode — no aggregate between
+    for i in fidx:
+        assert "Generate explode" in lines[i + 1]
     assert "TakeOrderedAndProject" in plan  # top-10, not a global sort
