@@ -139,6 +139,7 @@ _PRIORITY = [
     "sim_ivfpq",
     "agg_regression",
     "anomaly_mad",
+    "stream_topk_windowed",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -276,7 +276,50 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling(ev)
 
 
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k — the trending-items query of a streaming
+    dashboard: within each 1-hour tumbling window, the top-3 event types
+    by count (ties to the lexicographically smaller type).  Batch-first
+    phrasing of the foreachBatch ranking pattern: the windowed count is
+    the same incremental aggregate Structured Streaming maintains; the
+    rank runs per window partition over k' = |event types| rows, so the
+    window spec is bounded and partitioned — never data-sized.  At 100 TB
+    the count aggregate is the only O(N) shuffle; the rank input is
+    O(windows × types).
+    """
+    return rank_windowed_counts(windowed_counts(_events(spark, sf_dir)))
+
+
+def windowed_counts(df: DataFrame) -> DataFrame:
+    """The streaming-maintainable half of stream_topk_windowed: a 1-hour
+    tumbling count per event type (runs identically on a streaming frame
+    in complete/update mode)."""
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+def rank_windowed_counts(counts: DataFrame) -> DataFrame:
+    """The foreachBatch half: rank within each window, keep the top-3.
+    Rank windows are not streaming-supported, so in a live pipeline this
+    runs over the maintained aggregate inside foreachBatch — the test
+    proves streamed-counts + this rank == the batch operator."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "rk", "event_type", "n_events")
+    )
+
+
 QUERIES = {
+    "stream_topk_windowed": stream_topk_windowed,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
@@ -290,6 +333,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_topk_windowed": """
+        WITH counts AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC
+               ) AS INTEGER) AS rk,
+               event_type, n_events
+        FROM counts
+        QUALIFY rk <= 3
+    """,
     "stream_join_outer": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
                p.ts AS purchase_ts, p.value AS purchase_value

@@ -425,3 +425,25 @@ def test_foreachbatch_merge_converges_to_batch_compaction(spark, sf_dir, tmp_pat
     streamed = {tuple(r) for r in final.collect()}
     batch = {tuple(r) for r in stream_cdc_apply(spark, sf_dir).collect()}
     assert streamed == batch
+
+
+def test_streaming_topk_counts_plus_foreachbatch_rank_equals_batch(
+    spark, sf_dir, events_dir
+):
+    """The rank window is not streaming-supported, so the live pipeline
+    maintains the windowed counts in-stream and ranks inside foreachBatch;
+    streamed counts + the rank half must reproduce the batch operator."""
+    from datafusion_test_spark.streaming.batch_windows import (
+        rank_windowed_counts,
+        stream_topk_windowed,
+        windowed_counts,
+    )
+
+    batch = {tuple(r) for r in stream_topk_windowed(spark, sf_dir).collect()}
+    streamed_counts = _run_stream_over_events(
+        spark, events_dir, windowed_counts, "t_topk_counts"
+    )
+    streamed = {
+        tuple(r) for r in rank_windowed_counts(streamed_counts).collect()
+    }
+    assert batch == streamed
