@@ -140,6 +140,7 @@ _PRIORITY = [
     "agg_regression",
     "anomaly_mad",
     "stream_topk_windowed",
+    "ts_resample_interp",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -185,6 +185,85 @@ def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — rollup_gapfill's sibling for
+    continuous measures where LOCF is wrong (sensor readings, prices):
+    each empty hour gets v_prev + (v_next − v_prev)·(t−t_prev)/(t_next −
+    t_prev); leading/trailing gaps clamp to the nearest known value.
+
+    Portability: the hourly mean goes through the decimal-sum carrier
+    (dsum discipline) so both engines derive the identical double; the
+    interpolation is then 4 IEEE ops on exact hour epochs — deterministic.
+    Scale: same as gapfill — one O(events) aggregate shuffle; the grid,
+    the two IGNORE-NULLS windows, and the arithmetic are all O(types ×
+    hours), reusing the aggregate's partitioning on event_type.
+    """
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "bucket"], "left").withColumn(
+        "t", F.unix_timestamp("bucket").cast("double")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("v").isNotNull(), F.col("t"))
+    filled = j.select(
+        "event_type",
+        "bucket",
+        "v",
+        "t",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_t, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_t, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt")))
+        )
+    )
+    # explicit HALF-UP via floor(x·10⁴ + 0.5): interpolated midpoints land
+    # EXACTLY on .xxxx5 ties (frac = 1/2 over decimal-ish endpoints), where
+    # Spark's round() (half-up) and DuckDB's (half-even) disagree — the
+    # same formula on both sides makes the tie-break engine-independent
+    halfup = F.floor(interp * 10000 + F.lit(0.5)).cast("double") / 10000
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.col("v").isNull().alias("is_interpolated"),
+        halfup.alias("v_interp"),
+    )
+
+
 def interval_join(
     clicks: DataFrame, purchases: DataFrame, how: str = "inner"
 ) -> DataFrame:
@@ -320,6 +399,7 @@ def rank_windowed_counts(counts: DataFrame) -> DataFrame:
 
 QUERIES = {
     "stream_topk_windowed": stream_topk_windowed,
+    "ts_resample_interp": ts_resample_interp,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
@@ -347,6 +427,58 @@ ORACLE = {
                event_type, n_events
         FROM counts
         QUALIFY rk <= 3
+    """,
+    "ts_resample_interp": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                  FROM hourly GROUP BY event_type)
+        ),
+        j AS (
+            SELECT g.event_type, g.bucket, h.v,
+                   CAST(epoch(g.bucket) AS DOUBLE) AS t
+            FROM grid g
+            LEFT JOIN hourly h
+              ON g.event_type = h.event_type AND g.bucket = h.bucket
+        ),
+        f AS (
+            SELECT event_type, bucket, v, t,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN t END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pt,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN t END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nt
+            FROM j
+        )
+        SELECT event_type, bucket,
+               (v IS NULL) AS is_interpolated,
+               CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                                WHEN pv IS NULL THEN nv
+                                WHEN nv IS NULL THEN pv
+                                ELSE pv + (nv - pv) * ((t - pt) / (nt - pt))
+                           END) * 10000 + 0.5) AS DOUBLE) / 10000 AS v_interp
+        FROM f
     """,
     "stream_join_outer": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,

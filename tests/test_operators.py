@@ -1254,3 +1254,29 @@ def test_anomaly_mad_counts_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_outliers"] < r["n_events"]
         assert r["mad"] >= 0
+
+
+def test_ts_resample_interp_bounds_and_coverage(spark, sf_dir):
+    """Interpolated values lie within [prev, next] (hence within the
+    per-type observed min/max band); known buckets pass through their own
+    mean; the grid is dense per type."""
+    from datafusion_test_spark.streaming.batch_windows import ts_resample_interp
+
+    rows = ts_resample_interp(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket"])
+        known = [r["v_interp"] for r in rs if not r["is_interpolated"]]
+        lo, hi = min(known), max(known)
+        for r in rs:
+            assert lo - 1e-9 <= r["v_interp"] <= hi + 1e-9, (et, r)
+        # dense hourly grid: bucket deltas are exactly one hour
+        deltas = {
+            int((b.timestamp() - a.timestamp()))
+            for a, b in zip(
+                [r["bucket"] for r in rs], [r["bucket"] for r in rs][1:]
+            )
+        }
+        assert deltas <= {3600}
