@@ -193,7 +193,29 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sub_in_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery under a disjunction — NOT reducible to a semi-join
+    because non-matching rows must survive with a false flag: Catalyst
+    plans the membership probe as an ExistenceJoin (the semi-join variant
+    that emits an exists bit instead of filtering), the one physical join
+    type the inner/semi/anti family doesn't cover (plan-test pinned).
+    The probe side is the filtered orders keys — broadcastable here; at
+    scale AQE picks shuffle when the key set outgrows the threshold.
+    """
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (c_custkey IN (
+                    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+                ) OR c_acctbal > 9000.0) AS flagged
+        FROM customer
+        """
+    )
+
+
 QUERIES = {
+    "sub_in_disjunct": sub_in_disjunct,
     "sub_scalar": sub_scalar,
     "cte_recursive": cte_recursive,
     "join_lateral": join_lateral,
@@ -207,6 +229,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sub_in_disjunct": """
+        SELECT c_custkey, c_acctbal,
+               (c_custkey IN (
+                    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+                ) OR c_acctbal > 9000.0) AS flagged
+        FROM customer
+    """,
     "cte_recursive": """
         WITH RECURSIVE months(m) AS (
             SELECT DATE '1995-01-01'

@@ -511,7 +511,39 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KANON_K = 10  # minimum group size for a quasi-identifier release
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus metadata — the aggregate-privacy
+    gate next to text_pii_scrub's value-level scrubbing: any
+    quasi-identifier group (lang, source) with fewer than k=10 documents
+    is suppressed (generalized to '*') before release, so no small cohort
+    is identifiable in published per-group statistics.
+
+    One map-side-combined groupBy; the suppression predicate is row-local
+    on the group relation (O(distinct QI tuples) rows).  At 100 TB the
+    group relation is the tiny side: when a row-level release is
+    materialized, the keep-list joins back as a broadcast and the
+    suppressed rows either drop or generalize in the same map stage.
+    """
+    d = table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    suppressed = F.col("n_docs") < _KANON_K
+    return d.select(
+        "lang",
+        "source",
+        "n_docs",
+        suppressed.alias("suppressed"),
+        F.when(
+            ~suppressed, F.concat_ws("/", "lang", "source")
+        ).otherwise("*").alias("released_as"),
+    )
+
+
 QUERIES = {
+    "privacy_k_anonymity": privacy_k_anonymity,
     "drift_ks": drift_ks,
     "text_repetition": text_repetition,
     "lm_quality_filter": lm_quality_filter,
@@ -525,6 +557,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "privacy_k_anonymity": f"""
+        SELECT lang, source, count(*) AS n_docs,
+               (count(*) < {_KANON_K}) AS suppressed,
+               CASE WHEN count(*) >= {_KANON_K}
+                    THEN lang || '/' || source ELSE '*' END AS released_as
+        FROM documents GROUP BY lang, source
+    """,
     "drift_ks": """
         WITH u AS (
             SELECT value,

@@ -141,6 +141,8 @@ _PRIORITY = [
     "anomaly_mad",
     "stream_topk_windowed",
     "ts_resample_interp",
+    "sub_in_disjunct",
+    "privacy_k_anonymity",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

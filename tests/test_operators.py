@@ -1280,3 +1280,16 @@ def test_ts_resample_interp_bounds_and_coverage(spark, sf_dir):
             )
         }
         assert deltas <= {3600}
+
+
+def test_privacy_k_anonymity_partitions_groups(spark, sf_dir):
+    from datafusion_test_spark.pipeline.quality import _KANON_K, privacy_k_anonymity
+
+    rows = privacy_k_anonymity(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["suppressed"] == (r["n_docs"] < _KANON_K)
+        assert r["released_as"] == (
+            "*" if r["suppressed"] else f"{r['lang']}/{r['source']}"
+        )

@@ -291,3 +291,11 @@ def test_bm25_filter_pushes_before_aggregation(spark, sf_dir):
     for i in fidx:
         assert "Generate explode" in lines[i + 1]
     assert "TakeOrderedAndProject" in plan  # top-10, not a global sort
+
+
+def test_sub_in_disjunct_plans_as_existence_join(spark, sf_dir):
+    """IN under OR cannot filter, so it must plan as ExistenceJoin — the
+    flag-emitting semi-join variant."""
+    from datafusion_test_spark.operators.subqueries import sub_in_disjunct
+
+    assert "ExistenceJoin" in _plan(sub_in_disjunct(spark, sf_dir))
