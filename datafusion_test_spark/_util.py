@@ -65,3 +65,74 @@ def scratch_dir(prefix: str) -> str:
         _SCRATCH_ROOT.append(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+
+
+def two_phase_prefix(
+    df,
+    par: int,
+    order_cols: list[str],
+    sum_cols: tuple[str, ...] = (),
+    rank_as: str | None = None,
+):
+    """Distributed global prefix state over ``order_cols`` WITHOUT a
+    single-partition window — the range-partitioned two-phase idiom shared
+    by sample_systematic / drift_ks / pipeline_shuffle (and open-coded
+    with bin logic in curation._pack_bins): repartitionByRange on the
+    order, a local window per partition, then an offsets window over only
+    #partitions rows.
+
+    Adds ``pre_<col>`` = the EXCLUSIVE global prefix sum for each col in
+    ``sum_cols`` and, if ``rank_as``, the 1-based global row number.
+    Returns ``(out, totals)`` where ``totals`` is a 1-row frame with
+    ``tot_<col>`` / ``tot_rows`` derived from the same per-partition
+    aggregates — callers must NOT rescan the input for grand totals.
+    """
+    from pyspark.sql import Window as W
+
+    ranged = (
+        df.repartitionByRange(par, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_pre = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = ranged
+    for c in sum_cols:
+        out = out.withColumn(
+            f"pre_{c}", F.coalesce(F.sum(c).over(w_pre), F.lit(0))
+        )
+    if rank_as:
+        out = out.withColumn(
+            "_lrk",
+            F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols)),
+        )
+    aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    aggs.append(F.count(F.lit(1)).alias("_t_rows"))
+    ptot = ranged.groupBy("_pid").agg(*aggs)
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    off_cols = [
+        F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
+        for c in sum_cols
+    ]
+    if rank_as:
+        off_cols.append(
+            F.coalesce(F.sum("_t_rows").over(w_off), F.lit(0)).alias("_o_rows")
+        )
+    offs = ptot.select("_pid", *off_cols)
+    out = out.join(F.broadcast(offs), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"pre_{c}", F.col(f"pre_{c}") + F.col(f"_o_{c}")
+        ).drop(f"_o_{c}")
+    if rank_as:
+        out = out.withColumn(
+            rank_as, (F.col("_lrk") + F.col("_o_rows")).cast("long")
+        ).drop("_lrk", "_o_rows")
+    totals = ptot.agg(
+        *[F.sum(f"_t_{c}").alias(f"tot_{c}") for c in sum_cols],
+        F.sum("_t_rows").alias("tot_rows"),
+    )
+    return out.drop("_pid"), totals

@@ -301,7 +301,7 @@ def pipeline_shuffle(
     (md5(epoch || doc_id)) gives every epoch a fresh permutation at the
     same cost.
     """
-    from pyspark.sql import Window as W
+    from .._util import two_phase_prefix
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     drawn = d.select(
@@ -309,26 +309,10 @@ def pipeline_shuffle(
     )
     # par injectable for the partition-count-invariance test
     par = par or max(4, spark.sparkContext.defaultParallelism // 4)
-    ranged = (
-        drawn.repartitionByRange(par, "draw", "doc_id")
-        .sortWithinPartitions("draw", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+    ranked, _ = two_phase_prefix(
+        drawn, par, ["draw", "doc_id"], rank_as="pos"
     )
-    w_local = W.partitionBy("pid").orderBy("draw", "doc_id")
-    local = ranged.withColumn("lrk", F.row_number().over(w_local))
-    ptot = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offs = ptot.select(
-        "pid", F.coalesce(F.sum("pn").over(w_off), F.lit(0)).alias("off")
-    )
-    return (
-        local.join(F.broadcast(offs), "pid")
-        .select(
-            "doc_id",
-            "draw",
-            (F.col("lrk") + F.col("off")).cast("long").alias("pos"),
-        )
-    )
+    return ranked.select("doc_id", "draw", "pos")
 
 
 QUERIES = {

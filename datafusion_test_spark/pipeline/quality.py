@@ -244,34 +244,17 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned prefix sum as seq_pack/_pack_bins — no global-order
     window; selection is then a per-row integer predicate.
     """
-    from pyspark.sql import Window as W
+    from .._util import two_phase_prefix
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("wgt")
     )
     par = max(4, spark.sparkContext.defaultParallelism // 4)
-    ranged = (
-        d.repartitionByRange(par, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    w_local = (
-        W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "lpre", F.coalesce(F.sum("wgt").over(w_local), F.lit(0))
-    )
-    ptot = local.groupBy("pid").agg(F.sum("wgt").alias("ptok"))
-    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offs = ptot.withColumn(
-        "off", F.coalesce(F.sum("ptok").over(w_off), F.lit(0))
-    ).select("pid", "off")
-    total = F.broadcast(d.agg(F.sum("wgt").alias("tw")))
+    pre, totals = two_phase_prefix(d, par, ["doc_id"], sum_cols=("wgt",))
     cum = (
-        local.join(F.broadcast(offs), "pid")
-        .withColumn("cum", F.col("lpre") + F.col("off"))
-        .crossJoin(total)
-        .withColumn("step", F.expr(f"tw DIV {_SAMPLE_N}"))
+        pre.withColumnRenamed("pre_wgt", "cum")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("step", F.expr(f"tot_wgt DIV {_SAMPLE_N}"))
     )
     # [cum, cum+wgt) contains a multiple of step
     # <=> (cum + wgt - 1) div step > (cum - 1) div step  (cum >= 1 case)
@@ -382,10 +365,17 @@ def drift_ks(spark: SparkSession, sf_dir: str, par: int | None = None) -> DataFr
     rows per side; past that, rescale one side by sampling — the statistic
     is a fraction, not a count.)
     """
-    from pyspark.sql import Window as W
+    from .._util import two_phase_prefix
 
     e = table(spark, sf_dir, "events").select("event_type", "value")
-    u = e.filter(F.col("event_type").isin("view", "click")).select(
+    # NULLs are excluded EXPLICITLY: Spark windows order NULL first while
+    # DuckDB orders NULL last, so a null measurement would shift every
+    # cumulative count differently per engine — and a CDF over "no
+    # reading" is meaningless anyway (mirrored in the oracle's WHERE)
+    u = e.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull()
+    ).select(
         "value",
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ib"),
@@ -395,38 +385,14 @@ def drift_ks(spark: SparkSession, sf_dir: str, par: int | None = None) -> DataFr
     )
     # par injectable for the partition-count-invariance test
     par = par or max(4, spark.sparkContext.defaultParallelism // 4)
-    ranged = (
-        g.repartitionByRange(par, "value")
-        .sortWithinPartitions("value")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    w_local = W.partitionBy("pid").orderBy("value").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    local = ranged.withColumn("la", F.sum("ca").over(w_local)).withColumn(
-        "lb", F.sum("cb").over(w_local)
-    )
-    ptot = ranged.groupBy("pid").agg(
-        F.sum("ca").alias("pa"), F.sum("cb").alias("pb")
-    )
-    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offs = ptot.select(
-        "pid",
-        F.coalesce(F.sum("pa").over(w_off), F.lit(0)).alias("oa"),
-        F.coalesce(F.sum("pb").over(w_off), F.lit(0)).alias("ob"),
-    )
-    tot = F.broadcast(u.agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb")))
-    diffs = (
-        local.join(F.broadcast(offs), "pid")
-        .crossJoin(tot)
-        .select(
-            "na",
-            "nb",
-            F.abs(
-                (F.col("la") + F.col("oa")) * F.col("nb")
-                - (F.col("lb") + F.col("ob")) * F.col("na")
-            ).alias("diff"),
-        )
+    pre, totals = two_phase_prefix(g, par, ["value"], sum_cols=("ca", "cb"))
+    diffs = pre.crossJoin(F.broadcast(totals)).select(
+        F.col("tot_ca").alias("na"),
+        F.col("tot_cb").alias("nb"),
+        F.abs(
+            (F.col("pre_ca") + F.col("ca")) * F.col("tot_cb")
+            - (F.col("pre_cb") + F.col("cb")) * F.col("tot_ca")
+        ).alias("diff"),
     )
     return diffs.groupBy("na", "nb").agg(F.max("diff").alias("d")).select(
         F.col("na").cast("long").alias("n_a"),
@@ -536,8 +502,10 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         suppressed.alias("suppressed"),
+        # concat (not concat_ws): NULL must propagate exactly like the
+        # oracle's `||`, never silently collapse to a colliding bare label
         F.when(
-            ~suppressed, F.concat_ws("/", "lang", "source")
+            ~suppressed, F.concat("lang", F.lit("/"), "source")
         ).otherwise("*").alias("released_as"),
     )
 
@@ -571,7 +539,8 @@ ORACLE = {
                         AS BIGINT) AS ia,
                    CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
                         AS BIGINT) AS ib
-            FROM events WHERE event_type IN ('view', 'click')
+            FROM events
+            WHERE event_type IN ('view', 'click') AND value IS NOT NULL
         ),
         g AS (
             SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,

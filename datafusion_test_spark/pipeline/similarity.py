@@ -450,6 +450,18 @@ def _pq_assign(subvecs: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _with_planted_twin(base: DataFrame) -> DataFrame:
+    """Append an identical twin of the min-vec_id vector (vec_id +
+    _PLANT_OFFSET, same embedding) — the planted-duplicate harness shared
+    by embed_pq and sim_ivfpq (same convention as sim_pairwise_lsh)."""
+    from .dedup import _PLANT_OFFSET
+
+    twin = base.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(twin)
+
+
 def _pq_train(spark: SparkSession, e: DataFrame):
     """Train the _PQ_M×_PQ_K product-quantization codebooks over a
     (vec_id, embedding) relation with 2 Lloyd rounds; returns (subvecs,
@@ -526,10 +538,7 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _PLANT_OFFSET
 
     base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    twin = base.orderBy("vec_id").limit(1).select(
-        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
-    )
-    e = base.unionByName(twin)
+    e = _with_planted_twin(base)
     subvecs, cent, codes = _pq_train(spark, e)
     qid = e.agg(F.min("vec_id").alias("qid"))
     # ADC lookup table: the query's subvectors against the whole codebook
@@ -676,20 +685,17 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _PLANT_OFFSET
 
     base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    twin = base.orderBy("vec_id").limit(1).select(
-        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
-    )
-    e = base.unionByName(twin).localCheckpoint(eager=True)
+    e = _with_planted_twin(base).localCheckpoint(eager=True)
     # coarse quantizer + cell assignment (sim_ivf's shapes)
     cent = ivf_centroids(spark, e)
     assign = _ivf_assign(e, cent).localCheckpoint(eager=True)
     # PQ codebooks + codes (embed_pq's shapes)
     subvecs, pq_cent, codes = _pq_train(spark, e)
+    qid_b = F.broadcast(e.agg(F.min("vec_id").alias("qid")))
     q = F.broadcast(
-        e.join(
-            F.broadcast(e.agg(F.min("vec_id").alias("qid"))),
-            F.col("vec_id") == F.col("qid"),
-        ).select("qid", F.col("embedding").alias("qvec"))
+        e.join(qid_b, F.col("vec_id") == F.col("qid")).select(
+            "qid", F.col("embedding").alias("qvec")
+        )
     )
     probes = (
         cent.crossJoin(q)
@@ -717,16 +723,20 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     top1 = adc.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(1)
-    qid_b = F.broadcast(e.agg(F.min("vec_id").alias("qid")))
     self_adc = adc.join(qid_b, F.col("vec_id") == F.col("qid")).select(
         F.col("adc").alias("self_adc")
     )
     twin_row = adc.join(
         qid_b, F.col("vec_id") == F.col("qid") + F.lit(_PLANT_OFFSET)
     ).select(F.col("adc").alias("twin_adc"))
-    counts = F.broadcast(
-        base.agg(F.count(F.lit(1)).alias("n_vectors"))
-    ).crossJoin(F.broadcast(adc.agg(F.count(F.lit(1)).alias("n_probed"))))
+    # prune check counts BOTH sides over e (twin included) — comparing
+    # twin-inclusive n_probed against twin-exclusive n_vectors would flip
+    # probed_subset false when the probe pruned exactly one vector
+    counts = (
+        F.broadcast(base.agg(F.count(F.lit(1)).alias("n_vectors")))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total"))))
+        .crossJoin(F.broadcast(adc.agg(F.count(F.lit(1)).alias("n_probed"))))
+    )
     return (
         top1.crossJoin(qid_b)
         .crossJoin(F.broadcast(self_adc))
@@ -739,7 +749,7 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("twin_adc") == F.col("self_adc")).alias(
                 "twin_survives_with_equal_adc"
             ),
-            (F.col("n_probed") < F.col("n_vectors")).alias("probed_subset"),
+            (F.col("n_probed") < F.col("n_total")).alias("probed_subset"),
         )
     )
 

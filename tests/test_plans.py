@@ -243,7 +243,7 @@ def test_pipeline_shuffle_no_global_data_window(spark, sf_dir):
     from datafusion_test_spark.pipeline.curation import pipeline_shuffle
 
     plan = _plan(pipeline_shuffle(spark, sf_dir))
-    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(_pid" in plan
     assert "windowspecdefinition(draw" not in plan
 
 
@@ -253,7 +253,7 @@ def test_drift_ks_no_global_data_window(spark, sf_dir):
     from datafusion_test_spark.pipeline.quality import drift_ks
 
     plan = _plan(drift_ks(spark, sf_dir))
-    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(_pid" in plan
     assert "windowspecdefinition(value" not in plan
 
 
