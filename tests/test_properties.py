@@ -92,3 +92,38 @@ def test_pipeline_shuffle_partition_count_invariant(spark, sf_dir):
     a = {r["doc_id"]: r["pos"] for r in pipeline_shuffle(spark, sf_dir, par=3).collect()}
     b = {r["doc_id"]: r["pos"] for r in pipeline_shuffle(spark, sf_dir, par=7).collect()}
     assert a == b
+
+
+def test_two_phase_prefix_matches_pandas_cumsum(spark):
+    """The shared helper must reproduce pandas' exclusive cumsum and rank
+    for arbitrary (unsorted, duplicate-keyed) inputs at several partition
+    counts — three operators ride on this arithmetic."""
+    import pandas as pd
+
+    from datafusion_test_spark._util import two_phase_prefix
+
+    pdf = pd.DataFrame(
+        {
+            "k": [5, 1, 9, 3, 3, 7, 2, 8, 6, 4, 0, 9],
+            "tie": list(range(12)),  # unique tiebreak -> total order
+            "w": [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37],
+        }
+    )
+    expected = pdf.sort_values(["k", "tie"]).reset_index(drop=True)
+    expected["pre_w"] = expected["w"].cumsum().shift(fill_value=0)
+    expected["rnk"] = range(1, len(expected) + 1)
+    df = spark.createDataFrame(pdf)
+    for par in (1, 3, 5):
+        out, totals = two_phase_prefix(
+            df, par, ["k", "tie"], sum_cols=("w",), rank_as="rnk"
+        )
+        got = (
+            out.toPandas()
+            .sort_values(["k", "tie"])
+            .reset_index(drop=True)[["k", "tie", "w", "pre_w", "rnk"]]
+        )
+        assert got.astype("int64").equals(
+            expected[["k", "tie", "w", "pre_w", "rnk"]].astype("int64")
+        ), par
+        t = totals.collect()[0]
+        assert t["tot_w"] == int(pdf["w"].sum()) and t["tot_rows"] == len(pdf)
