@@ -116,6 +116,12 @@ HEADLINE = [
     "mm_clip_filter",
     "pipeline_shuffle",
     "sim_ivfpq",
+    "agg_regression",
+    "anomaly_mad",
+    "stream_topk_windowed",
+    "ts_resample_interp",
+    "sub_in_disjunct",
+    "privacy_k_anonymity",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
