@@ -577,6 +577,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_members).  Oracle: DuckDB recursive-CTE reachability over the same
     edge relation.
     """
+    stars = _dup_stars(spark, sf_dir)
+    # At the fixpoint every non-root node carries exactly one edge to its
+    # component's min doc_id: sizes = per-root edge count + 1 for the root.
+    return (
+        stars.groupBy(F.col("v").alias("cluster_id"))
+        .agg((F.count(F.lit(1)) + F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy(F.col("n_members").desc(), "cluster_id")
+    )
+
+
+def _dup_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contracted star edges (u=member, v=component min doc_id) of the
+    near-dup graph — edges = exact-duplicate links ∪ the capped
+    3-gram-Jaccard pairs.  Shared by dedup_clusters (cluster census) and
+    dedup_resolve (keep-list materialization)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     w = Window.partitionBy("text")
     exact = (
@@ -600,15 +616,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism,
         )
     )
-    stars = _star_contract(edges, par)
-    # At the fixpoint every non-root node carries exactly one edge to its
-    # component's min doc_id: sizes = per-root edge count + 1 for the root.
-    return (
-        stars.groupBy(F.col("v").alias("cluster_id"))
-        .agg((F.count(F.lit(1)) + F.lit(1)).alias("n_members"))
-        .filter(F.col("n_members") > 1)
-        .orderBy(F.col("n_members").desc(), "cluster_id")
-    )
+    return _star_contract(edges, par)
 
 
 def _star_contract(edges: DataFrame, par: int) -> DataFrame:
@@ -905,7 +913,51 @@ def er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list materialization — the APPLY step after clustering, and
+    the row a user actually consumes: within each multi-member duplicate
+    cluster, keep exactly one canonical document (longest text = the most
+    complete copy; ties to the smallest doc_id) and mark the rest for
+    drop.  One row per clustered document with its verdict.
+
+    Plan: the star relation (dedup_clusters' fixpoint) joins doc lengths
+    on doc_id, then a per-cluster rank window — bounded by cluster size,
+    never corpus size.  At 100 TB the emitted keep column becomes the
+    anti-join filter of the shard write (pipeline_training_shards'
+    keeper pattern); drop rows carry their keeper for provenance.
+    """
+    stars = _dup_stars(spark, sf_dir)
+    roots = stars.select(
+        F.col("v").alias("cluster_id"), F.col("v").alias("doc_id")
+    ).distinct()
+    members = stars.select(
+        F.col("v").alias("cluster_id"), F.col("u").alias("doc_id")
+    ).unionByName(roots)
+    sized = members.join(
+        table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    )
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = sized.withColumn("rk", F.row_number().over(wk))
+    keeper = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keeper")
+    )
+    return (
+        ranked.join(F.broadcast(keeper), "cluster_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rk") == 1).alias("keep"),
+            "keeper",
+        )
+    )
+
+
 QUERIES = {
+    "dedup_resolve": dedup_resolve,
     "er_fuzzy_blocked": er_fuzzy_blocked,
     "graph_triangles": graph_triangles,
     "dedup_exact": dedup_exact,
@@ -1100,6 +1152,49 @@ ORACLE = {
                TRUE AS found_all_planted
         FROM low
     """,
+    "dedup_resolve": """
+        WITH RECURSIVE {_JACCARD_CTES},
+        exact AS (
+            SELECT mn AS src, doc_id AS dst FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS mn
+                FROM documents
+            ) WHERE mn <> doc_id
+        ),
+        edges AS (
+            SELECT src, dst FROM exact
+            UNION SELECT doc_a, doc_b FROM jpairs
+        ),
+        sym AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach(node, anc) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.dst, r.anc FROM reach r JOIN sym s ON s.src = r.node
+        ),
+        labels AS (
+            SELECT node AS doc_id, MIN(anc) AS label FROM reach GROUP BY node
+        ),
+        multi AS (
+            SELECT label FROM labels GROUP BY label HAVING COUNT(*) > 1
+        ),
+        ranked AS (
+            SELECT l.label AS cluster_id, l.doc_id,
+                   CAST(d.n_chars AS BIGINT) AS n_chars,
+                   row_number() OVER (
+                       PARTITION BY l.label
+                       ORDER BY d.n_chars DESC, l.doc_id ASC
+                   ) AS rk
+            FROM labels l
+            JOIN multi m ON l.label = m.label
+            JOIN documents d ON d.doc_id = l.doc_id
+        )
+        SELECT r.cluster_id, r.doc_id, r.n_chars, (r.rk = 1) AS keep,
+               k.doc_id AS keeper
+        FROM ranked r
+        JOIN (SELECT cluster_id, doc_id FROM ranked WHERE rk = 1) k
+          ON r.cluster_id = k.cluster_id
+    """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_clusters": """
         WITH RECURSIVE {_JACCARD_CTES},
         exact AS (

@@ -143,6 +143,7 @@ _PRIORITY = [
     "ts_resample_interp",
     "sub_in_disjunct",
     "privacy_k_anonymity",
+    "dedup_resolve",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1293,3 +1293,25 @@ def test_privacy_k_anonymity_partitions_groups(spark, sf_dir):
         assert r["released_as"] == (
             "*" if r["suppressed"] else f"{r['lang']}/{r['source']}"
         )
+
+
+def test_dedup_resolve_one_keeper_per_cluster(spark, sf_dir):
+    """Exactly one keep per cluster; the keeper is the longest member
+    (ties to min doc_id); cluster census agrees with dedup_clusters."""
+    from datafusion_test_spark.pipeline.dedup import dedup_clusters, dedup_resolve
+
+    rows = dedup_resolve(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    census = {
+        r["cluster_id"]: r["n_members"]
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    assert {c: len(m) for c, m in by_cluster.items()} == census
+    for c, ms in by_cluster.items():
+        keeps = [r for r in ms if r["keep"]]
+        assert len(keeps) == 1
+        best = min(ms, key=lambda r: (-r["n_chars"], r["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
+        assert all(r["keeper"] == best["doc_id"] for r in ms)
