@@ -122,6 +122,7 @@ HEADLINE = [
     "ts_resample_interp",
     "sub_in_disjunct",
     "privacy_k_anonymity",
+    "dedup_resolve",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -704,8 +704,10 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2)
         .select("cid")
     )
+    # LUT needs only the query's SUBVECTORS — join the scalar qid, not the
+    # q row that carries the full 64-float embedding
     lut = (
-        subvecs.join(F.broadcast(q), F.col("vec_id") == F.col("qid"))
+        subvecs.join(F.broadcast(qid_b), F.col("vec_id") == F.col("qid"))
         .join(F.broadcast(pq_cent), "sub")
         .select(
             "sub",

@@ -1135,8 +1135,13 @@ def test_drift_ks_matches_bruteforce(spark, sf_dir):
     from datafusion_test_spark.pipeline.quality import drift_ks
 
     e = table(spark, sf_dir, "events").select("event_type", "value").collect()
-    a = sorted(r["value"] for r in e if r["event_type"] == "view")
-    b = sorted(r["value"] for r in e if r["event_type"] == "click")
+    # mirror the operator's explicit NULL exclusion
+    a = sorted(
+        r["value"] for r in e if r["event_type"] == "view" and r["value"] is not None
+    )
+    b = sorted(
+        r["value"] for r in e if r["event_type"] == "click" and r["value"] is not None
+    )
     import bisect
 
     d_num = max(
