@@ -733,10 +733,12 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("adc").alias("twin_adc"))
     # prune check counts BOTH sides over e (twin included) — comparing
     # twin-inclusive n_probed against twin-exclusive n_vectors would flip
-    # probed_subset false when the probe pruned exactly one vector
+    # probed_subset false when the probe pruned exactly one vector.
+    # n_total = n_vectors + 1 BY CONSTRUCTION (exactly one planted twin),
+    # so no third count job is spent on it.
     counts = (
         F.broadcast(base.agg(F.count(F.lit(1)).alias("n_vectors")))
-        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total"))))
+        .withColumn("n_total", F.col("n_vectors") + 1)
         .crossJoin(F.broadcast(adc.agg(F.count(F.lit(1)).alias("n_probed"))))
     )
     return (
