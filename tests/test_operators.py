@@ -1320,3 +1320,13 @@ def test_dedup_resolve_one_keeper_per_cluster(spark, sf_dir):
         best = min(ms, key=lambda r: (-r["n_chars"], r["doc_id"]))
         assert keeps[0]["doc_id"] == best["doc_id"]
         assert all(r["keeper"] == best["doc_id"] for r in ms)
+
+
+def test_er_fuzzy_blocked_cap_drops_hot_blocks(spark, sf_dir, monkeypatch):
+    """Forcing the hot-block cap to 1 must suppress every block (each noun
+    block holds several entities), yielding zero pairs — the guard that
+    stops a skewed block going quadratic at scale."""
+    from datafusion_test_spark.pipeline import dedup
+
+    monkeypatch.setattr(dedup, "_DF_CAP", 1)
+    assert dedup.er_fuzzy_blocked(spark, sf_dir).count() == 0
