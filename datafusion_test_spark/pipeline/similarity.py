@@ -653,11 +653,23 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width shuffle.  round(…,4) per the _util AVG policy.
     """
     e = table(spark, sf_dir, "embeddings").select("label", "embedding")
+    # decimal-carried sum (order-independent) / count, then EXPLICIT
+    # half-up to 4 decimals: round() half-ties flip between engines
+    # (Spark half-up vs DuckDB half-even — caught by the sf0.001
+    # cross-scale sweep where a small-group mean landed exactly on
+    # -0.00005), so the rounding formula is stated identically both sides
+    from .._util import DEC
+
+    mean = F.sum(F.col("x").cast("double").cast(DEC)).cast(
+        "double"
+    ) / F.count(F.lit(1))
     return (
         e.select("label", F.posexplode("embedding").alias("pos0", "x"))
         .groupBy("label", F.col("pos0").cast("int").alias("pos"))
         .agg(
-            F.round(F.avg(F.col("x").cast("double")), 4).alias("centroid_val"),
+            (F.floor(mean * 10000 + F.lit(0.5)).cast("double") / 10000).alias(
+                "centroid_val"
+            ),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
@@ -782,7 +794,11 @@ ORACLE = {
     """,
     "agg_vector_centroid": """
         SELECT label, CAST(g - 1 AS INTEGER) AS pos,
-               round(avg(CAST(embedding[g] AS DOUBLE)), 4) AS centroid_val,
+               CAST(floor(
+                   CAST(SUM(CAST(CAST(embedding[g] AS DOUBLE)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) * 10000 + 0.5
+               ) AS DOUBLE) / 10000 AS centroid_val,
                count(*) AS n_vecs
         FROM embeddings, (SELECT unnest(range(1, 65)) AS g)
         GROUP BY label, pos
