@@ -136,3 +136,19 @@ def two_phase_prefix(
         F.sum("_t_rows").alias("tot_rows"),
     )
     return out.drop("_pid"), totals
+
+
+def half_up(col: Column, digits: int = 4) -> Column:
+    """Explicit HALF-UP rounding — engine-stable where round() is not:
+    Spark rounds half-ties up, DuckDB half-even, and derived means /
+    interpolated midpoints DO land exactly on .xxxx5 (caught twice by the
+    cross-scale sweeps).  State the same formula on both sides via
+    :func:`sql_half_up`."""
+    scale = 10 ** digits
+    return F.floor(col * scale + F.lit(0.5)).cast("double") / scale
+
+
+def sql_half_up(expr: str, digits: int = 4) -> str:
+    """Oracle-side twin of :func:`half_up`."""
+    scale = 10 ** digits
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS DOUBLE) / {scale}"

@@ -658,7 +658,7 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Spark half-up vs DuckDB half-even — caught by the sf0.001
     # cross-scale sweep where a small-group mean landed exactly on
     # -0.00005), so the rounding formula is stated identically both sides
-    from .._util import DEC
+    from .._util import DEC, half_up
 
     mean = F.sum(F.col("x").cast("double").cast(DEC)).cast(
         "double"
@@ -667,9 +667,7 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("pos0", "x"))
         .groupBy("label", F.col("pos0").cast("int").alias("pos"))
         .agg(
-            (F.floor(mean * 10000 + F.lit(0.5)).cast("double") / 10000).alias(
-                "centroid_val"
-            ),
+            half_up(mean).alias("centroid_val"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )

@@ -251,16 +251,17 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt")))
         )
     )
-    # explicit HALF-UP via floor(x·10⁴ + 0.5): interpolated midpoints land
-    # EXACTLY on .xxxx5 ties (frac = 1/2 over decimal-ish endpoints), where
-    # Spark's round() (half-up) and DuckDB's (half-even) disagree — the
-    # same formula on both sides makes the tie-break engine-independent
-    halfup = F.floor(interp * 10000 + F.lit(0.5)).cast("double") / 10000
+    # explicit HALF-UP (_util.half_up): interpolated midpoints land EXACTLY
+    # on .xxxx5 ties (frac = 1/2 over decimal-ish endpoints), where Spark's
+    # round() (half-up) and DuckDB's (half-even) disagree — the same
+    # formula on both sides makes the tie-break engine-independent
+    from .._util import half_up
+
     return filled.select(
         "event_type",
         "bucket",
         F.col("v").isNull().alias("is_interpolated"),
-        halfup.alias("v_interp"),
+        half_up(interp).alias("v_interp"),
     )
 
 
