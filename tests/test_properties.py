@@ -127,3 +127,37 @@ def test_two_phase_prefix_matches_pandas_cumsum(spark):
         ), par
         t = totals.collect()[0]
         assert t["tot_w"] == int(pdf["w"].sum()) and t["tot_rows"] == len(pdf)
+
+
+def test_half_up_three_way_agreement_on_ties(spark):
+    """The engine-stable rounding must produce the SAME result in python,
+    Spark, and DuckDB — including on exact .xxxx5 ties where round()
+    semantics differ between engines."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark._util import half_up, sql_half_up
+
+    vals = [-0.00005, 0.00005, 0.12345, -0.12345, 1.00005, -1.00005, 0.0,
+            48.69125, 2.5e-05, -0.0001499999]
+    py = [math.floor(v * 10000 + 0.5) / 10000 for v in vals]
+    con = duckdb.connect()
+    duck = [
+        # CAST: a bare numeric literal parses as DECIMAL in DuckDB, but
+        # every real oracle feeds sql_half_up a DOUBLE expression
+        con.sql(f"SELECT {sql_half_up(f'CAST({v!r} AS DOUBLE)')} AS x").fetchone()[0]
+        for v in vals
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["x"]
+        for r in df.select(half_up(F.col("v")).alias("x"), "v")
+        .orderBy("v")
+        .collect()
+    ]
+    want = [x for _, x in sorted(zip(vals, py))]
+    assert duck == py
+    assert got == want
