@@ -478,7 +478,86 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join — for each click, the same user's
+    purchase with the SMALLEST absolute time gap, either direction (ties
+    prefer the backward match; an equal-timestamp purchase counts as
+    backward with gap 0).  The feature-store variant when staleness cuts
+    both ways (sensor alignment, quote-to-trade matching).
+
+    Same one-shuffle union+window idiom as join_asof, run in BOTH frame
+    directions: a backward carry (last purchase at-or-before) and a
+    forward carry (first purchase after), then a row-local argmin on the
+    two candidates.  Gaps are compared in exact microseconds
+    (unix_micros/epoch_us — engine-portable integers; whole-second
+    truncation would tie spuriously).
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        "event_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_click"),
+            "event_id",
+            F.lit(None).cast("timestamp").alias("p_ts"),
+            F.lit(None).cast("double").alias("p_value"),
+        )
+    )
+    order = [F.col("ts"), F.col("is_click"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        tagged.withColumn("b_ts", F.last("p_ts", ignorenulls=True).over(w_back))
+        .withColumn("b_val", F.last("p_value", ignorenulls=True).over(w_back))
+        .withColumn("f_ts", F.first("p_ts", ignorenulls=True).over(w_fwd))
+        .withColumn("f_val", F.first("p_value", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_click") == 1)
+    )
+    gap_b = F.unix_micros("ts") - F.unix_micros("b_ts")
+    gap_f = F.unix_micros("f_ts") - F.unix_micros("ts")
+    take_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (gap_b <= gap_f)
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "near_ts"
+        ),
+        F.when(take_back, F.col("b_val")).otherwise(F.col("f_val")).alias(
+            "near_value"
+        ),
+        F.when(take_back, F.lit("back"))
+        .when(F.col("f_ts").isNotNull(), F.lit("fwd"))
+        .alias("direction"),
+        F.when(take_back, gap_b).otherwise(gap_f).cast("long").alias("gap_us"),
+    )
+
+
 QUERIES = {
+    "join_asof_nearest": join_asof_nearest,
     "join_inner": join_inner,
     "join_null_safe": join_null_safe,
     "join_bucketed": join_bucketed,
@@ -499,6 +578,59 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_asof_nearest": """
+        WITH u AS (
+            SELECT user_id, ts, 0 AS is_click, event_id,
+                   ts AS p_ts, value AS p_value
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, 1 AS is_click, event_id,
+                   CAST(NULL AS TIMESTAMP) AS p_ts,
+                   CAST(NULL AS DOUBLE) AS p_value
+            FROM events WHERE event_type = 'click'
+        ),
+        carried AS (
+            SELECT *,
+                   last_value(p_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_click, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS b_ts,
+                   last_value(p_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_click, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS b_val,
+                   first_value(p_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_click, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS f_ts,
+                   first_value(p_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_click, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS f_val
+            FROM u
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(b_ts)
+                            <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN b_ts ELSE f_ts END AS near_ts,
+               CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(b_ts)
+                            <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN b_val ELSE f_val END AS near_value,
+               CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(b_ts)
+                            <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN 'back'
+                    WHEN f_ts IS NOT NULL THEN 'fwd' END AS direction,
+               CAST(CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(b_ts)
+                            <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN epoch_us(ts) - epoch_us(b_ts)
+                    ELSE epoch_us(f_ts) - epoch_us(ts) END AS BIGINT)
+                   AS gap_us
+        FROM carried WHERE is_click = 1
+    """,
     "join_null_safe": """
         WITH o AS (
             SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k FROM orders

@@ -185,7 +185,53 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.join(winner, "user_id")
 
 
+_EWMA_LAGS = 10  # truncation depth; alpha = 1/2 so weights are exact 2^-k
+
+
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event values per user —
+    the time-series smoother (monitoring baselines, feature decay) that
+    plain SQL lacks as a builtin because it is a recurrence.  Expressed
+    exactly as the TRUNCATED expansion: ewma_t = Σ_{j<10} w_j·x_{t-j} /
+    Σ w_j over the lags present, with α = 1/2 so every weight 2^-(j+1) is
+    an exact binary fraction — the unrolled left-to-right double chain is
+    then bit-identical cross-engine (no libm pow, no float accumulation
+    ambiguity), and the final divide goes through _util.half_up.
+
+    Scale shape: ten lag() functions over ONE window spec = one shuffle
+    on user_id and a single sort — Spark evaluates all lags in one
+    WindowExec pass.  Truncation at 10 bounds the error by 2^-10 of the
+    value scale, the standard streaming-EWMA restart trade.
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    n_terms = None
+    for j in range(_EWMA_LAGS):
+        lv = F.lag("value", j).over(w) if j else F.col("value")
+        wgt = F.lit(2.0 ** -(j + 1))
+        term = F.when(lv.isNotNull(), lv * wgt).otherwise(F.lit(0.0))
+        dterm = F.when(lv.isNotNull(), wgt).otherwise(F.lit(0.0))
+        cterm = F.when(lv.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+        n_terms = cterm if n_terms is None else n_terms + cterm
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n_terms.cast("int").alias("n_terms"),
+        half_up(num / den).alias("ewma"),
+    )
+
+
 QUERIES = {
+    "win_ewma": win_ewma,
     "win_time_range": win_time_range,
     "win_streaks": win_streaks,
     "win_ranking": win_ranking,
@@ -197,7 +243,42 @@ QUERIES = {
     "win_first_last": win_first_last,
 }
 
+def _ewma_oracle() -> str:
+    from .._util import sql_half_up
+
+    lag_cols = ",\n                   ".join(
+        f"lag(value, {j}) OVER w AS lag_{j}" for j in range(1, _EWMA_LAGS)
+    )
+    refs = ["value"] + [f"lag_{j}" for j in range(1, _EWMA_LAGS)]
+    num = " + ".join(
+        f"(CASE WHEN {r} IS NOT NULL THEN {r} * CAST({2.0 ** -(j + 1)!r} "
+        f"AS DOUBLE) ELSE 0.0 END)"
+        for j, r in enumerate(refs)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {r} IS NOT NULL THEN CAST({2.0 ** -(j + 1)!r} "
+        f"AS DOUBLE) ELSE 0.0 END)"
+        for j, r in enumerate(refs)
+    )
+    cnt = " + ".join(
+        f"(CASE WHEN {r} IS NOT NULL THEN 1 ELSE 0 END)" for r in refs
+    )
+    return f"""
+        WITH lagged AS (
+            SELECT event_id, user_id, ts, value,
+                   {lag_cols}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, ts,
+               CAST({cnt} AS INTEGER) AS n_terms,
+               {sql_half_up(f"({num}) / ({den})")} AS ewma
+        FROM lagged
+    """
+
+
 ORACLE = {
+    "win_ewma": _ewma_oracle(),
     "win_streaks": """
         WITH m AS (
             SELECT user_id, event_type, ts, event_id,

@@ -144,6 +144,8 @@ _PRIORITY = [
     "sub_in_disjunct",
     "privacy_k_anonymity",
     "dedup_resolve",
+    "join_asof_nearest",
+    "win_ewma",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1330,3 +1330,51 @@ def test_er_fuzzy_blocked_cap_drops_hot_blocks(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(dedup, "_DF_CAP", 1)
     assert dedup.er_fuzzy_blocked(spark, sf_dir).count() == 0
+
+
+def test_asof_nearest_dominates_backward(spark, sf_dir):
+    """The nearest match's gap can never exceed the plain backward as-of
+    gap; direction must agree with which side actually won."""
+    from datafusion_test_spark.operators.joins import join_asof, join_asof_nearest
+
+    back = {
+        r["event_id"]: r["asof_ts"]
+        for r in join_asof(spark, sf_dir).collect()
+    }
+    rows = join_asof_nearest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = back.get(r["event_id"])
+        if r["near_ts"] is None:
+            assert b is None
+            continue
+        assert r["gap_us"] >= 0
+        if r["direction"] == "back":
+            assert r["near_ts"] == b
+            assert r["near_ts"] <= r["ts"]
+        else:
+            assert r["direction"] == "fwd"
+            assert r["near_ts"] > r["ts"]
+            if b is not None:
+                back_gap = (r["ts"] - b).total_seconds() * 1e6
+                assert r["gap_us"] < back_gap
+
+
+def test_win_ewma_bounds_and_warmup(spark, sf_dir):
+    """EWMA is a convex combination of the last <=10 values, so it lies in
+    the per-user min/max band; n_terms ramps 1,2,... at series start."""
+    from datafusion_test_spark.operators.windows import win_ewma
+
+    rows = win_ewma(spark, sf_dir).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    ev = {}
+    for r in table(spark, sf_dir, "events").collect():
+        ev.setdefault(r["user_id"], []).append(r["value"])
+    for uid, rs in per_user.items():
+        lo, hi = min(ev[uid]), max(ev[uid])
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for i, r in enumerate(rs):
+            assert lo - 1e-4 <= r["ewma"] <= hi + 1e-4
+            assert r["n_terms"] == min(i + 1, 10)
