@@ -123,6 +123,8 @@ HEADLINE = [
     "sub_in_disjunct",
     "privacy_k_anonymity",
     "dedup_resolve",
+    "join_asof_nearest",
+    "win_ewma",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

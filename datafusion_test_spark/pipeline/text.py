@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import dsum, r4, sql_dsum
+from .._util import dsum, half_up, r4, sql_dsum
 from ..io import table
 
 # BPE-ish word/number/punctuation tokenizer (shared by Spark and oracle).
@@ -395,7 +395,67 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard similarity between SOURCES over their
+    3-gram shingle vocabularies — the corpus-overlap matrix behind
+    domain-mix decisions ("are src3 and src7 near-identical feeds?").
+    Counts are integer-exact: |A∩B| from a shingle-keyed self-join of the
+    distinct (source, shingle) relation, |A∪B| = |A|+|B|−|A∩B|; the ratio
+    rounds once at the end.
+
+    Scale shape: the relation is DISTINCT (source, shingle) — O(corpus
+    vocabulary), not O(tokens); the self-join is keyed on shingle with
+    the shared hot-shingle cap (a boilerplate shingle in every source
+    contributes |sources|² pairs ONCE, but an uncapped hot key at 100 TB
+    would still dominate the shuffle).  Output is |sources|² / 2 rows —
+    tiny at any corpus size.
+    """
+    from ._expr import shingles_of_words
+    from .dedup import _drop_hot
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:  # single-split testdata (cf. _words_of)
+        docs = docs.repartition(par)
+    w = docs.select("source", F.split("text", " ").alias("w"))
+    sh = (
+        w.select("source", F.explode(shingles_of_words(F.col("w"))).alias("sh"))
+        .distinct()
+    )
+    cool = _drop_hot(sh, ["sh"])
+    sizes = cool.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = cool.select(F.col("source").alias("src_a"), "sh")
+    b = cool.select(F.col("source").alias("src_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            # half_up, not round: an exact-rational ratio CAN land on a
+            # .xxxx5 tie, where engines' round() semantics split
+            half_up(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_jaccard_sources": corpus_jaccard_sources,
     "text_bm25_topk": text_bm25_topk,
     "text_stats": text_stats,
     "text_tfidf": text_tfidf,
@@ -425,7 +485,45 @@ _PII_PHONE = r"\+1-555-[0-9]{4}"
 
 _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
+
+def _corpus_jaccard_oracle() -> str:
+    from .._util import sql_half_up
+    from ._expr import sql_shingles
+    from .dedup import _DF_CAP
+
+    ratio = sql_half_up("CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)")
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT source, unnest({sql_shingles("text")}) AS sh
+            FROM documents
+        ),
+        cool AS (
+            SELECT * FROM sh WHERE sh IN (
+                SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_DF_CAP}
+            )
+        ),
+        sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM cool GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_inter
+            FROM cool a JOIN cool b
+              ON a.sh = b.sh AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.src_a, i.src_b, i.n_inter,
+               (sa.n + sb.n - i.n_inter) AS n_union,
+               {ratio} AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.src_a = sa.source
+        JOIN sizes sb ON i.src_b = sb.source
+    """
+
+
 ORACLE = {
+    "corpus_jaccard_sources": _corpus_jaccard_oracle(),
     "text_bm25_topk": f"""
         WITH w AS (
             SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

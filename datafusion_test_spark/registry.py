@@ -146,6 +146,7 @@ _PRIORITY = [
     "dedup_resolve",
     "join_asof_nearest",
     "win_ewma",
+    "corpus_jaccard_sources",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1378,3 +1378,17 @@ def test_win_ewma_bounds_and_warmup(spark, sf_dir):
         for i, r in enumerate(rs):
             assert lo - 1e-4 <= r["ewma"] <= hi + 1e-4
             assert r["n_terms"] == min(i + 1, 10)
+
+
+def test_corpus_jaccard_sources_matrix_complete(spark, sf_dir):
+    """All source pairs present exactly once (a<b), counts consistent
+    (inter <= union, jaccard in [0,1])."""
+    from datafusion_test_spark.pipeline.text import corpus_jaccard_sources
+
+    rows = corpus_jaccard_sources(spark, sf_dir).collect()
+    n_src = table(spark, sf_dir, "documents").select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["n_inter"] <= r["n_union"]
+        assert 0.0 <= r["jaccard"] <= 1.0
