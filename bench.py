@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_resolve",
     "join_asof_nearest",
     "win_ewma",
+    "corpus_jaccard_sources",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
