@@ -143,7 +143,12 @@ def half_up(col: Column, digits: int = 4) -> Column:
     Spark rounds half-ties up, DuckDB half-even, and derived means /
     interpolated midpoints DO land exactly on .xxxx5 (caught twice by the
     cross-scale sweeps).  State the same formula on both sides via
-    :func:`sql_half_up`."""
+    :func:`sql_half_up`.
+
+    Domain: finite inputs with |x| < 2^63 / 10^digits (~9.2e14 at the
+    default 4).  Outside it, Spark's floor (BIGINT-valued: clamps at
+    ±2^63, maps NaN to 0) and DuckDB's (DOUBLE-valued) diverge — fine for
+    the ratio/mean/interpolation class this serves, not for raw sums."""
     scale = 10 ** digits
     return F.floor(col * scale + F.lit(0.5)).cast("double") / scale
 

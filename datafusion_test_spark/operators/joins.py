@@ -118,27 +118,23 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for each click event, the latest purchase by the same user
-    at-or-before the click timestamp.
-
-    Spark has no native AS OF join; the scalable pattern is union + window
-    (one shuffle on user_id, last-non-null carry-forward within partition)
-    rather than a range join that explodes to O(clicks × purchases) per user.
-    Oracle: DuckDB's native ASOF LEFT JOIN.
+def _tagged_click_purchase(ev: DataFrame) -> DataFrame:
+    """Shared as-of carrier: clicks and purchases unioned into one
+    relation tagged with is_click, purchases carrying (p_ts, p_value) and
+    clicks NULL-padded.  The purchase's OWN event_id rides along so the
+    window order is total even for two purchases at the same (user_id,
+    ts) — a NULL there once made the carried p_value
+    partitioning-dependent on ts ties.  Consumed by join_asof,
+    join_asof_forward, join_asof_tolerance, and join_asof_nearest; the
+    frame direction and any staleness filter are the variants' own.
     """
-    ev = table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-
-    # the purchase's OWN event_id rides along so the window order is total
-    # even for two purchases at the same (user_id, ts) — a NULL here made
-    # the carried p_value partitioning-dependent on ts ties
-    tagged = purchases.select(
+    return purchases.select(
         "user_id",
         "ts",
         F.lit(0).alias("is_click"),
@@ -155,6 +151,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("p_value"),
         )
     )
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click event, the latest purchase by the same user
+    at-or-before the click timestamp.
+
+    Spark has no native AS OF join; the scalable pattern is union + window
+    (one shuffle on user_id, last-non-null carry-forward within partition)
+    rather than a range join that explodes to O(clicks × purchases) per user.
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    tagged = _tagged_click_purchase(table(spark, sf_dir, "events"))
 
     # Purchases sort before clicks at equal ts (is_click asc) => `<=` as-of;
     # event_id as final tiebreak keeps the window total-ordered even if the
@@ -222,33 +230,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-non-null LOOKAHEAD frame — so the backward and forward variants
     cost identically at any scale.  Oracle: DuckDB ASOF with a >= bound.
     """
-    ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    # the purchase's OWN event_id rides along so the window order is total
-    # even for two purchases at the same (user_id, ts) — a NULL here made
-    # the carried p_value partitioning-dependent on ts ties
-    tagged = purchases.select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_click"),
-        "event_id",
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
-    ).unionByName(
-        clicks.select(
-            "user_id",
-            "ts",
-            F.lit(1).alias("is_click"),
-            "event_id",
-            F.lit(None).cast("timestamp").alias("p_ts"),
-            F.lit(None).cast("double").alias("p_value"),
-        )
-    )
+    tagged = _tagged_click_purchase(table(spark, sf_dir, "events"))
     # clicks sort BEFORE purchases at equal ts (is_click desc) so a
     # same-instant purchase is inside the click's lookahead frame (>=)
     w = (
@@ -275,32 +257,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded variant (no extra join, no extra shuffle).  Oracle: DuckDB
     ASOF LEFT JOIN with the staleness applied as a CASE on the match.
     """
-    ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    # purchase event_id rides along as the final tie-break, same total-order
-    # idiom as join_asof
-    tagged = purchases.select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_click"),
-        "event_id",
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
-    ).unionByName(
-        clicks.select(
-            "user_id",
-            "ts",
-            F.lit(1).alias("is_click"),
-            "event_id",
-            F.lit(None).cast("timestamp").alias("p_ts"),
-            F.lit(None).cast("double").alias("p_value"),
-        )
-    )
+    tagged = _tagged_click_purchase(table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_click", "event_id")
@@ -492,30 +449,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unix_micros/epoch_us — engine-portable integers; whole-second
     truncation would tie spuriously).
     """
-    ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    tagged = purchases.select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_click"),
-        "event_id",
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
-    ).unionByName(
-        clicks.select(
-            "user_id",
-            "ts",
-            F.lit(1).alias("is_click"),
-            "event_id",
-            F.lit(None).cast("timestamp").alias("p_ts"),
-            F.lit(None).cast("double").alias("p_value"),
-        )
-    )
+    tagged = _tagged_click_purchase(table(spark, sf_dir, "events"))
     order = [F.col("ts"), F.col("is_click"), F.col("event_id")]
     w_back = (
         Window.partitionBy("user_id")

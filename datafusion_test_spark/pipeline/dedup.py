@@ -940,19 +940,19 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    ranked = sized.withColumn("rk", F.row_number().over(wk))
-    keeper = ranked.filter(F.col("rk") == 1).select(
-        "cluster_id", F.col("doc_id").alias("keeper")
+    # keeper = first row's doc_id in the SAME window pass (default frame
+    # unboundedPreceding..currentRow): no keeper aggregate, no join, and —
+    # crucially — no broadcast of a one-row-per-cluster relation, which is
+    # UNBOUNDED (clusters grow with the corpus) and would OOM at scale
+    ranked = sized.withColumn("rk", F.row_number().over(wk)).withColumn(
+        "keeper", F.first("doc_id").over(wk)
     )
-    return (
-        ranked.join(F.broadcast(keeper), "cluster_id")
-        .select(
-            "cluster_id",
-            "doc_id",
-            F.col("n_chars").cast("long").alias("n_chars"),
-            (F.col("rk") == 1).alias("keep"),
-            "keeper",
-        )
+    return ranked.select(
+        "cluster_id",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("rk") == 1).alias("keep"),
+        "keeper",
     )
 
 

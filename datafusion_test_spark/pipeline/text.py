@@ -422,7 +422,12 @@ def corpus_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.select("source", F.explode(shingles_of_words(F.col("w"))).alias("sh"))
         .distinct()
     )
-    cool = _drop_hot(sh, ["sh"])
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: three consumers (sizes + both self-join sides) would
+    # otherwise recompute the explode/distinct/cap chain per branch
+    # (same policy as every other _drop_hot site with multiple readers)
+    cool = _drop_hot(sh, ["sh"]).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = cool.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = cool.select(F.col("source").alias("src_a"), "sh")
     b = cool.select(F.col("source").alias("src_b"), "sh")
@@ -432,11 +437,15 @@ def corpus_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # complete matrix: zero-overlap pairs ("are these feeds disjoint?")
+    # must appear with jaccard 0, so the pair grid comes from sizes², not
+    # from the inner join (sizes is |sources| rows — the grid is tiny)
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    grid = sa.crossJoin(F.broadcast(sb)).filter(F.col("src_a") < F.col("src_b"))
     return (
-        inter.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
+        grid.join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
         .select(
             "src_a",
             "src_b",
@@ -491,7 +500,10 @@ def _corpus_jaccard_oracle() -> str:
     from ._expr import sql_shingles
     from .dedup import _DF_CAP
 
-    ratio = sql_half_up("CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)")
+    ratio = sql_half_up(
+        "CAST(COALESCE(i.n_inter, 0) AS DOUBLE)"
+        " / (g.n_a + g.n_b - COALESCE(i.n_inter, 0))"
+    )
     return f"""
         WITH sh AS (
             SELECT DISTINCT source, unnest({sql_shingles("text")}) AS sh
@@ -512,13 +524,19 @@ def _corpus_jaccard_oracle() -> str:
             FROM cool a JOIN cool b
               ON a.sh = b.sh AND a.source < b.source
             GROUP BY a.source, b.source
+        ),
+        grid AS (
+            SELECT sa.source AS src_a, sa.n AS n_a,
+                   sb.source AS src_b, sb.n AS n_b
+            FROM sizes sa CROSS JOIN sizes sb
+            WHERE sa.source < sb.source
         )
-        SELECT i.src_a, i.src_b, i.n_inter,
-               (sa.n + sb.n - i.n_inter) AS n_union,
+        SELECT g.src_a, g.src_b,
+               CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+               (g.n_a + g.n_b - COALESCE(i.n_inter, 0)) AS n_union,
                {ratio} AS jaccard
-        FROM inter i
-        JOIN sizes sa ON i.src_a = sa.source
-        JOIN sizes sb ON i.src_b = sb.source
+        FROM grid g
+        LEFT JOIN inter i ON g.src_a = i.src_a AND g.src_b = i.src_b
     """
 
 

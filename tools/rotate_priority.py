@@ -31,7 +31,17 @@ from datafusion_test_spark import registry
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+
+    def round_no(path: str) -> int:
+        # numeric sort: lexicographic would order r10 before r2 and let an
+        # old round's row overwrite the latest verdict
+        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
+        return int(digits or 0)
+
+    paths = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_no
+    )
+    for path in paths:
         for name, row in json.load(open(path)).items():
             latest[name] = row  # later rounds overwrite earlier
 
