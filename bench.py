@@ -126,6 +126,9 @@ HEADLINE = [
     "join_asof_nearest",
     "win_ewma",
     "corpus_jaccard_sources",
+    "eval_auc",
+    "eval_prf",
+    "eval_calibration",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

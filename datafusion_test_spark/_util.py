@@ -89,10 +89,18 @@ def two_phase_prefix(
     """
     from pyspark.sql import Window as W
 
+    # Eagerly materialized: BOTH consumers (the local window and the
+    # per-partition totals) must see the SAME range boundaries, but
+    # repartitionByRange samples its boundaries at execution time and the
+    # two subtrees can re-execute the exchange with different upstream
+    # layouts under AQE — observed on eval_auc, where the offsets then
+    # paired with the wrong partitions and 2463/3305 prefixes were wrong
+    # (exchange REUSE had masked the hazard in the other callers).
     ranged = (
         df.repartitionByRange(par, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_pre = (
         W.partitionBy("_pid")

@@ -266,10 +266,14 @@ def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     par = max(4, spark.sparkContext.defaultParallelism // 4)
+    # eagerly materialized: window branch and totals branch must see the
+    # same sampled range boundaries (the eval_auc hazard — see
+    # _util.two_phase_prefix)
     ranged = (
         o.repartitionByRange(par, "o_totalprice", "o_orderkey")
         .sortWithinPartitions("o_totalprice", "o_orderkey")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
     local = ranged.withColumn("rn", F.row_number().over(w_local))

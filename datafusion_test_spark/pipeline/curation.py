@@ -107,10 +107,15 @@ def _pack_bins(
     """
     if par is None:
         par = max(4, spark.sparkContext.defaultParallelism // 4)
+    # eagerly materialized so the window branch and the totals branch see
+    # the SAME sampled range boundaries (the eval_auc hazard —
+    # repartitionByRange re-samples per subtree execution; exchange reuse
+    # had masked it here): see _util.two_phase_prefix
     ranged = (
         d.repartitionByRange(par, "doc_id")
         .sortWithinPartitions("doc_id")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy("pid")

@@ -40,6 +40,7 @@ _MODULES = [
     "datafusion_test_spark.pipeline.curation",
     "datafusion_test_spark.pipeline.quality",
     "datafusion_test_spark.pipeline.multimodal",
+    "datafusion_test_spark.pipeline.evals",
 ]
 
 # Registry iteration order = the driver's correctness-check order, and the
@@ -147,6 +148,9 @@ _PRIORITY = [
     "join_asof_nearest",
     "win_ewma",
     "corpus_jaccard_sources",
+    "eval_auc",
+    "eval_prf",
+    "eval_calibration",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

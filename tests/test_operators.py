@@ -1396,3 +1396,49 @@ def test_corpus_jaccard_sources_matrix_complete(spark, sf_dir):
         assert r["src_a"] < r["src_b"]
         assert 0 <= r["n_inter"] <= r["n_union"]
         assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_eval_auc_matches_bruteforce(spark, sf_dir):
+    """The distributed rank-sum AUC must equal a driver-side tie-correct
+    Mann-Whitney computation on the same rows."""
+    import collections
+
+    from datafusion_test_spark.pipeline.evals import _scored, eval_auc
+
+    rows = _scored(spark, sf_dir).collect()
+    n_at, np_at = collections.Counter(), collections.Counter()
+    for r in rows:
+        n_at[r["s"]] += 1
+        np_at[r["s"]] += r["y"]
+    pre, r2 = 0, 0
+    for s in sorted(n_at):
+        r2 += np_at[s] * (2 * pre + n_at[s] + 1)
+        pre += n_at[s]
+    n_pos = sum(np_at.values())
+    n_neg = len(rows) - n_pos
+    got = eval_auc(spark, sf_dir).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
+    assert got["u2"] == r2 - n_pos * (n_pos + 1)
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_eval_prf_partition_and_f1(spark, sf_dir):
+    from datafusion_test_spark.pipeline.evals import _scored, eval_prf
+
+    n = _scored(spark, sf_dir).count()
+    r = eval_prf(spark, sf_dir).collect()[0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+    for m in ("precision", "recall", "f1"):
+        assert 0.0 <= r[m] <= 1.0
+
+
+def test_eval_calibration_covers_all_rows(spark, sf_dir):
+    from datafusion_test_spark.pipeline.evals import _scored, eval_calibration
+
+    n = _scored(spark, sf_dir).count()
+    rows = eval_calibration(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert 0 <= r["n_pos"] <= r["n"]
