@@ -264,33 +264,18 @@ def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per-bucket row count and [lo, hi] value range (10 rows).
     """
+    from .._util import two_phase_prefix
+
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     par = max(4, spark.sparkContext.defaultParallelism // 4)
-    # eagerly materialized: window branch and totals branch must see the
-    # same sampled range boundaries (the eval_auc hazard — see
-    # _util.two_phase_prefix)
-    ranged = (
-        o.repartitionByRange(par, "o_totalprice", "o_orderkey")
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # the open-coded two-phase rank is now the shared helper (it carries
+    # the eval_auc range-boundary fix); tot_rows comes from the same
+    # per-partition aggregates — no second scan of orders for the count
+    ranked, totals = two_phase_prefix(
+        o, par, ["o_totalprice", "o_orderkey"], rank_as="rn"
     )
-    w_local = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    local = ranged.withColumn("rn", F.row_number().over(w_local))
-    pcnt = local.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-    # #partitions rows — the single-partition window here is O(par), not O(N)
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = pcnt.withColumn(
-        "off", F.coalesce(F.sum("pn").over(w_off), F.lit(0))
-    ).select("pid", "off")
-    n_total = o.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
-    binned = (
-        local.join(F.broadcast(offs), "pid")
-        .crossJoin(F.broadcast(n_total))
-        .withColumn(
-            "bucket",
-            F.expr(f"((rn + off - 1) * {_N_BUCKETS}) div n_total"),
-        )
+    binned = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "bucket", F.expr(f"((rn - 1) * {_N_BUCKETS}) div tot_rows")
     )
     return (
         binned.groupBy("bucket")

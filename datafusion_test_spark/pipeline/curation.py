@@ -105,35 +105,14 @@ def _pack_bins(
     of physical partitioning — and NO window ever sees more than a
     partition (the global-ORDER-BY single-partition trap, avoided).
     """
+    from .._util import two_phase_prefix
+
     if par is None:
         par = max(4, spark.sparkContext.defaultParallelism // 4)
-    # eagerly materialized so the window branch and the totals branch see
-    # the SAME sampled range boundaries (the eval_auc hazard —
-    # repartitionByRange re-samples per subtree execution; exchange reuse
-    # had masked it here): see _util.two_phase_prefix
-    ranged = (
-        d.repartitionByRange(par, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "lpre", F.coalesce(F.sum("tok").over(w_local), F.lit(0))
-    )
-    ptot = local.groupBy("pid").agg(F.sum("tok").alias("ptok"))
-    # #partitions rows — the single-partition window here is O(par), not O(N)
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ptot.withColumn(
-        "off", F.coalesce(F.sum("ptok").over(w_off), F.lit(0))
-    ).select("pid", "off")
-    packed = local.join(F.broadcast(offs), "pid").withColumn(
-        bin_col, F.expr(f"(lpre + off) div {_BIN_TOKENS}")
-    )
+    # the open-coded prefix sum is now the shared helper (it carries the
+    # eval_auc range-boundary fix); pre_tok IS the exclusive global prefix
+    pre, _totals = two_phase_prefix(d, par, ["doc_id"], sum_cols=("tok",))
+    packed = pre.withColumn(bin_col, F.expr(f"pre_tok div {_BIN_TOKENS}"))
     return packed.groupBy(bin_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").alias("tok_sum"),

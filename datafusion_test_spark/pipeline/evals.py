@@ -80,8 +80,13 @@ def eval_auc(spark: SparkSession, sf_dir: str, par: int | None = None) -> DataFr
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         u2.cast("long").alias("u2"),
-        half_up(
-            u2 / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        # single-class slice => undefined AUC as NULL (not an ANSI
+        # DIVIDE_BY_ZERO crash; DuckDB's x/0-free CASE mirrors this)
+        F.when(
+            F.col("n_pos") * F.col("n_neg") > 0,
+            half_up(
+                u2 / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+            ),
         ).alias("auc"),
     )
 
@@ -104,15 +109,22 @@ def eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("long").alias("fp"),
         F.col("fn").cast("long").alias("fn"),
         F.col("tn").cast("long").alias("tn"),
-        half_up(
-            F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+        # empty denominators (no predicted / no actual positives) emit
+        # NULL instead of raising under ANSI mode — mirrored in the oracle
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            half_up(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")),
         ).alias("precision"),
-        half_up(
-            F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            half_up(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")),
         ).alias("recall"),
-        half_up(
-            (2 * F.col("tp"))
-            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            half_up(
+                (2 * F.col("tp"))
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+            ),
         ).alias("f1"),
     )
 
@@ -128,14 +140,18 @@ def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = j.crossJoin(mm).select(
         "s",
         "y",
-        F.least(
-            F.lit(_CAL_BINS - 1),
-            F.floor(
-                (F.col("s") - F.col("mn"))
-                * _CAL_BINS
-                / (F.col("mx") - F.col("mn"))
-            ).cast("int"),
-        ).alias("bin"),
+        # degenerate all-equal-score slice collapses to bin 0 explicitly
+        # (ANSI would raise on the 0-width divide; DuckDB would NULL it)
+        F.when(F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_CAL_BINS - 1),
+                F.floor(
+                    (F.col("s") - F.col("mn"))
+                    * _CAL_BINS
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)).alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -191,7 +207,7 @@ ORACLE = {
         )
         SELECT n_pos, n_neg,
                CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-               {_AUC_RATIO} AS auc
+               CASE WHEN n_pos * n_neg > 0 THEN {_AUC_RATIO} END AS auc
         FROM t
     """,
     "eval_prf": f"""
@@ -209,10 +225,15 @@ ORACLE = {
             FROM j
         )
         SELECT tp, fp, fn, tn,
-               {sql_half_up("CAST(tp AS DOUBLE) / (tp + fp)")} AS precision,
-               {sql_half_up("CAST(tp AS DOUBLE) / (tp + fn)")} AS recall,
-               {sql_half_up("CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)")}
-                   AS f1
+               CASE WHEN tp + fp > 0 THEN
+                   {sql_half_up("CAST(tp AS DOUBLE) / (tp + fp)")}
+               END AS precision,
+               CASE WHEN tp + fn > 0 THEN
+                   {sql_half_up("CAST(tp AS DOUBLE) / (tp + fn)")}
+               END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0 THEN
+                   {sql_half_up("CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)")}
+               END AS f1
         FROM t
     """,
     "eval_calibration": f"""
@@ -220,9 +241,11 @@ ORACLE = {
         mm AS (SELECT min(s) AS mn, max(s) AS mx FROM j),
         b AS (
             SELECT s, y,
-                   LEAST({_CAL_BINS - 1},
-                         CAST(floor((s - mm.mn) * {_CAL_BINS}
-                                    / (mm.mx - mm.mn)) AS INTEGER)) AS bin
+                   CASE WHEN mm.mx > mm.mn THEN
+                       LEAST({_CAL_BINS - 1},
+                             CAST(floor((s - mm.mn) * {_CAL_BINS}
+                                        / (mm.mx - mm.mn)) AS INTEGER))
+                   ELSE 0 END AS bin
             FROM j, mm
         )
         SELECT bin, CAST(count(*) AS BIGINT) AS n,

@@ -231,7 +231,8 @@ def test_feature_bucketize_no_global_data_window(spark, sf_dir):
 
     plan = _plan(feature_bucketize(spark, sf_dir))
     # the data-sized window is keyed by the physical partition id
-    assert "windowspecdefinition(pid" in plan
+    # (now _pid — the shared two_phase_prefix helper)
+    assert "windowspecdefinition(_pid" in plan
     # row_number over the raw sort keys must never appear unpartitioned
     assert "windowspecdefinition(o_totalprice" not in plan
 
