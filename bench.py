@@ -129,6 +129,8 @@ HEADLINE = [
     "eval_auc",
     "eval_prf",
     "eval_calibration",
+    "eval_mrr",
+    "eval_ndcg",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

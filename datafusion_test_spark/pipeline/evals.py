@@ -10,6 +10,14 @@ integer-carried or single-divide exact:
                     (SQL oracle)
 - eval_calibration  reliability-diagram bins: per-bin mean score vs
                     positive rate (SQL oracle)
+- eval_mrr          mean reciprocal rank over per-user ranked candidates;
+                    each reciprocal carried as the INTEGER half-up of
+                    10⁶/rank — (2·10⁶+r) DIV 2r — so the mean is an exact
+                    integer sum with one final divide (SQL oracle)
+- eval_ndcg         NDCG@10 with the 1/log₂(p+1) discount frozen to a
+                    LITERAL integer table (scaled 10⁶) shared verbatim by
+                    both engines — no runtime log anywhere, so the
+                    statistic is bit-stable by construction (SQL oracle)
 
 The binary task is modeled on the events stream: does `value` separate
 purchases (positive) from clicks (negative)?  The AUC answers "how well",
@@ -27,11 +35,17 @@ Scale design (100 TB):
   4-cell reduce.
 * eval_calibration — min/max as a 1-row broadcast, then one groupBy on
   the bin id; bins are O(10) rows at any scale.
+* eval_mrr / eval_ndcg — the ranking window partitions by user_id, so its
+  cost is bounded by one user's candidate count (the per-query result
+  list), never the corpus; everything after is map-side-combined groupBys
+  and one global 4-cell reduce.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._util import DEC, half_up, sql_half_up, two_phase_prefix
@@ -40,6 +54,17 @@ from ..io import table
 _POS, _NEG = "purchase", "click"
 _PRF_THRESHOLD = 50.0
 _CAL_BINS = 10
+_RANK_SCALE = 1_000_000
+_NDCG_K = 10
+# NDCG@10 discount table, scaled 10^6 and frozen to integers at import:
+# both the Spark plan and the oracle SQL embed the SAME literals, so no
+# engine ever evaluates log2 at query time (cross-engine libm is the one
+# primitive this repo's hash contract cannot trust).
+_DISC = [round(_RANK_SCALE / math.log2(p + 1)) for p in range(1, _NDCG_K + 1)]
+# _IDCG[k] = ideal DCG (scaled) for a user with k relevant docs, k=0..10
+_IDCG = [0]
+for _d in _DISC:
+    _IDCG.append(_IDCG[-1] + _d)
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,10 +190,118 @@ def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ranked candidate list: every scored event a user saw,
+    ranked by score desc with the event_id tie-break that makes the
+    ordering total (Spark row_number and DuckDB row_number then agree on
+    ties by construction — same rationale as join_asof's tie-break)."""
+    e = table(spark, sf_dir, "events")
+    j = e.filter(
+        F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("s"),
+        F.when(F.col("event_type") == _POS, 1).otherwise(0).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("s"), F.asc("event_id"))
+    return j.withColumn("rk", F.row_number().over(w))
+
+
+def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank: each user is one retrieval query, purchases
+    are the relevant results, and the per-user statistic is 1/rank of the
+    first purchase (0 when the user never purchased — standard MRR).  The
+    reciprocal is carried as the integer half-up of 10⁶/rank, i.e.
+    (2·10⁶ + r) DIV 2r, so the cross-user mean is an exact integer sum
+    with exactly one IEEE divide at the end."""
+    r = _ranked(spark, sf_dir)
+    pu = r.groupBy("user_id").agg(
+        F.min(F.when(F.col("y") == 1, F.col("rk"))).alias("first_pos")
+    )
+    scaled = pu.withColumn(
+        "rr_s",
+        F.coalesce(
+            F.expr(
+                f"({2 * _RANK_SCALE} + first_pos) DIV (2 * first_pos)"
+            ),
+            F.lit(0),
+        ),
+    )
+    t = scaled.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_pos").alias("n_hit"),
+        F.sum("rr_s").alias("sum_rr"),
+    )
+    return t.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("sum_rr").cast("long").alias("sum_rr"),
+        F.when(
+            F.col("n_users") > 0,
+            half_up(
+                F.col("sum_rr")
+                / (F.col("n_users") * _RANK_SCALE).cast("double")
+            ),
+        ).alias("mrr"),
+    )
+
+
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 with binary gains: DCG sums the frozen-literal discount at
+    each relevant position ≤ 10, IDCG is the prefix-sum literal for
+    min(n_relevant, 10), and the per-user ratio is carried as the integer
+    half-up of 10⁶·dcg/idcg — so the mean over users is again an exact
+    integer sum.  Users with zero relevant docs are excluded (NDCG is
+    undefined for them; n_users_eval reports the denominator)."""
+    r = _ranked(spark, sf_dir)
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _DISC]), F.col("rk").cast("int")
+    )
+    pu = r.groupBy("user_id").agg(
+        F.sum(
+            F.when((F.col("y") == 1) & (F.col("rk") <= _NDCG_K), disc)
+            .otherwise(0)
+        ).alias("dcg_s"),
+        F.sum("y").alias("n_rel"),
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in _IDCG[1:]]),
+        F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int"),
+    )
+    scored = (
+        pu.filter(F.col("n_rel") > 0)
+        .withColumn("idcg_s", idcg)
+        .withColumn(
+            "ndcg_s",
+            F.expr(
+                f"({2 * _RANK_SCALE} * dcg_s + idcg_s) DIV (2 * idcg_s)"
+            ),
+        )
+    )
+    t = scored.agg(
+        F.count(F.lit(1)).alias("n_users_eval"),
+        F.sum("ndcg_s").alias("sum_ndcg"),
+    )
+    return t.select(
+        F.col("n_users_eval").cast("long").alias("n_users_eval"),
+        F.col("sum_ndcg").cast("long").alias("sum_ndcg"),
+        F.when(
+            F.col("n_users_eval") > 0,
+            half_up(
+                F.col("sum_ndcg")
+                / (F.col("n_users_eval") * _RANK_SCALE).cast("double")
+            ),
+        ).alias("mean_ndcg"),
+    )
+
+
 QUERIES = {
     "eval_auc": eval_auc,
     "eval_prf": eval_prf,
     "eval_calibration": eval_calibration,
+    "eval_mrr": eval_mrr,
+    "eval_ndcg": eval_ndcg,
 }
 
 _J = f"""
@@ -182,6 +315,21 @@ _J = f"""
 _AUC_RATIO = sql_half_up(
     "CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg)"
 )
+
+_RANKED = f"""
+            SELECT user_id, value AS s,
+                   CAST(CASE WHEN event_type = '{_POS}' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS rk
+            FROM events
+            WHERE event_type IN ('{_POS}', '{_NEG}') AND value IS NOT NULL
+"""
+
+# the SAME import-time literal tables the Spark plan embeds
+_DISC_SQL = "[" + ", ".join(str(d) for d in _DISC) + "]"
+_IDCG_SQL = "[" + ", ".join(str(v) for v in _IDCG[1:]) + "]"
 
 ORACLE = {
     "eval_auc": f"""
@@ -255,5 +403,53 @@ ORACLE = {
                )} AS mean_score,
                {sql_half_up("CAST(SUM(y) AS DOUBLE) / count(*)")} AS pos_rate
         FROM b GROUP BY bin
+    """,
+    "eval_mrr": f"""
+        WITH r AS ({_RANKED}),
+        pu AS (
+            SELECT user_id,
+                   min(CASE WHEN y = 1 THEN rk END) AS first_pos
+            FROM r GROUP BY user_id
+        ),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(count(first_pos) AS BIGINT) AS n_hit,
+                   CAST(COALESCE(SUM(
+                       ({2 * _RANK_SCALE} + first_pos) // (2 * first_pos)
+                   ), 0) AS BIGINT) AS sum_rr
+            FROM pu
+        )
+        SELECT n_users, n_hit, sum_rr,
+               CASE WHEN n_users > 0 THEN {sql_half_up(
+                   f"CAST(sum_rr AS DOUBLE) / (n_users * {_RANK_SCALE})"
+               )} END AS mrr
+        FROM t
+    """,
+    "eval_ndcg": f"""
+        WITH r AS ({_RANKED}),
+        pu AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN y = 1 AND rk <= {_NDCG_K}
+                            THEN ({_DISC_SQL})[rk] ELSE 0 END)
+                        AS BIGINT) AS dcg_s,
+                   CAST(SUM(y) AS BIGINT) AS n_rel
+            FROM r GROUP BY user_id
+        ),
+        sc AS (
+            SELECT dcg_s,
+                   ({_IDCG_SQL})[LEAST(n_rel, {_NDCG_K})] AS idcg_s
+            FROM pu WHERE n_rel > 0
+        ),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_users_eval,
+                   CAST(SUM(({2 * _RANK_SCALE} * dcg_s + idcg_s)
+                            // (2 * idcg_s)) AS BIGINT) AS sum_ndcg
+            FROM sc
+        )
+        SELECT n_users_eval, sum_ndcg,
+               CASE WHEN n_users_eval > 0 THEN {sql_half_up(
+                   f"CAST(sum_ndcg AS DOUBLE) / (n_users_eval * {_RANK_SCALE})"
+               )} END AS mean_ndcg
+        FROM t
     """,
 }

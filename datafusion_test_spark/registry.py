@@ -151,6 +151,8 @@ _PRIORITY = [
     "eval_auc",
     "eval_prf",
     "eval_calibration",
+    "eval_mrr",
+    "eval_ndcg",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1432,6 +1432,67 @@ def test_eval_prf_partition_and_f1(spark, sf_dir):
         assert 0.0 <= r[m] <= 1.0
 
 
+def test_eval_mrr_matches_bruteforce(spark, sf_dir):
+    """Distributed MRR must equal the driver-side computation: rank each
+    user's candidates by (score desc, event_id), reciprocal of the first
+    purchase rank, zero for never-purchased users."""
+    import collections
+
+    from datafusion_test_spark.pipeline.evals import _RANK_SCALE, _ranked, eval_mrr
+
+    by_user = collections.defaultdict(list)
+    for r in _ranked(spark, sf_dir).collect():
+        by_user[r["user_id"]].append(r)
+    sum_rr, n_hit = 0, 0
+    for rows in by_user.values():
+        pos = [r["rk"] for r in rows if r["y"] == 1]
+        if pos:
+            n_hit += 1
+            fp = min(pos)
+            sum_rr += (2 * _RANK_SCALE + fp) // (2 * fp)
+    got = eval_mrr(spark, sf_dir).collect()[0]
+    assert got["n_users"] == len(by_user)
+    assert got["n_hit"] == n_hit
+    assert got["sum_rr"] == sum_rr
+    assert 0.0 <= got["mrr"] <= 1.0
+
+
+def test_eval_ndcg_matches_bruteforce(spark, sf_dir):
+    """Distributed NDCG@10 must equal the driver-side computation built
+    from the same frozen literal discount table."""
+    import collections
+
+    from datafusion_test_spark.pipeline.evals import (
+        _DISC,
+        _IDCG,
+        _NDCG_K,
+        _RANK_SCALE,
+        _ranked,
+        eval_ndcg,
+    )
+
+    by_user = collections.defaultdict(list)
+    for r in _ranked(spark, sf_dir).collect():
+        by_user[r["user_id"]].append(r)
+    sum_ndcg, n_eval = 0, 0
+    for rows in by_user.values():
+        n_rel = sum(r["y"] for r in rows)
+        if n_rel == 0:
+            continue
+        n_eval += 1
+        dcg = sum(
+            _DISC[r["rk"] - 1]
+            for r in rows
+            if r["y"] == 1 and r["rk"] <= _NDCG_K
+        )
+        idcg = _IDCG[min(n_rel, _NDCG_K)]
+        sum_ndcg += (2 * _RANK_SCALE * dcg + idcg) // (2 * idcg)
+    got = eval_ndcg(spark, sf_dir).collect()[0]
+    assert got["n_users_eval"] == n_eval
+    assert got["sum_ndcg"] == sum_ndcg
+    assert 0.0 <= got["mean_ndcg"] <= 1.0
+
+
 def test_eval_calibration_covers_all_rows(spark, sf_dir):
     from datafusion_test_spark.pipeline.evals import _scored, eval_calibration
 
