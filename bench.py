@@ -131,6 +131,7 @@ HEADLINE = [
     "eval_calibration",
     "eval_mrr",
     "eval_ndcg",
+    "drift_timeline",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -73,6 +73,7 @@ def two_phase_prefix(
     order_cols: list[str],
     sum_cols: tuple[str, ...] = (),
     rank_as: str | None = None,
+    group_cols: tuple[str, ...] = (),
 ):
     """Distributed global prefix state over ``order_cols`` WITHOUT a
     single-partition window — the range-partitioned two-phase idiom shared
@@ -86,9 +87,19 @@ def two_phase_prefix(
     Returns ``(out, totals)`` where ``totals`` is a 1-row frame with
     ``tot_<col>`` / ``tot_rows`` derived from the same per-partition
     aggregates — callers must NOT rescan the input for grand totals.
+
+    ``group_cols`` generalizes the idiom to an independent prefix PER
+    GROUP (drift_timeline's per-day CDFs): the range key becomes
+    (group, order) so each group's rows stay order-contiguous, the local
+    window and the offsets window both partition by the group, and
+    ``totals`` becomes one row per group.  The offsets relation grows to
+    O(#partitions + #groups) rows — still broadcastable for bounded group
+    counts (days, sources, shards); for unbounded groups use a plain
+    per-group window instead, which this helper deliberately is not.
     """
     from pyspark.sql import Window as W
 
+    group_cols = tuple(group_cols)
     # Eagerly materialized: BOTH consumers (the local window and the
     # per-partition totals) must see the SAME range boundaries, but
     # repartitionByRange samples its boundaries at execution time and the
@@ -97,13 +108,13 @@ def two_phase_prefix(
     # paired with the wrong partitions and 2463/3305 prefixes were wrong
     # (exchange REUSE had masked the hazard in the other callers).
     ranged = (
-        df.repartitionByRange(par, *order_cols)
-        .sortWithinPartitions(*order_cols)
+        df.repartitionByRange(par, *group_cols, *order_cols)
+        .sortWithinPartitions(*group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     w_pre = (
-        W.partitionBy("_pid")
+        W.partitionBy("_pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, -1)
     )
@@ -115,12 +126,16 @@ def two_phase_prefix(
     if rank_as:
         out = out.withColumn(
             "_lrk",
-            F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols)),
+            F.row_number().over(
+                W.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+            ),
         )
     aggs = [F.sum(c).alias(f"_t_{c}") for c in sum_cols]
     aggs.append(F.count(F.lit(1)).alias("_t_rows"))
-    ptot = ranged.groupBy("_pid").agg(*aggs)
-    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    ptot = ranged.groupBy("_pid", *group_cols).agg(*aggs)
+    w_off = (
+        W.partitionBy(*group_cols) if group_cols else W
+    ).orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     off_cols = [
         F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(f"_o_{c}")
         for c in sum_cols
@@ -129,8 +144,8 @@ def two_phase_prefix(
         off_cols.append(
             F.coalesce(F.sum("_t_rows").over(w_off), F.lit(0)).alias("_o_rows")
         )
-    offs = ptot.select("_pid", *off_cols)
-    out = out.join(F.broadcast(offs), "_pid")
+    offs = ptot.select("_pid", *group_cols, *off_cols)
+    out = out.join(F.broadcast(offs), ["_pid", *group_cols])
     for c in sum_cols:
         out = out.withColumn(
             f"pre_{c}", F.col(f"pre_{c}") + F.col(f"_o_{c}")
@@ -139,9 +154,12 @@ def two_phase_prefix(
         out = out.withColumn(
             rank_as, (F.col("_lrk") + F.col("_o_rows")).cast("long")
         ).drop("_lrk", "_o_rows")
-    totals = ptot.agg(
-        *[F.sum(f"_t_{c}").alias(f"tot_{c}") for c in sum_cols],
-        F.sum("_t_rows").alias("tot_rows"),
+    t_aggs = [F.sum(f"_t_{c}").alias(f"tot_{c}") for c in sum_cols]
+    t_aggs.append(F.sum("_t_rows").alias("tot_rows"))
+    totals = (
+        ptot.groupBy(*group_cols).agg(*t_aggs)
+        if group_cols
+        else ptot.agg(*t_aggs)
     )
     return out.drop("_pid"), totals
 

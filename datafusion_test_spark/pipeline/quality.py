@@ -404,6 +404,70 @@ def drift_ks(spark: SparkSession, sf_dir: str, par: int | None = None) -> DataFr
     )
 
 
+def drift_timeline(
+    spark: SparkSession, sf_dir: str, par: int | None = None
+) -> DataFrame:
+    """drift_ks unrolled over time: one independent two-sample KS
+    statistic (view vs click value distributions) PER DAY — the drift
+    monitor a pipeline actually dashboards, where a single day spiking
+    flags the bad feed drop.  Same integer carrier as drift_ks
+    (D = max |cum_a·n_b − cum_b·n_a|, one divide at the end), now with
+    per-day cumulative counts.
+
+    Shape: this is the group_cols= form of the shared two-phase prefix —
+    the range key becomes (day, value) so no day ever needs a
+    single-partition window even when one day holds billions of rows,
+    and the offsets/totals relations stay O(#partitions + #days).  Days
+    where either side is empty emit a NULL ks_stat (guarded: the session
+    runs ANSI mode) rather than dropping the row — a day with zero
+    clicks IS the alarm.
+    """
+    from .._util import half_up, two_phase_prefix
+
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    u = e.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        "day",
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ib"),
+    )
+    g = u.groupBy("day", "value").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    par = par or max(4, spark.sparkContext.defaultParallelism // 4)
+    pre, totals = two_phase_prefix(
+        g, par, ["value"], sum_cols=("ca", "cb"), group_cols=("day",)
+    )
+    diffs = pre.join(F.broadcast(totals), "day").select(
+        "day",
+        F.col("tot_ca").alias("na"),
+        F.col("tot_cb").alias("nb"),
+        F.abs(
+            (F.col("pre_ca") + F.col("ca")) * F.col("tot_cb")
+            - (F.col("pre_cb") + F.col("cb")) * F.col("tot_ca")
+        ).alias("diff"),
+    )
+    return diffs.groupBy("day", "na", "nb").agg(
+        F.max("diff").alias("d")
+    ).select(
+        "day",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("d").cast("long").alias("d_num"),
+        F.when(
+            F.col("na") * F.col("nb") > 0,
+            half_up(
+                F.col("d") / (F.col("na") * F.col("nb")).cast("double"), 6
+            ),
+        ).alias("ks_stat"),
+    )
+
+
 # text_repetition thresholds (Gopher App. A1.1 uses char fractions of the
 # most frequent n-gram; carried here as word-count shares with integer
 # cross-multiplications): top-2-gram share <= 20%, top-3-gram share <= 18%.
@@ -513,6 +577,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "drift_ks": drift_ks,
+    "drift_timeline": drift_timeline,
     "text_repetition": text_repetition,
     "lm_quality_filter": lm_quality_filter,
     "text_quality_gopher": text_quality_gopher,
@@ -523,6 +588,13 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "sample_systematic": sample_systematic,
 }
+
+from .._util import sql_half_up as _sql_half_up  # noqa: E402  (oracle twins)
+
+_SQL_KS_RATIO = _sql_half_up(
+    "CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE) / (t.na * t.nb)",
+    6,
+)
 
 ORACLE = {
     "privacy_k_anonymity": f"""
@@ -561,6 +633,46 @@ ORACLE = {
                round(CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE)
                      / (t.na * t.nb), 6) AS ks_stat
         FROM c, t GROUP BY t.na, t.nb
+    """,
+    "drift_timeline": f"""
+        WITH u AS (
+            SELECT CAST(ts AS DATE) AS day, value,
+                   CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                        AS BIGINT) AS ia,
+                   CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                        AS BIGINT) AS ib
+            FROM events
+            WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+        ),
+        g AS (
+            SELECT day, value, CAST(SUM(ia) AS BIGINT) AS ca,
+                   CAST(SUM(ib) AS BIGINT) AS cb
+            FROM u GROUP BY day, value
+        ),
+        t AS (
+            SELECT day, CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb
+            FROM g GROUP BY day
+        ),
+        c AS (
+            SELECT day,
+                   CAST(SUM(ca) OVER (
+                       PARTITION BY day ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_a,
+                   CAST(SUM(cb) OVER (
+                       PARTITION BY day ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_b
+            FROM g
+        )
+        SELECT c.day, t.na AS n_a, t.nb AS n_b,
+               CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT)
+                   AS d_num,
+               CASE WHEN t.na * t.nb > 0 THEN {_SQL_KS_RATIO} END
+                   AS ks_stat
+        FROM c JOIN t ON c.day = t.day
+        GROUP BY c.day, t.na, t.nb
     """,
     "text_repetition": f"""
         WITH d AS (

@@ -153,6 +153,7 @@ _PRIORITY = [
     "eval_calibration",
     "eval_mrr",
     "eval_ndcg",
+    "drift_timeline",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

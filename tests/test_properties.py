@@ -129,6 +129,102 @@ def test_two_phase_prefix_matches_pandas_cumsum(spark):
         assert t["tot_w"] == int(pdf["w"].sum()) and t["tot_rows"] == len(pdf)
 
 
+def test_two_phase_prefix_grouped_matches_pandas(spark):
+    """group_cols= must yield an INDEPENDENT exclusive cumsum + rank per
+    group, matching pandas groupby-cumsum at several partition counts,
+    with per-group totals."""
+    import pandas as pd
+
+    from datafusion_test_spark._util import two_phase_prefix
+
+    pdf = pd.DataFrame(
+        {
+            "grp": ["a", "b", "a", "c", "b", "a", "c", "b", "a", "b"],
+            "k": [5, 1, 9, 3, 3, 7, 2, 8, 6, 4],
+            "tie": list(range(10)),
+            "w": [2, 3, 5, 7, 11, 13, 17, 19, 23, 29],
+        }
+    )
+    expected = pdf.sort_values(["grp", "k", "tie"]).reset_index(drop=True)
+    expected["pre_w"] = (
+        expected.groupby("grp")["w"].cumsum() - expected["w"]
+    )
+    expected["rnk"] = expected.groupby("grp").cumcount() + 1
+    df = spark.createDataFrame(pdf)
+    for par in (1, 3, 5):
+        out, totals = two_phase_prefix(
+            df, par, ["k", "tie"], sum_cols=("w",), rank_as="rnk",
+            group_cols=("grp",),
+        )
+        got = (
+            out.toPandas()
+            .sort_values(["grp", "k", "tie"])
+            .reset_index(drop=True)[["grp", "k", "tie", "w", "pre_w", "rnk"]]
+        )
+        exp = expected[["grp", "k", "tie", "w", "pre_w", "rnk"]]
+        assert got["grp"].tolist() == exp["grp"].tolist(), par
+        for c in ("k", "tie", "w", "pre_w", "rnk"):
+            assert got[c].astype("int64").tolist() == exp[c].astype(
+                "int64"
+            ).tolist(), (par, c)
+        t = {r["grp"]: r for r in totals.collect()}
+        for grp, sub in pdf.groupby("grp"):
+            assert t[grp]["tot_w"] == int(sub["w"].sum())
+            assert t[grp]["tot_rows"] == len(sub)
+
+
+def test_drift_timeline_day_equals_whole_corpus_ks_on_filtered_input(
+    spark, sf_dir
+):
+    """Each day's row must equal drift_ks run on that day's slice alone
+    (the timeline is n independent KS tests, not one pooled one) — checked
+    for the first 3 days, plus partition-count invariance of the whole
+    frame."""
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.quality import (
+        drift_ks,
+        drift_timeline,
+    )
+
+    tl = {r["day"]: r for r in drift_timeline(spark, sf_dir).collect()}
+    tl7 = {r["day"]: r for r in drift_timeline(spark, sf_dir, par=7).collect()}
+    assert set(tl) == set(tl7)
+    for d in tl:
+        assert tuple(tl[d]) == tuple(tl7[d]), d
+    days = sorted(tl)[:3]
+    ev = table(spark, sf_dir, "events")
+    for d in days:
+        day_slice = ev.filter(F.to_date("ts") == F.lit(d))
+
+        # drift_ks reads the table itself; rebuild its pipeline on the
+        # day slice via a temp view swap is heavier than re-deriving —
+        # assert against a driver-side brute force instead
+        rows = (
+            day_slice.filter(
+                F.col("event_type").isin("view", "click")
+                & F.col("value").isNotNull()
+            )
+            .select("event_type", "value")
+            .collect()
+        )
+        a = sorted(r["value"] for r in rows if r["event_type"] == "view")
+        b = sorted(r["value"] for r in rows if r["event_type"] == "click")
+        cuts = sorted(set(a) | set(b))
+        import bisect
+
+        d_num = max(
+            abs(
+                bisect.bisect_right(a, c) * len(b)
+                - bisect.bisect_right(b, c) * len(a)
+            )
+            for c in cuts
+        )
+        assert tl[d]["n_a"] == len(a) and tl[d]["n_b"] == len(b), d
+        assert tl[d]["d_num"] == d_num, d
+
+
 def test_half_up_three_way_agreement_on_ties(spark):
     """The engine-stable rounding must produce the SAME result in python,
     Spark, and DuckDB — including on exact .xxxx5 ties where round()
