@@ -132,6 +132,7 @@ HEADLINE = [
     "eval_mrr",
     "eval_ndcg",
     "drift_timeline",
+    "er_multipass",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -913,6 +913,76 @@ def er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking ER — the standard fix for single-key blocking's
+    recall ceiling: run er_fuzzy_blocked's noun block (last name token) AND
+    a second pass blocked on the FIRST token (the modifier), union the
+    candidate pairs, and do the levenshtein precision pass once on the
+    deduplicated union.  Each match carries per-pass provenance
+    (via_noun / via_first) — the recall accounting that tells an ER owner
+    which blocking key earns its cost (a pair found only by one pass is
+    that pass's marginal recall).
+
+    Scale: each pass is the same O(Σ block²)-over-entities self-join with
+    the shared _drop_hot cap; the union dedupes candidates BEFORE the
+    edit-distance precision pass so the expensive predicate runs once per
+    distinct pair no matter how many passes proposed it.  Passes are
+    independent jobs — at 100 TB they run concurrently and their caps are
+    tuned per key's skew.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ents = p.groupBy("p_name").agg(F.min("p_partkey").alias("entity_id"))
+    passes = {
+        "via_noun": F.element_at(F.split("p_name", " "), -1),
+        "via_first": F.element_at(F.split("p_name", " "), 1),
+    }
+    cands = None
+    for flag, key in passes.items():
+        cool = _drop_hot(ents.withColumn("block", key), ["block"])
+        a = cool.select(
+            "block",
+            F.col("p_name").alias("name_a"),
+            F.col("entity_id").alias("id_a"),
+        )
+        b = cool.select(
+            "block",
+            F.col("p_name").alias("name_b"),
+            F.col("entity_id").alias("id_b"),
+        )
+        pairs = (
+            a.join(b, "block")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select(
+                "name_a",
+                "name_b",
+                "id_a",
+                "id_b",
+                *[
+                    F.lit(1 if f == flag else 0).alias(f)
+                    for f in passes
+                ],
+            )
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    merged = cands.groupBy("name_a", "name_b", "id_a", "id_b").agg(
+        *[F.max(f).alias(f) for f in passes]
+    )
+    return (
+        merged.withColumn(
+            "lev", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("lev") <= _ER_MAX_LEV)
+        .select(
+            "name_a",
+            "name_b",
+            "id_a",
+            "id_b",
+            "lev",
+            *[(F.col(f) == 1).alias(f) for f in passes],
+        )
+    )
+
+
 def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-list materialization — the APPLY step after clustering, and
     the row a user actually consumes: within each multi-member duplicate
@@ -959,6 +1029,7 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_resolve": dedup_resolve,
     "er_fuzzy_blocked": er_fuzzy_blocked,
+    "er_multipass": er_multipass,
     "graph_triangles": graph_triangles,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1096,6 +1167,55 @@ ORACLE = {
         FROM cool a JOIN cool b2
           ON a.block = b2.block AND a.p_name < b2.p_name
         WHERE levenshtein(a.p_name, b2.p_name) <= {_ER_MAX_LEV}
+    """,
+    "er_multipass": f"""
+        WITH e AS (
+            SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS entity_id
+            FROM part GROUP BY p_name
+        ),
+        bn AS (
+            SELECT p_name, entity_id,
+                   string_split(p_name, ' ')[-1] AS block
+            FROM e
+        ),
+        bf AS (
+            SELECT p_name, entity_id,
+                   string_split(p_name, ' ')[1] AS block
+            FROM e
+        ),
+        cn AS (
+            SELECT * FROM bn WHERE block IN (
+                SELECT block FROM bn GROUP BY block
+                HAVING count(*) <= {_DF_CAP}
+            )
+        ),
+        cf AS (
+            SELECT * FROM bf WHERE block IN (
+                SELECT block FROM bf GROUP BY block
+                HAVING count(*) <= {_DF_CAP}
+            )
+        ),
+        cand AS (
+            SELECT a.p_name AS name_a, b2.p_name AS name_b,
+                   a.entity_id AS id_a, b2.entity_id AS id_b,
+                   1 AS via_noun, 0 AS via_first
+            FROM cn a JOIN cn b2
+              ON a.block = b2.block AND a.p_name < b2.p_name
+            UNION ALL
+            SELECT a.p_name, b2.p_name, a.entity_id, b2.entity_id, 0, 1
+            FROM cf a JOIN cf b2
+              ON a.block = b2.block AND a.p_name < b2.p_name
+        ),
+        merged AS (
+            SELECT name_a, name_b, id_a, id_b,
+                   max(via_noun) AS via_noun, max(via_first) AS via_first
+            FROM cand GROUP BY name_a, name_b, id_a, id_b
+        )
+        SELECT name_a, name_b, id_a, id_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS lev,
+               (via_noun = 1) AS via_noun, (via_first = 1) AS via_first
+        FROM merged
+        WHERE levenshtein(name_a, name_b) <= {_ER_MAX_LEV}
     """,
     "dedup_editdist": f"""
         WITH {{_JACCARD_CTES}}

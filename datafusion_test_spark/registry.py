@@ -154,6 +154,7 @@ _PRIORITY = [
     "eval_mrr",
     "eval_ndcg",
     "drift_timeline",
+    "er_multipass",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

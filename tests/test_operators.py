@@ -1198,6 +1198,37 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_er_multipass_superset_with_provenance(spark, sf_dir):
+    """The two-pass union must contain every single-pass (noun-block)
+    match with via_noun set, every row must carry at least one pass flag,
+    and via_noun must be EXACTLY membership in the noun pass."""
+    from datafusion_test_spark.pipeline.dedup import (
+        er_fuzzy_blocked,
+        er_multipass,
+    )
+
+    single = {
+        (r["name_a"], r["name_b"])
+        for r in er_fuzzy_blocked(spark, sf_dir).collect()
+    }
+    rows = er_multipass(spark, sf_dir).collect()
+    multi = {(r["name_a"], r["name_b"]): r for r in rows}
+    assert single <= set(multi)
+    for pair, r in multi.items():
+        assert r["via_noun"] or r["via_first"]
+        assert 1 <= r["lev"] <= 2
+        assert r["via_noun"] == (pair in single)
+        # a pair flagged via_first must actually share its first token
+        if r["via_first"]:
+            assert (
+                r["name_a"].split(" ", 1)[0] == r["name_b"].split(" ", 1)[0]
+            )
+    # on this corpus every lev<=2 variant keeps the noun, so pass 2 finds
+    # a SUBSET of pass 1 — the accounting must say so (zero marginal
+    # recall is a valid, informative answer, not a bug)
+    assert all(r["via_noun"] for r in rows)
+
+
 def test_mm_clip_filter_covers_all_pairs(spark, sf_dir):
     from datafusion_test_spark.pipeline.multimodal import mm_clip_filter
 
