@@ -133,6 +133,7 @@ HEADLINE = [
     "eval_ndcg",
     "drift_timeline",
     "er_multipass",
+    "graph_pagerank",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

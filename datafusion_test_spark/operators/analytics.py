@@ -351,9 +351,136 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+_PR_TOPK = 20
+_PR_BASE = 15 * _PR_SCALE // 100  # (1-d)·scale with damping d = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the order↔part bipartite graph (an order links every
+    part it contains — the 'product importance' view of the fact table),
+    run for a FIXED 3 iterations in integer fixed-point: ranks are scaled
+    by 10⁹ and every step is floor division — contrib = pr DIV deg,
+    pr' = 0.15·scale + (85·Σcontrib) DIV 100 — so the result is
+    bit-identical on any engine, any partitioning, any reduce order
+    (float PageRank is order-sensitive and could never hash-match).
+    Emits the top-20 nodes with a full (pr desc, node) tie-break.
+
+    Plan: per iteration one join (contributions flow src→dst over the
+    symmetric edge list) and one map-side-combined groupBy(dst); the edge
+    list and degree relation are materialized ONCE (eager localCheckpoint
+    — multi-consumer iterative carrier) and reused by all 3 rounds.  At
+    100 TB: pre-partition edges by src so the per-round join is
+    co-located, and the final top-k is TakeOrderedAndProject (no global
+    sort).  Carrier note: Σ incoming ranks is bounded by total mass
+    n_nodes·10⁹, so the 85× product stays < 2⁶³ up to ~10⁸ nodes; past
+    that drop the scale to 10⁶ (same contract, coarser fixed point).
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        li.unionByName(
+            li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    pr = nodes.select(
+        "node", F.lit(_PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = pr.join(nodes, "node").select(
+            F.col("node").alias("cnode"), F.expr("pr DIV deg").alias("c")
+        )
+        inc = (
+            edges.join(contrib, edges["src"] == contrib["cnode"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum("c").alias("m"))
+        )
+        pr = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")
+            ).cast("long").alias("pr"),
+        )
+    from .._util import half_up
+
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(_PR_TOPK)
+        .select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "order")
+            .otherwise("part")
+            .alias("kind"),
+            F.col("pr").alias("pr_scaled"),
+            half_up(F.col("pr") / F.lit(float(_PR_SCALE)), 6).alias(
+                "rank_score"
+            ),
+        )
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled oracle: a fixed iteration count means the loop can be a
+    plain (non-recursive) CTE chain pr0 → pr1 → … — same integer
+    arithmetic, no recursive-CTE aggregate restrictions to fight."""
+    from .._util import sql_half_up
+
+    chain = f"""e AS (
+            SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+            FROM lineitem
+        ),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        nodes AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        pr0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM nodes)"""
+    for i in range(_PR_ITERS):
+        chain += f""",
+        m{i + 1} AS (
+            SELECT s.dst AS node, CAST(SUM(p.pr // n.deg) AS BIGINT) AS m
+            FROM sym s
+            JOIN pr{i} p ON s.src = p.node
+            JOIN nodes n ON n.node = p.node
+            GROUP BY s.dst
+        ),
+        pr{i + 1} AS (
+            SELECT n.node,
+                   CAST({_PR_BASE} + (85 * COALESCE(m.m, 0)) // 100
+                        AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN m{i + 1} m ON n.node = m.node
+        )"""
+    score = sql_half_up(f"CAST(pr AS DOUBLE) / {_PR_SCALE}", 6)
+    return f"""
+        WITH {chain}
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+               pr AS pr_scaled,
+               {score} AS rank_score
+        FROM pr{_PR_ITERS}
+        ORDER BY pr DESC, node
+        LIMIT {_PR_TOPK}
+    """
+
+
 QUERIES = {
     "agg_regression": agg_regression,
     "anomaly_mad": anomaly_mad,
+    "graph_pagerank": graph_pagerank,
     "feature_bucketize": feature_bucketize,
     "seq_string_mine": seq_string_mine,
     "funnel_conversion": funnel_conversion,
@@ -364,6 +491,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_pagerank": _pagerank_sql(),
     "agg_regression": """
         SELECT event_type,
                CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT)

@@ -155,6 +155,7 @@ _PRIORITY = [
     "eval_ndcg",
     "drift_timeline",
     "er_multipass",
+    "graph_pagerank",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,46 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_graph_pagerank_matches_bruteforce_fixed_point(spark, sf_dir):
+    """The distributed 3-iteration fixed-point PageRank must equal a
+    driver-side replica using the identical integer arithmetic, including
+    the top-20 cut with its (pr desc, node) tie-break."""
+    import collections
+
+    from datafusion_test_spark.operators.analytics import (
+        _PR_BASE,
+        _PR_ITERS,
+        _PR_SCALE,
+        _PR_TOPK,
+        graph_pagerank,
+    )
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    adj = collections.defaultdict(set)
+    for r in li:
+        o, p = r["l_orderkey"] * 2, r["l_partkey"] * 2 + 1
+        adj[o].add(p)
+        adj[p].add(o)
+    pr = {n: _PR_SCALE for n in adj}
+    for _ in range(_PR_ITERS):
+        inc = collections.defaultdict(int)
+        for n, nbrs in adj.items():
+            c = pr[n] // len(nbrs)
+            for m in nbrs:
+                inc[m] += c
+        pr = {n: _PR_BASE + (85 * inc[n]) // 100 for n in adj}
+    expected = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:_PR_TOPK]
+    got = graph_pagerank(spark, sf_dir).collect()
+    assert [(r["node"], r["pr_scaled"]) for r in got] == expected
+    for r in got:
+        assert r["kind"] == ("order" if r["node"] % 2 == 0 else "part")
+
+
 def test_er_multipass_superset_with_provenance(spark, sf_dir):
     """The two-pass union must contain every single-pass (noun-block)
     match with via_noun set, every row must carry at least one pass flag,
