@@ -134,6 +134,7 @@ HEADLINE = [
     "drift_timeline",
     "er_multipass",
     "graph_pagerank",
+    "join_spatial_grid",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -490,7 +490,80 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPATIAL_EPS = 0.02  # join_spatial_grid: L2 distance threshold
+
+
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ε-distance self-join via grid blocking — the join family
+    behind geo joins and 2-D embedding-map neighborhoods: find every
+    point pair within L2 distance ε WITHOUT the all-pairs cross join.
+    Points are the first two embedding dimensions; each point lands in
+    cell (⌊x/ε⌋, ⌊y/ε⌋), one side explodes its 3×3 neighbor cells, and
+    the equi-join on cell ids yields each qualifying pair EXACTLY once
+    (a pair ≤ ε apart can never be further than one cell apart, the
+    probe side sits in exactly one cell, and vec_a < vec_b kills the
+    mirror) — candidates then pass the exact distance predicate.
+
+    Determinism: cell ids and the distance compare are single IEEE ops
+    (divide, floor, subtract, multiply, add) on identical float inputs,
+    stated in the same order in both engines — no libm, no accumulation.
+
+    Scale: the shuffle is O(9·N) cell-keyed rows and work is
+    O(Σ |cell|·|3×3 neighborhood|), the spatial analogue of the
+    inverted-index dedup blocking; skewed cells would take the same
+    _drop_hot-style cap.  The oracle is the brute-force O(N²) twin —
+    feasible at test scale, and exactly the check a spatial index needs.
+    """
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    ).withColumn(
+        "cx", F.floor(F.col("x") / _SPATIAL_EPS)
+    ).withColumn(
+        "cy", F.floor(F.col("y") / _SPATIAL_EPS)
+    )
+    offsets = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ])
+    )
+    a = pts.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "vec_a",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["kx", "ky"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", d2.alias("d2"))
+        .filter(F.col("d2") <= F.lit(_SPATIAL_EPS * _SPATIAL_EPS))
+    )
+
+
 QUERIES = {
+    "join_spatial_grid": join_spatial_grid,
     "join_asof_nearest": join_asof_nearest,
     "join_inner": join_inner,
     "join_null_safe": join_null_safe,
@@ -512,6 +585,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_spatial_grid": f"""
+        WITH p AS (
+            SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {_SPATIAL_EPS * _SPATIAL_EPS!r}
+    """,
     "join_asof_nearest": """
         WITH u AS (
             SELECT user_id, ts, 0 AS is_click, event_id,

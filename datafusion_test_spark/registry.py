@@ -156,6 +156,7 @@ _PRIORITY = [
     "drift_timeline",
     "er_multipass",
     "graph_pagerank",
+    "join_spatial_grid",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,53 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_join_spatial_grid_matches_bruteforce(spark, sf_dir):
+    """Grid blocking must produce exactly the brute-force ε-pair set —
+    each qualifying pair once, no near-boundary misses from cell
+    assignment."""
+    from datafusion_test_spark.operators.joins import (
+        _SPATIAL_EPS,
+        join_spatial_grid,
+    )
+
+    pts = {
+        r["vec_id"]: (float(r["embedding"][0]), float(r["embedding"][1]))
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    eps2 = _SPATIAL_EPS * _SPATIAL_EPS
+    ids = sorted(pts)
+    expected = {
+        (u, v)
+        for i, u in enumerate(ids)
+        for v in ids[i + 1 :]
+        if (pts[u][0] - pts[v][0]) ** 2 + (pts[u][1] - pts[v][1]) ** 2
+        <= eps2
+    }
+    rows = join_spatial_grid(spark, sf_dir).collect()
+    got = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(got) == len(set(got))  # exactly-once
+    assert set(got) == expected
+    for r in rows:
+        assert 0.0 <= r["d2"] <= eps2
+
+
+def test_join_spatial_grid_plans_as_equi_join(spark, sf_dir):
+    """The blocking must plan as a hash equi-join on cell ids — never a
+    cartesian/nested-loop product (that is the entire point)."""
+    from datafusion_test_spark.operators.joins import join_spatial_grid
+
+    plan = (
+        join_spatial_grid(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_graph_pagerank_matches_bruteforce_fixed_point(spark, sf_dir):
     """The distributed 3-iteration fixed-point PageRank must equal a
     driver-side replica using the identical integer arithmetic, including
