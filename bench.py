@@ -135,6 +135,7 @@ HEADLINE = [
     "er_multipass",
     "graph_pagerank",
     "join_spatial_grid",
+    "ts_changepoint",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

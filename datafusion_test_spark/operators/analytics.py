@@ -433,6 +433,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_changepoint(
+    spark: SparkSession, sf_dir: str, par: int | None = None
+) -> DataFrame:
+    """CUSUM changepoint detection per event-type series: the index i*
+    maximizing |n·S_i − i·S_n| (S_i = prefix sum of values in time
+    order) — the exact level-shift statistic, which peaks where the
+    series' running mean departs most from the global mean.  Values are
+    half-up scaled to 1e4 BIGINTs first, so every prefix sum, product,
+    and the argmax compare is pure int64 arithmetic — no float
+    accumulates, no decimal→double cast at the boundary (n·S_i stays
+    < 2⁶³ up to ~10⁸ rows per series at |value| ≤ 10⁴; past that drop
+    the value scale).
+
+    Plan: the time-ordered prefix is the group_cols= two-phase prefix
+    (one independent distributed prefix per event_type — never a
+    single-partition window); the argmax is a map-side-combined
+    max(struct(diff, −i)) with the deterministic smallest-i tie-break.
+    """
+    from .._util import two_phase_prefix
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_s"),
+    )
+    par = par or max(4, spark.sparkContext.defaultParallelism // 4)
+    pre, totals = two_phase_prefix(
+        u,
+        par,
+        ["ts", "event_id"],
+        sum_cols=("v_s",),
+        rank_as="i",
+        group_cols=("event_type",),
+    )
+    d = pre.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        F.col("tot_rows").alias("n"),
+        F.abs(
+            F.col("tot_rows") * (F.col("pre_v_s") + F.col("v_s"))
+            - F.col("i") * F.col("tot_v_s")
+        ).alias("diff"),
+        "i",
+    )
+    best = d.groupBy("event_type", "n").agg(
+        F.max(F.struct(F.col("diff"), (-F.col("i")).alias("ni"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (-F.col("b.ni")).cast("long").alias("cp_index"),
+        F.col("b.diff").cast("long").alias("max_dev"),
+    )
+
+
 def _pagerank_sql() -> str:
     """Unrolled oracle: a fixed iteration count means the loop can be a
     plain (non-recursive) CTE chain pr0 → pr1 → … — same integer
@@ -481,6 +539,7 @@ QUERIES = {
     "agg_regression": agg_regression,
     "anomaly_mad": anomaly_mad,
     "graph_pagerank": graph_pagerank,
+    "ts_changepoint": ts_changepoint,
     "feature_bucketize": feature_bucketize,
     "seq_string_mine": seq_string_mine,
     "funnel_conversion": funnel_conversion,
@@ -492,6 +551,42 @@ QUERIES = {
 
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
+    "ts_changepoint": """
+        WITH u AS (
+            SELECT event_type, ts, event_id,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST(SUM(v_s) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS s_i,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS BIGINT) AS i
+            FROM u
+        ),
+        t AS (
+            SELECT event_type, CAST(SUM(v_s) AS BIGINT) AS s_n,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY event_type
+        ),
+        d AS (
+            SELECT r.event_type, t.n,
+                   abs(t.n * r.s_i - r.i * t.s_n) AS diff, r.i
+            FROM r JOIN t ON r.event_type = t.event_type
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY diff DESC, i
+            ) AS rr
+            FROM d
+        )
+        SELECT event_type, n, i AS cp_index, CAST(diff AS BIGINT) AS max_dev
+        FROM rk WHERE rr = 1
+    """,
     "agg_regression": """
         SELECT event_type,
                CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT)

@@ -157,6 +157,7 @@ _PRIORITY = [
     "er_multipass",
     "graph_pagerank",
     "join_spatial_grid",
+    "ts_changepoint",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,46 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
+    """The distributed CUSUM argmax must equal a driver-side replica with
+    the identical int64 arithmetic and smallest-i tie-break, at two
+    partition counts."""
+    import collections
+    import math
+
+    from datafusion_test_spark.operators.analytics import ts_changepoint
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series = collections.defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 10000 + 0.5))
+        )
+    expected = {}
+    for et, xs in series.items():
+        xs.sort(key=lambda t: (t[0], t[1]))
+        n = len(xs)
+        s_n = sum(v for _, _, v in xs)
+        best, s = None, 0
+        for i, (_, _, v) in enumerate(xs, start=1):
+            s += v
+            diff = abs(n * s - i * s_n)
+            if best is None or diff > best[0]:
+                best = (diff, i)
+        expected[et] = (n, best[1], best[0])
+    for par in (None, 7):
+        got = {
+            r["event_type"]: (r["n"], r["cp_index"], r["max_dev"])
+            for r in ts_changepoint(spark, sf_dir, par=par).collect()
+        }
+        assert got == expected, par
+
+
 def test_join_spatial_grid_matches_bruteforce(spark, sf_dir):
     """Grid blocking must produce exactly the brute-force ε-pair set —
     each qualifying pair once, no near-boundary misses from cell
