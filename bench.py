@@ -136,6 +136,7 @@ HEADLINE = [
     "graph_pagerank",
     "join_spatial_grid",
     "ts_changepoint",
+    "embed_pq_residual",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

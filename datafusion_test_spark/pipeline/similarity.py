@@ -583,6 +583,122 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual product quantization — the refinement production IVF-PQ
+    actually ships (FAISS's IndexIVFPQ default): PQ encodes the RESIDUAL
+    v − centroid(cell(v)) instead of the raw vector, so the codebooks
+    spend their 16 codes on the within-cell spread rather than re-learning
+    cell positions — tighter quantization at identical storage.
+
+    Composition: the IVF coarse quantizer (ivf_centroids) assigns cells,
+    the residual is a columnar zip_with subtraction, and _pq_train runs
+    UNCHANGED on the residual relation (the codec never knows).  At scale
+    the layout is (cell_id, codes): queries build one LUT per probed cell
+    from the query's per-cell residual.
+
+    Self-verifying (embed_pq's harness, cell-aware): the planted identical
+    twin must land in the query's cell (identical embedding ⇒ identical
+    argmax centroid with aligned ties), hence have the identical residual
+    and codes; the query's ADC against its own-cell residual LUT is the
+    per-subspace argmin, so the query is top-1 WITHIN ITS CELL under
+    (adc asc, vec_id asc) and the twin ties it exactly (decimal-carried).
+    """
+    from .dedup import _PLANT_OFFSET
+
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _with_planted_twin(base).localCheckpoint(eager=True)
+    cent = ivf_centroids(spark, e)
+    assign = _ivf_assign(e, cent).localCheckpoint(eager=True)
+    res = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    subvecs, pq_cent, codes = _pq_train(spark, res)
+    qid_b = F.broadcast(e.agg(F.min("vec_id").alias("qid")))
+    q_cell = F.broadcast(
+        assign.join(qid_b, F.col("vec_id") == F.col("qid")).select(
+            F.col("cid").alias("qcid")
+        )
+    )
+    twin_cell = assign.join(
+        qid_b, F.col("vec_id") == F.col("qid") + F.lit(_PLANT_OFFSET)
+    ).select(F.col("cid").alias("tcid"))
+    # codes equality: every (sub, code) of the twin matches the query's
+    qcodes = codes.join(
+        F.broadcast(qid_b), F.col("vec_id") == F.col("qid")
+    ).select("sub", F.col("cid").alias("qcode"))
+    tcodes = codes.join(
+        F.broadcast(qid_b),
+        F.col("vec_id") == F.col("qid") + F.lit(_PLANT_OFFSET),
+    ).select("sub", F.col("cid").alias("tcode"))
+    codes_eq = (
+        qcodes.join(tcodes, "sub")
+        .agg(
+            F.sum(
+                F.when(F.col("qcode") == F.col("tcode"), 1).otherwise(0)
+            ).alias("n_eq")
+        )
+    )
+    # own-cell ADC: LUT from the query's residual subvectors
+    lut = (
+        subvecs.join(F.broadcast(qid_b), F.col("vec_id") == F.col("qid"))
+        .join(F.broadcast(pq_cent), "sub")
+        .select(
+            "sub",
+            F.col("cid").alias("code"),
+            _pq_l2(F.col("sv"), F.col("cvec")).cast(_PQ_DEC).alias("d2q"),
+        )
+    )
+    cell_cand = assign.join(F.broadcast(q_cell), F.col("cid") == F.col("qcid"))
+    adc = (
+        cell_cand.select("vec_id")
+        .join(codes, "vec_id")
+        .withColumnRenamed("cid", "code")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+        .localCheckpoint(eager=True)
+    )
+    top1 = adc.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(1)
+    self_adc = adc.join(
+        F.broadcast(qid_b), F.col("vec_id") == F.col("qid")
+    ).select(F.col("adc").alias("self_adc"))
+    twin_adc = adc.join(
+        F.broadcast(qid_b),
+        F.col("vec_id") == F.col("qid") + F.lit(_PLANT_OFFSET),
+    ).select(F.col("adc").alias("twin_adc"))
+    n = base.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        top1.crossJoin(qid_b)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(q_cell))
+        .crossJoin(F.broadcast(twin_cell))
+        .crossJoin(F.broadcast(codes_eq))
+        .crossJoin(F.broadcast(self_adc))
+        .crossJoin(F.broadcast(twin_adc))
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_vectors",
+            (F.col("tcid") == F.col("qcid")).alias("twin_same_cell"),
+            (F.col("n_eq") == F.lit(_PQ_M)).alias("twin_codes_match"),
+            (F.col("vec_id") == F.col("qid")).alias("self_is_top_in_cell"),
+            (F.col("twin_adc") == F.col("self_adc")).alias(
+                "twin_ties_self_adc"
+            ),
+        )
+    )
+
+
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding column — the dimensionality-
     reduction step before clustering/visualization of a vector corpus.
@@ -773,6 +889,7 @@ QUERIES = {
     "agg_vector_centroid": agg_vector_centroid,
     "embed_pca": embed_pca,
     "embed_pq": embed_pq,
+    "embed_pq_residual": embed_pq_residual,
     "embed_quantize": embed_quantize,
     "sim_topk": sim_topk,
     "sim_pairwise_topk": sim_pairwise_topk,
@@ -808,6 +925,15 @@ ORACLE = {
                64 AS compression_x,
                true AS planted_adc_equals_self,
                true AS codebook_bounded
+        FROM embeddings
+    """,
+    "embed_pq_residual": """
+        SELECT CAST(min(vec_id) AS BIGINT) AS query_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               true AS twin_same_cell,
+               true AS twin_codes_match,
+               true AS self_is_top_in_cell,
+               true AS twin_ties_self_adc
         FROM embeddings
     """,
     "embed_pca": """

@@ -158,6 +158,7 @@ _PRIORITY = [
     "graph_pagerank",
     "join_spatial_grid",
     "ts_changepoint",
+    "embed_pq_residual",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

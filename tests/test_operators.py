@@ -1198,6 +1198,22 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_embed_pq_residual_invariants(spark, sf_dir):
+    """All four planted-twin/cell invariants must hold, and the count must
+    be the base corpus (twin excluded)."""
+    from datafusion_test_spark.pipeline.similarity import embed_pq_residual
+
+    r = embed_pq_residual(spark, sf_dir).collect()[0]
+    assert r["n_vectors"] == table(spark, sf_dir, "embeddings").count()
+    for flag in (
+        "twin_same_cell",
+        "twin_codes_match",
+        "self_is_top_in_cell",
+        "twin_ties_self_adc",
+    ):
+        assert r[flag] is True, flag
+
+
 def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
     """The distributed CUSUM argmax must equal a driver-side replica with
     the identical int64 arithmetic and smallest-i tie-break, at two
