@@ -137,6 +137,7 @@ HEADLINE = [
     "join_spatial_grid",
     "ts_changepoint",
     "embed_pq_residual",
+    "embed_matryoshka_recall",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

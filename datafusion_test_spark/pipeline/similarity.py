@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .._util import sql_half_up
 from ..io import table
 from ._expr import cosine, cosine_prenormed, norm2, sql_cosine
 
@@ -699,6 +700,72 @@ def embed_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAT_Q = 8     # embed_matryoshka_recall: evaluated queries (md5-lowest ids)
+_MAT_K = 10    # neighbors compared
+_MAT_DIM = 16  # truncated prefix dimensions
+
+
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: for each of 8 deterministic
+    query vectors, compare the exact top-10 cosine neighbors under the
+    FULL 64-dim embedding against the top-10 under the first-16-dim
+    PREFIX, and report recall@10 — the measurement that decides whether
+    a matryoshka-style truncation can serve retrieval at 4× less memory.
+    Queries are the md5-lowest vec_ids (the repo's portable draw — no
+    rand(), reproducible on any engine/retry).
+
+    Exactness: cosines fold left-to-right in double (``_expr.cosine`` /
+    ``sql_cosine`` — bit-identical across engines), ranking ties break on
+    vec_id, and the overlap count is an integer with one final divide.
+
+    Scale: the corpus crossJoins only the BROADCAST 8-query relation —
+    O(Q·N) work, one shuffle on qid for the two rank windows (each
+    window partition is one query's candidate list).  This is the eval
+    harness, not the serving path: at 100 TB it runs over a sampled
+    query set, while serving uses the pruned structures (sim_ivfpq).
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_MAT_Q)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_full"),
+            cosine(
+                F.slice("embedding", 1, _MAT_DIM),
+                F.slice("qvec", 1, _MAT_DIM),
+            ).alias("cos_pre"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), "vec_id")
+    wp = Window.partitionBy("qid").orderBy(F.desc("cos_pre"), "vec_id")
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rp", F.row_number().over(wp)
+    )
+    out = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                (F.col("rf") <= _MAT_K) & (F.col("rp") <= _MAT_K), 1
+            ).otherwise(0)
+        ).alias("n_overlap")
+    )
+    from .._util import half_up
+
+    return out.select(
+        F.col("qid").alias("query_id"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        half_up(F.col("n_overlap") / F.lit(float(_MAT_K))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding column — the dimensionality-
     reduction step before clustering/visualization of a vector corpus.
@@ -890,6 +957,7 @@ QUERIES = {
     "embed_pca": embed_pca,
     "embed_pq": embed_pq,
     "embed_pq_residual": embed_pq_residual,
+    "embed_matryoshka_recall": embed_matryoshka_recall,
     "embed_quantize": embed_quantize,
     "sim_topk": sim_topk,
     "sim_pairwise_topk": sim_pairwise_topk,
@@ -926,6 +994,37 @@ ORACLE = {
                true AS planted_adc_equals_self,
                true AS codebook_bounded
         FROM embeddings
+    """,
+    "embed_matryoshka_recall": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_MAT_Q}
+        ),
+        s AS (
+            SELECT q.qid, e.vec_id,
+                   {sql_cosine('e.embedding', 'q.qvec')} AS cos_full,
+                   {sql_cosine(f'e.embedding[1:{_MAT_DIM}]',
+                               f'q.qvec[1:{_MAT_DIM}]')} AS cos_pre
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cos_full DESC, vec_id
+                   ) AS rf,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cos_pre DESC, vec_id
+                   ) AS rp
+            FROM s
+        )
+        SELECT qid AS query_id,
+               CAST(SUM(CASE WHEN rf <= {_MAT_K} AND rp <= {_MAT_K}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               {sql_half_up(
+                   f"CAST(SUM(CASE WHEN rf <= {_MAT_K} AND rp <= {_MAT_K} "
+                   f"THEN 1 ELSE 0 END) AS DOUBLE) / {_MAT_K}"
+               )} AS recall_at_k
+        FROM r GROUP BY qid
     """,
     "embed_pq_residual": """
         SELECT CAST(min(vec_id) AS BIGINT) AS query_id,

@@ -159,6 +159,7 @@ _PRIORITY = [
     "join_spatial_grid",
     "ts_changepoint",
     "embed_pq_residual",
+    "embed_matryoshka_recall",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,57 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_embed_matryoshka_recall_matches_bruteforce(spark, sf_dir):
+    """recall@10 per query must equal a numpy brute force over the same
+    md5-drawn queries with the same tie-breaks."""
+    import hashlib
+
+    import numpy as np
+
+    from datafusion_test_spark.pipeline.similarity import (
+        _MAT_DIM,
+        _MAT_K,
+        _MAT_Q,
+        embed_matryoshka_recall,
+    )
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    qids = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:_MAT_Q]
+
+    def topk(qid, dim):
+        q = vecs[qid][:dim]
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            c = float(
+                np.dot(v[:dim], q)
+                / (np.sqrt(np.dot(v[:dim], v[:dim])) * np.sqrt(np.dot(q, q)))
+            )
+            scored.append((-c, vid))
+        scored.sort()
+        return {vid for _, vid in scored[:_MAT_K]}
+
+    expected = {
+        qid: len(topk(qid, 64) & topk(qid, _MAT_DIM)) for qid in qids
+    }
+    got = {
+        r["query_id"]: r["n_overlap"]
+        for r in embed_matryoshka_recall(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # truncation must actually change the ranking somewhere (else the
+    # metric measures nothing) while keeping most neighbors
+    assert any(v < _MAT_K for v in got.values())
+
+
 def test_embed_pq_residual_invariants(spark, sf_dir):
     """All four planted-twin/cell invariants must hold, and the count must
     be the base corpus (twin excluded)."""
