@@ -160,6 +160,7 @@ _PRIORITY = [
     "ts_changepoint",
     "embed_pq_residual",
     "embed_matryoshka_recall",
+    "stream_idempotent_sink",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

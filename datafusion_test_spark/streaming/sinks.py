@@ -130,9 +130,76 @@ def stream_stateful_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-by-idempotence: the foreachBatch MERGE pattern under
+    RETRY — every micro-batch is delivered to the sink TWICE (the second
+    call simulates the driver retrying after a sink failure, which
+    Structured Streaming's at-least-once foreachBatch contract allows),
+    and the sink's key-anti-join upsert must leave the target bit-identical
+    to once-delivery: one row per event_id, total count = source count.
+
+    The sink is the production lakehouse idiom: batch ∖ target (left_anti
+    on the key) appended to a parquet target — the MERGE WHEN NOT MATCHED
+    half, which is exactly the idempotent half a replay needs.  The
+    anti-join and append run DISTRIBUTED (the callback only orchestrates);
+    at 100 TB the target side is partition-pruned by the batch's key range
+    and the append is transactional (table-format commit), same shape.
+    """
+    tune(spark)
+    from .._util import scratch_dir
+
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    target = os.path.join(scratch_dir("dfts_idem_"), "target")
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.select("event_id", "event_type", "value")
+        sess = b.sparkSession
+        if os.path.isdir(target):
+            existing = sess.read.parquet(target).select("event_id")
+            b = b.join(existing, "event_id", "left_anti")
+        b.write.mode("append").parquet(target)
+
+    def retried_upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert(batch_df, epoch_id)
+        upsert(batch_df, epoch_id)  # the simulated redelivery
+
+    ckpt = tempfile.mkdtemp(prefix="dfts_idem_ckpt_")
+    q = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .writeStream.foreachBatch(retried_upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    t = spark.read.parquet(target)
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_target"),
+        F.count_distinct("event_id").alias("n_keys"),
+    )
+    n_src = table(spark, sf_dir, "events").count()
+    return stats.select(
+        F.lit(n_src).alias("n_events"),
+        F.col("n_target").cast("long").alias("n_target"),
+        (F.col("n_keys") == F.col("n_target")).alias("no_duplicates"),
+        (F.col("n_target") == F.lit(n_src)).alias("idempotent"),
+    )
+
+
 QUERIES = {
     "stream_foreach_batch": stream_foreach_batch,
     "stream_stateful_run": stream_stateful_run,
+    "stream_idempotent_sink": stream_idempotent_sink,
 }
 
 ORACLE = {
@@ -147,5 +214,12 @@ ORACLE = {
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
                    AS total_value
         FROM events GROUP BY user_id
+    """,
+    "stream_idempotent_sink": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_target,
+               TRUE AS no_duplicates,
+               TRUE AS idempotent
+        FROM events
     """,
 }

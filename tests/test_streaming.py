@@ -346,6 +346,18 @@ def test_streaming_outer_join_emits_on_eviction(spark, sf_dir, events_dir):
     assert not missing, f"evictable unmatched clicks not emitted: {sorted(missing)[:5]}"
 
 
+def test_stream_idempotent_sink_survives_redelivery(spark, sf_dir):
+    """Every micro-batch is delivered twice; the key-anti-join upsert must
+    leave exactly one row per source event — the exactly-once-by-
+    idempotence contract foreachBatch sinks rely on."""
+    from datafusion_test_spark.streaming.sinks import stream_idempotent_sink
+
+    r = stream_idempotent_sink(spark, sf_dir).collect()[0]
+    assert r["n_target"] == r["n_events"]
+    assert r["no_duplicates"] is True
+    assert r["idempotent"] is True
+
+
 def test_foreachbatch_merge_converges_to_batch_compaction(spark, sf_dir, tmp_path):
     """Streaming foreachBatch MERGE sink: the change log arrives in
     multiple micro-batches; each batch LWW-merges into a parquet target
