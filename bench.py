@@ -138,6 +138,7 @@ HEADLINE = [
     "ts_changepoint",
     "embed_pq_residual",
     "embed_matryoshka_recall",
+    "agg_weighted_median",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -614,7 +614,53 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_weighted_median(
+    spark: SparkSession, sf_dir: str, par: int | None = None
+) -> DataFrame:
+    """Exact weighted median per group: the smallest l_extendedprice whose
+    cumulative l_quantity weight reaches half the group's total — the
+    robust center a revenue-weighted price report needs (plain median
+    ignores volume; mean is skew-fragile).  Quantities are integral, so
+    the crossing test 2·cum_w ≥ tot_w is pure int64 — no fractional rank,
+    no interpolation, and the emitted median is a raw data value (never a
+    computed float), all of which makes the result engine-exact.
+
+    Plan: duplicate prices collapse in a map-side-combined groupBy, the
+    per-group cumulative weight is the group_cols= two-phase prefix (no
+    single-partition window at any group size), and the crossing pick is
+    a filter + min aggregate.  This is the one-pass exact form; at
+    petabyte group sizes the standard swap is approx weighted quantiles
+    (weighted t-digest) with the same surface.
+    """
+    from .._util import two_phase_prefix
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    gp = li.groupBy("flag", "v").agg(
+        F.sum("w").alias("w"), F.count(F.lit(1)).alias("c")
+    )
+    par = par or max(4, spark.sparkContext.defaultParallelism // 4)
+    pre, totals = two_phase_prefix(
+        gp, par, ["v"], sum_cols=("w", "c"), group_cols=("flag",)
+    )
+    crossed = pre.join(F.broadcast(totals), "flag").filter(
+        2 * (F.col("pre_w") + F.col("w")) >= F.col("tot_w")
+    )
+    return crossed.groupBy("flag", "tot_c", "tot_w").agg(
+        F.min("v").alias("weighted_median")
+    ).select(
+        "flag",
+        F.col("tot_c").cast("long").alias("n_rows"),
+        F.col("tot_w").cast("long").alias("total_weight"),
+        "weighted_median",
+    )
+
+
 QUERIES = {
+    "agg_weighted_median": agg_weighted_median,
     "agg_count_min": agg_count_min,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
@@ -643,6 +689,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_weighted_median": """
+        WITH g AS (
+            SELECT l_returnflag AS flag, l_extendedprice AS v,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY flag, v
+        ),
+        cu AS (
+            SELECT flag, v, w,
+                   CAST(SUM(w) OVER (
+                       PARTITION BY flag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM g
+        ),
+        t AS (
+            SELECT flag, CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM g GROUP BY flag
+        )
+        SELECT cu.flag, t.n AS n_rows, t.tw AS total_weight,
+               min(v) AS weighted_median
+        FROM cu JOIN t ON cu.flag = t.flag
+        WHERE 2 * cum >= t.tw
+        GROUP BY cu.flag, t.n, t.tw
+    """,
     "agg_entropy": """
         WITH c AS (
             SELECT source, lang, count(*) AS c

@@ -161,6 +161,7 @@ _PRIORITY = [
     "embed_pq_residual",
     "embed_matryoshka_recall",
     "stream_idempotent_sink",
+    "agg_weighted_median",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

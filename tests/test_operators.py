@@ -1198,6 +1198,39 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_agg_weighted_median_matches_bruteforce(spark, sf_dir):
+    """The distributed crossing pick must equal a driver-side weighted
+    median with identical integer arithmetic, at two partition counts."""
+    import collections
+
+    from datafusion_test_spark.operators.aggregates import agg_weighted_median
+
+    acc = collections.defaultdict(lambda: collections.defaultdict(int))
+    n_rows = collections.Counter()
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        acc[r["l_returnflag"]][r["l_extendedprice"]] += int(r["l_quantity"])
+        n_rows[r["l_returnflag"]] += 1
+    expected = {}
+    for flag, wmap in acc.items():
+        tot = sum(wmap.values())
+        cum = 0
+        for v in sorted(wmap):
+            cum += wmap[v]
+            if 2 * cum >= tot:
+                expected[flag] = (n_rows[flag], tot, v)
+                break
+    for par in (None, 7):
+        got = {
+            r["flag"]: (r["n_rows"], r["total_weight"], r["weighted_median"])
+            for r in agg_weighted_median(spark, sf_dir, par=par).collect()
+        }
+        assert got == expected, par
+
+
 def test_embed_matryoshka_recall_matches_bruteforce(spark, sf_dir):
     """recall@10 per query must equal a numpy brute force over the same
     md5-drawn queries with the same tie-breaks."""
