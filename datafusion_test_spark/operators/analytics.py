@@ -442,9 +442,12 @@ def ts_changepoint(
     series' running mean departs most from the global mean.  Values are
     half-up scaled to 1e4 BIGINTs first, so every prefix sum, product,
     and the argmax compare is pure int64 arithmetic — no float
-    accumulates, no decimal→double cast at the boundary (n·S_i stays
-    < 2⁶³ up to ~10⁸ rows per series at |value| ≤ 10⁴; past that drop
-    the value scale).
+    accumulates, no decimal→double cast at the boundary.  Carrier bound:
+    n·S_i grows as n²·(scaled |value|) ≈ n²·10⁸ at |value| ≤ 10⁴, so
+    int64 holds to ~3·10⁵ rows per series; past that, center the values
+    (subtract the scaled global mean — the statistic is
+    translation-invariant) and/or drop the value scale, which buys the
+    square of the reduction.
 
     Plan: the time-ordered prefix is the group_cols= two-phase prefix
     (one independent distributed prefix per event_type — never a

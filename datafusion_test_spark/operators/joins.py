@@ -491,6 +491,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPATIAL_EPS = 0.02  # join_spatial_grid: L2 distance threshold
+# Cell width is eps·17/16, NOT eps: the blocking needs the implication
+# "d <= eps  =>  cell indices differ by <= 1", and with width exactly eps
+# a pair at true distance within a few ulps OF eps can see its two
+# fl(x/eps) floors land 2 apart (each division carries rounding error)
+# while still passing the exact d2 <= eps² predicate — a missed pair the
+# brute-force oracle would emit.  A 1/16 slack dwarfs the ~2⁻⁴⁵ relative
+# rounding error, restoring the implication with margin; cells are
+# Spark-side blocking only (the oracle never builds them), so the width
+# needs correctness, not cross-engine parity.
+_SPATIAL_CELL = _SPATIAL_EPS * 17 / 16
 
 
 def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,11 +508,13 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind geo joins and 2-D embedding-map neighborhoods: find every
     point pair within L2 distance ε WITHOUT the all-pairs cross join.
     Points are the first two embedding dimensions; each point lands in
-    cell (⌊x/ε⌋, ⌊y/ε⌋), one side explodes its 3×3 neighbor cells, and
-    the equi-join on cell ids yields each qualifying pair EXACTLY once
-    (a pair ≤ ε apart can never be further than one cell apart, the
-    probe side sits in exactly one cell, and vec_a < vec_b kills the
-    mirror) — candidates then pass the exact distance predicate.
+    cell (⌊x/w⌋, ⌊y/w⌋) with w = ε·17/16 (see _SPATIAL_CELL for why the
+    width must strictly exceed ε), one side explodes its 3×3 neighbor
+    cells, and the equi-join on cell ids yields each qualifying pair
+    EXACTLY once (a pair ≤ ε apart can never be further than one cell
+    apart, the probe side sits in exactly one cell, and vec_a < vec_b
+    kills the mirror) — candidates then pass the exact distance
+    predicate.
 
     Determinism: cell ids and the distance compare are single IEEE ops
     (divide, floor, subtract, multiply, add) on identical float inputs,
@@ -519,9 +531,9 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("x"),
         F.element_at("embedding", 2).cast("double").alias("y"),
     ).withColumn(
-        "cx", F.floor(F.col("x") / _SPATIAL_EPS)
+        "cx", F.floor(F.col("x") / _SPATIAL_CELL)
     ).withColumn(
-        "cy", F.floor(F.col("y") / _SPATIAL_EPS)
+        "cy", F.floor(F.col("y") / _SPATIAL_CELL)
     )
     offsets = F.explode(
         F.array(*[

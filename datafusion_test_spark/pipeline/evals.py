@@ -231,7 +231,9 @@ def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = scaled.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("first_pos").alias("n_hit"),
-        F.sum("rr_s").alias("sum_rr"),
+        # empty slice: SUM over zero rows is NULL in Spark but the oracle
+        # coalesces to 0 — mirror it
+        F.coalesce(F.sum("rr_s"), F.lit(0)).alias("sum_rr"),
     )
     return t.select(
         F.col("n_users").cast("long").alias("n_users"),

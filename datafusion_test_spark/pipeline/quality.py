@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._util import sql_half_up as _sql_half_up
 from ..io import table
 
 # Quality thresholds, chosen to discriminate on the synthetic corpus
@@ -588,8 +589,6 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "sample_systematic": sample_systematic,
 }
-
-from .._util import sql_half_up as _sql_half_up  # noqa: E402  (oracle twins)
 
 _SQL_KS_RATIO = _sql_half_up(
     "CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE) / (t.na * t.nb)",

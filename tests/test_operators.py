@@ -1255,16 +1255,23 @@ def test_embed_matryoshka_recall_matches_bruteforce(spark, sf_dir):
         vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
     )[:_MAT_Q]
 
+    def fold_dot(a, b):
+        # replicate the operator's LEFT-TO-RIGHT double fold exactly —
+        # np.dot's pairwise summation can differ in the last ulp, which
+        # near a rank boundary would flip the top-10 cut
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
     def topk(qid, dim):
         q = vecs[qid][:dim]
+        qn = np.sqrt(fold_dot(q, q))
         scored = []
         for vid, v in vecs.items():
             if vid == qid:
                 continue
-            c = float(
-                np.dot(v[:dim], q)
-                / (np.sqrt(np.dot(v[:dim], v[:dim])) * np.sqrt(np.dot(q, q)))
-            )
+            c = fold_dot(v[:dim], q) / (np.sqrt(fold_dot(v[:dim], v[:dim])) * qn)
             scored.append((-c, vid))
         scored.sort()
         return {vid for _, vid in scored[:_MAT_K]}
