@@ -139,6 +139,7 @@ HEADLINE = [
     "embed_pq_residual",
     "embed_matryoshka_recall",
     "agg_weighted_median",
+    "win_median_sliding",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -230,7 +230,32 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding exact median (lower median, last-5-rows frame) of order
+    totals per customer — the robust moving-center that win_moving_avg's
+    mean is not.  The median is ALWAYS a raw data value (sorted frame
+    list indexed at (n+1) DIV 2), so the result is engine-exact with no
+    interpolation; the frame list is ≤ 5 elements, making collect+sort
+    per row O(k log k) on a bounded k — the standard exact form for small
+    windows (for large frames the swap is a sketch or a two-heap UDAF,
+    same surface).
+    """
+    o, w = _w(spark, sf_dir)
+    frame = w.rowsBetween(-4, 0)
+    lst = F.sort_array(F.collect_list("o_totalprice").over(frame))
+    n = F.count(F.lit(1)).over(frame)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        n.cast("int").alias("n_win"),
+        F.element_at(lst, ((n + F.lit(1)) / F.lit(2)).cast("int")).alias(
+            "sliding_median"
+        ),
+    )
+
+
 QUERIES = {
+    "win_median_sliding": win_median_sliding,
     "win_ewma": win_ewma,
     "win_time_range": win_time_range,
     "win_streaks": win_streaks,
@@ -278,6 +303,18 @@ def _ewma_oracle() -> str:
 
 
 ORACLE = {
+    "win_median_sliding": """
+        SELECT o_orderkey, o_custkey,
+               CAST(count(*) OVER w AS INTEGER) AS n_win,
+               list_sort(list(o_totalprice) OVER w)[
+                   CAST((count(*) OVER w + 1) // 2 AS INTEGER)
+               ] AS sliding_median
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+        )
+    """,
     "win_ewma": _ewma_oracle(),
     "win_streaks": """
         WITH m AS (

@@ -162,6 +162,7 @@ _PRIORITY = [
     "embed_matryoshka_recall",
     "stream_idempotent_sink",
     "agg_weighted_median",
+    "win_median_sliding",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,35 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_win_median_sliding_matches_bruteforce(spark, sf_dir):
+    """Per-row sliding lower median must equal a driver-side replay of
+    the same 5-row frame."""
+    import collections
+
+    from datafusion_test_spark.operators.windows import win_median_sliding
+
+    hist = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .collect()
+    ):
+        hist[r["o_custkey"]].append(
+            (r["o_orderdate"], r["o_orderkey"], r["o_totalprice"])
+        )
+    expected = {}
+    for cust, rows in hist.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        for i, (_, okey, _) in enumerate(rows):
+            frame = sorted(p for _, _, p in rows[max(0, i - 4) : i + 1])
+            expected[okey] = (len(frame), frame[(len(frame) + 1) // 2 - 1])
+    got = {
+        r["o_orderkey"]: (r["n_win"], r["sliding_median"])
+        for r in win_median_sliding(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_agg_weighted_median_matches_bruteforce(spark, sf_dir):
     """The distributed crossing pick must equal a driver-side weighted
     median with identical integer arithmetic, at two partition counts."""
