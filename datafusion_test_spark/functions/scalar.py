@@ -322,7 +322,39 @@ def fn_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode_outer("lw").alias("word"))
 
 
+def fn_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI error-safety surface: Spark 4 runs ANSI mode by default,
+    where bad arithmetic RAISES — the try_* family is the declared escape
+    hatch that turns each error class into NULL instead of a failed job.
+    One column per class: divide-by-zero, invalid string cast, int64
+    overflow, out-of-bounds array index — plus the happy path of each to
+    pin that try_* never perturbs valid results.  The oracle states the
+    same semantics with DuckDB's TRY_CAST and literal NULLs (DuckDB has
+    no ANSI mode to escape; the point is the RESULT contract matches).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_divide(o_totalprice, CAST(o_orderkey - o_orderkey AS DOUBLE))"
+        ).alias("div0_null"),
+        F.expr("try_divide(o_totalprice, CAST(2 AS DOUBLE))").alias("half"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_cast_null"),
+        F.expr(
+            "try_cast(CAST(o_orderkey AS STRING) AS INT)"
+        ).alias("good_cast"),
+        # +1 so the addend is strictly positive even for orderkey 0 —
+        # try_add(MAX, 0) would legally NOT overflow
+        F.expr("try_add(9223372036854775807, o_orderkey + 1)").alias(
+            "overflow_null"
+        ),
+        (F.col("o_orderkey") + F.lit(1)).alias("plus_one"),
+        F.expr("try_element_at(array(1, 2, 3), 99)").alias("oob_null"),
+    )
+
+
 QUERIES = {
+    "fn_try_safety": fn_try_safety,
     "fn_collation": fn_collation,
     "fn_generator_outer": fn_generator_outer,
     "fn_string": fn_string,
@@ -341,6 +373,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_try_safety": """
+        SELECT o_orderkey,
+               CAST(NULL AS DOUBLE) AS div0_null,
+               o_totalprice / CAST(2 AS DOUBLE) AS half,
+               TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast_null,
+               TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER)
+                   AS good_cast,
+               CAST(NULL AS BIGINT) AS overflow_null,
+               o_orderkey + 1 AS plus_one,
+               CAST(NULL AS INTEGER) AS oob_null
+        FROM orders
+    """,
     "fn_generator_outer": """
         WITH d AS (
             SELECT doc_id,

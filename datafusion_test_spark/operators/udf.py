@@ -13,6 +13,8 @@ remain the hot path everywhere else in this package.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +66,31 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         discounted("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same function as a SCALAR_ITER pandas UDF (`Iterator[Series] ->
+    Iterator[Series]`) — the variant for expensive per-executor
+    initialization (model load, dictionary mmap): setup code runs ONCE
+    per partition before the batch loop, not once per batch.  Here the
+    'model' is a trivial constant so the result is bit-identical to
+    udf_pandas; what the entry pins is the iterator protocol itself
+    (init-once, stream batches, same Arrow transfer).
+    """
+    @F.pandas_udf("double")
+    def discounted_iter(
+        it: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        one = 1.0  # the once-per-partition "model load"
+        for p, d in it:
+            yield p * (one - d)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted_iter("l_extendedprice", "l_discount").alias("disc_price"),
     )
 
 
@@ -181,6 +208,7 @@ QUERIES = {
     "udf_cogrouped": udf_cogrouped,
     "udf_python": udf_python,
     "udf_pandas": udf_pandas,
+    "udf_pandas_iter": udf_pandas_iter,
     "udf_arrow": udf_arrow,
     "udaf_grouped": udaf_grouped,
     "udtf_explode": udtf_explode,
@@ -211,6 +239,7 @@ ORACLE = {
     """,
     "udf_python": _DISC_SQL,
     "udf_pandas": _DISC_SQL,
+    "udf_pandas_iter": _DISC_SQL,
     "udf_arrow": _DISC_SQL,
     "udaf_grouped": """
         SELECT l_returnflag,

@@ -163,6 +163,9 @@ _PRIORITY = [
     "stream_idempotent_sink",
     "agg_weighted_median",
     "win_median_sliding",
+    "stream_checkpoint_resume",
+    "fn_try_safety",
+    "udf_pandas_iter",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

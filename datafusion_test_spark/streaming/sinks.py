@@ -196,10 +196,78 @@ def stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery, executed for real: a file-source stream runs
+    to completion (availableNow), the source then grows by one new file,
+    and a SECOND run against the SAME checkpoint must process ONLY the
+    new file — the incremental-resume contract that makes streaming
+    backfills cheap and restarts safe.  A sink that re-saw the first
+    file's rows on resume (checkpoint ignored) fails `resumed_incremental`;
+    a sink that missed the new file fails `caught_up`.
+
+    Mechanics: the source dir starts with a copy of events.parquet; run 1
+    drains it; a second copy (new filename ⇒ new file to the source's
+    file tracker) lands; run 2 reuses the checkpoint.  Counting happens
+    in a foreachBatch sink.  At scale this is exactly the daily-partition
+    landing pattern: each restart prices only the new partitions, never
+    the history.
+    """
+    tune(spark)
+    from .._util import scratch_dir
+
+    root = scratch_dir("dfts_ckres_")
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir)
+    ckpt = os.path.join(root, "ckpt")
+    src_file = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src_file).schema
+    shutil.copy(src_file, os.path.join(src_dir, "part1.parquet"))
+
+    def run_once() -> int:
+        seen = {"rows": 0}
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            seen["rows"] += batch_df.count()
+
+        q = (
+            spark.readStream.schema(raw_schema)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+        return seen["rows"]
+
+    first_rows = run_once()
+    shutil.copy(src_file, os.path.join(src_dir, "part2.parquet"))
+    second_rows = run_once()
+
+    n_src = table(spark, sf_dir, "events").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_src,
+                first_rows == n_src,
+                second_rows == n_src,
+                first_rows + second_rows == 2 * n_src,
+            )
+        ],
+        "n_events long, first_run_complete boolean, "
+        "resumed_incremental boolean, caught_up boolean",
+    )
+
+
 QUERIES = {
     "stream_foreach_batch": stream_foreach_batch,
     "stream_stateful_run": stream_stateful_run,
     "stream_idempotent_sink": stream_idempotent_sink,
+    "stream_checkpoint_resume": stream_checkpoint_resume,
 }
 
 ORACLE = {
@@ -220,6 +288,13 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_target,
                TRUE AS no_duplicates,
                TRUE AS idempotent
+        FROM events
+    """,
+    "stream_checkpoint_resume": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               TRUE AS first_run_complete,
+               TRUE AS resumed_incremental,
+               TRUE AS caught_up
         FROM events
     """,
 }

@@ -1198,6 +1198,38 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_fn_try_safety_semantics(spark, sf_dir):
+    """Each error class maps to NULL; each happy path is untouched."""
+    from datafusion_test_spark.functions.scalar import fn_try_safety
+
+    rows = fn_try_safety(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["div0_null"] is None
+        assert r["bad_cast_null"] is None
+        assert r["overflow_null"] is None
+        assert r["oob_null"] is None
+        assert r["good_cast"] == r["o_orderkey"]
+        assert r["plus_one"] == r["o_orderkey"] + 1
+        assert r["half"] is not None
+
+
+def test_udf_pandas_iter_equals_scalar_variant(spark, sf_dir):
+    """The SCALAR_ITER protocol must be bit-identical to the plain scalar
+    pandas UDF — same function, same Arrow transfer."""
+    from datafusion_test_spark.operators.udf import udf_pandas, udf_pandas_iter
+
+    a = {
+        (r["l_orderkey"], r["l_linenumber"]): r["disc_price"]
+        for r in udf_pandas(spark, sf_dir).collect()
+    }
+    b = {
+        (r["l_orderkey"], r["l_linenumber"]): r["disc_price"]
+        for r in udf_pandas_iter(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
 def test_win_median_sliding_matches_bruteforce(spark, sf_dir):
     """Per-row sliding lower median must equal a driver-side replay of
     the same 5-row frame."""

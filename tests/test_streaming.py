@@ -358,6 +358,17 @@ def test_stream_idempotent_sink_survives_redelivery(spark, sf_dir):
     assert r["idempotent"] is True
 
 
+def test_stream_checkpoint_resume_processes_only_new_file(spark, sf_dir):
+    """Run 2 against the same checkpoint must see exactly the new file's
+    rows — never zero (missed file) and never 2N (checkpoint ignored)."""
+    from datafusion_test_spark.streaming.sinks import stream_checkpoint_resume
+
+    r = stream_checkpoint_resume(spark, sf_dir).collect()[0]
+    assert r["first_run_complete"] is True
+    assert r["resumed_incremental"] is True
+    assert r["caught_up"] is True
+
+
 def test_foreachbatch_merge_converges_to_batch_compaction(spark, sf_dir, tmp_path):
     """Streaming foreachBatch MERGE sink: the change log arrives in
     multiple micro-batches; each batch LWW-merges into a parquet target
