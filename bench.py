@@ -140,6 +140,8 @@ HEADLINE = [
     "embed_matryoshka_recall",
     "agg_weighted_median",
     "win_median_sliding",
+    "feature_hashing",
+    "ts_autocorr",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

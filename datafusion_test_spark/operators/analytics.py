@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import r4
+from .._util import DEC, half_up, r4
 from ..io import table
 
 
@@ -494,6 +494,98 @@ def ts_changepoint(
     )
 
 
+_ACF_LAGS = 3
+
+
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncentered autocorrelation of each event-type value series at lags
+    1..3 — the periodicity probe next to ts_changepoint's level-shift
+    probe (a strong r at lag k flags a k-step cycle in the feed).  The
+    statistic is r_k = Σ v_i·v_{i−k} / Σ v_i², both sums DECIMAL-carried
+    (each product is one exact IEEE multiply; the decimal sum is
+    associative, so 1000 executors cannot change the answer), one divide,
+    half-up rounding.  Uncentered by design: it stays a ratio of exact
+    sums — the centered variant would subtract a derived float mean from
+    every term and break the carrier; for a mean-zero-ish series the two
+    agree up to the mean's square.
+
+    Plan: one lag window per series (partitioned by event_type — the lag
+    of a time series is inherently a per-series ordered scan; at 100 TB
+    the series is range-bucketed by time and lags cross bucket borders
+    via the two-phase boundary-exchange, same pattern as ts_resample),
+    then a single map-side-combined aggregate.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_type",
+        F.col("value").alias("v"),
+        *[
+            F.lag("value", k).over(w).alias(f"l{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("v") * F.col("v")).cast(DEC)).alias("den"),
+    ]
+    for k in range(1, _ACF_LAGS + 1):
+        aggs.append(
+            F.sum((F.col("v") * F.col(f"l{k}")).cast(DEC)).alias(f"num{k}")
+        )
+    t = lagged.groupBy("event_type").agg(*aggs)
+    out_cols = [
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    ]
+    for k in range(1, _ACF_LAGS + 1):
+        out_cols.append(
+            F.when(
+                F.col("den") > 0,
+                half_up(
+                    F.col(f"num{k}").cast("double")
+                    / F.col("den").cast("double")
+                ),
+            ).alias(f"r{k}")
+        )
+    return t.select(*out_cols)
+
+
+def _autocorr_sql() -> str:
+    from .._util import sql_half_up
+
+    lag_cols = ",\n                   ".join(
+        f"lag(value, {k}) OVER w AS l{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    nums = ",\n                   ".join(
+        f"SUM(CAST(v * l{k} AS DECIMAL(18,6))) AS num{k}"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    rs = ",\n               ".join(
+        "CASE WHEN den > 0 THEN "
+        + sql_half_up(f"CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)")
+        + f" END AS r{k}"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    return f"""
+        WITH lagged AS (
+            SELECT event_type, value AS v,
+                   {lag_cols}
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        t AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(v * v AS DECIMAL(18,6))) AS den,
+                   {nums}
+            FROM lagged GROUP BY event_type
+        )
+        SELECT event_type, n,
+               {rs}
+        FROM t
+    """
+
+
 def _pagerank_sql() -> str:
     """Unrolled oracle: a fixed iteration count means the loop can be a
     plain (non-recursive) CTE chain pr0 → pr1 → … — same integer
@@ -543,6 +635,7 @@ QUERIES = {
     "anomaly_mad": anomaly_mad,
     "graph_pagerank": graph_pagerank,
     "ts_changepoint": ts_changepoint,
+    "ts_autocorr": ts_autocorr,
     "feature_bucketize": feature_bucketize,
     "seq_string_mine": seq_string_mine,
     "funnel_conversion": funnel_conversion,
@@ -554,6 +647,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
+    "ts_autocorr": _autocorr_sql(),
     "ts_changepoint": """
         WITH u AS (
             SELECT event_type, ts, event_id,

@@ -299,7 +299,43 @@ def pipeline_shuffle(
     return ranked.select("doc_id", "draw", "pos")
 
 
+_FH_BUCKETS = 16  # feature_hashing: one bucket per leading md5 hex digit
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick, portable-exact: each word maps to one of 16
+    buckets keyed by the FIRST HEX DIGIT of md5(word) — md5 is
+    algorithm-defined, so the bucketing (unlike xxhash64, which only
+    exists Spark-side) can be restated verbatim in any engine, and the
+    per-(doc, bucket) term counts are plain integers.  This is the
+    fixed-width bag-of-words featurization that needs no vocabulary
+    build, no OOV handling, and no shuffle beyond one map-side-combined
+    groupBy — the property that makes it THE featurizer for streaming or
+    petabyte corpora (text_vocab_build is the dictionary alternative).
+    Long format (doc_id, bucket, n_terms) rather than an array column —
+    the layout a sparse trainer consumes, and exactly hash-checkable.
+
+    At real width (2¹⁸ buckets) take 5 hex digits and mod — same
+    portability argument; 16 keeps the demo's result set dense.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    return (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .select(
+            "doc_id", F.substring(F.md5("word"), 1, 1).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .select(
+            "doc_id", "bucket", F.col("n_terms").cast("long").alias("n_terms")
+        )
+    )
+
+
 QUERIES = {
+    "feature_hashing": feature_hashing,
     "pipeline_shuffle": pipeline_shuffle,
     "text_contamination": text_contamination,
     "seq_pack": seq_pack,
@@ -384,6 +420,16 @@ def _shards_oracle() -> str:
 
 
 ORACLE = {
+    "feature_hashing": """
+        SELECT doc_id,
+               substring(md5(word), 1, 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        GROUP BY doc_id, substring(md5(word), 1, 1)
+    """,
     "pipeline_shuffle": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw,
                CAST(row_number() OVER (

@@ -166,6 +166,8 @@ _PRIORITY = [
     "stream_checkpoint_resume",
     "fn_try_safety",
     "udf_pandas_iter",
+    "feature_hashing",
+    "ts_autocorr",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,67 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_feature_hashing_conserves_tokens(spark, sf_dir):
+    """Bucket counts must partition each doc's token count exactly, with
+    buckets drawn from the 16 hex digits."""
+    import collections
+
+    from datafusion_test_spark.pipeline.curation import feature_hashing
+
+    rows = feature_hashing(spark, sf_dir).collect()
+    per_doc = collections.Counter()
+    for r in rows:
+        assert r["bucket"] in set("0123456789abcdef")
+        assert r["n_terms"] >= 1
+        per_doc[r["doc_id"]] += r["n_terms"]
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+        .collect()
+    }
+    assert per_doc == collections.Counter(n_words)
+
+
+def test_ts_autocorr_matches_bruteforce(spark, sf_dir):
+    """r_k must equal a driver-side replica with the same decimal-
+    truncated products (lag-1 of a smooth series should also correlate
+    strongly, sanity-bounding the statistic)."""
+    import collections
+    from decimal import Decimal
+
+    from datafusion_test_spark.operators.analytics import _ACF_LAGS, ts_autocorr
+
+    series = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    ):
+        series[r["event_type"]].append((r["ts"], r["event_id"], r["value"]))
+
+    def dec6(x: float) -> Decimal:
+        # mirror the DECIMAL(18,6) cast (round-half-up on the double)
+        return Decimal(x).quantize(
+            Decimal("0.000001"), rounding="ROUND_HALF_UP"
+        )
+
+    got = {r["event_type"]: r for r in ts_autocorr(spark, sf_dir).collect()}
+    for et, xs in series.items():
+        xs.sort(key=lambda t: (t[0], t[1]))
+        v = [x[2] for x in xs]
+        den = sum((dec6(a * a) for a in v), Decimal(0))
+        assert got[et]["n"] == len(v)
+        for k in range(1, _ACF_LAGS + 1):
+            num = sum(
+                (dec6(v[i] * v[i - k]) for i in range(k, len(v))), Decimal(0)
+            )
+            expect = float(num) / float(den)
+            assert abs(got[et][f"r{k}"] - expect) <= 1e-4 + 1e-9, (et, k)
+            assert -1.0001 <= got[et][f"r{k}"] <= 1.0001
+
+
 def test_fn_try_safety_semantics(spark, sf_dir):
     """Each error class maps to NULL; each happy path is untouched."""
     from datafusion_test_spark.functions.scalar import fn_try_safety
