@@ -151,6 +151,7 @@ HEADLINE = [
 # headline total (VERDICT r3 item 4).
 LAYOUT = [
     "join_bucketed",
+    "layout_bucket_agg",
     "join_partition_pruned",
     "layout_zorder",
     "layout_compaction",

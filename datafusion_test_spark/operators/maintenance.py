@@ -294,7 +294,55 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation half of the bucketed-layout story (join_bucketed
+    proves the join half): GROUP BY on the bucket key of a
+    `bucketBy(8).sortBy` table runs with NO Exchange before the
+    aggregate — the scan's bucketing already satisfies the required
+    hash distribution, so at 100 TB the daily per-supplier rollup reads
+    its buckets and aggregates in place, paying the shuffle exactly once
+    at layout time.  The plan property is asserted and EMITTED as a
+    result column (`bucketed_no_shuffle`), same driver-verified pattern
+    as join_bucketed; values hash-match the plain GROUP BY oracle,
+    proving layout round-trip + aggregation correctness.
+    """
+    import os
+
+    from ..plans.introspect import plan_string
+
+    wh = scratch_dir("dfts_bucketagg_wh_")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS dfts_bucketaggdb LOCATION '{wh}'"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_suppkey").sortBy(
+        "l_suppkey"
+    ).option("path", os.path.join(wh, "lineitem_ba")).saveAsTable(
+        "dfts_bucketaggdb.lineitem_ba"
+    )
+    agg = (
+        spark.table("dfts_bucketaggdb.lineitem_ba")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            dsum(F.col("l_extendedprice"), "total_price"),
+        )
+    )
+    no_shuffle = "Exchange hashpartitioning(l_suppkey" not in plan_string(agg)
+    return agg.select(
+        "l_suppkey",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("total_qty").cast("long").alias("total_qty"),
+        "total_price",
+        F.lit(no_shuffle).alias("bucketed_no_shuffle"),
+    )
+
+
 QUERIES = {
+    "layout_bucket_agg": layout_bucket_agg,
     "scd2_build": scd2_build,
     "join_dim_snapshot": join_dim_snapshot,
     "agg_incremental": agg_incremental,
@@ -304,6 +352,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "layout_bucket_agg": f"""
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               {sql_dsum('l_extendedprice', 'total_price')},
+               TRUE AS bucketed_no_shuffle
+        FROM lineitem GROUP BY l_suppkey
+    """,
     "scd2_build": """
         WITH ch AS (
             SELECT user_id, event_type, ts, event_id,

@@ -168,6 +168,7 @@ _PRIORITY = [
     "udf_pandas_iter",
     "feature_hashing",
     "ts_autocorr",
+    "layout_bucket_agg",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

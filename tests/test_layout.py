@@ -27,6 +27,21 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert rt.count() == o.filter(F.col("o_orderstatus") == "O").count()
 
 
+def test_bucketed_agg_has_no_shuffle(spark, sf_dir):
+    """GROUP BY on the bucket key of a bucketed table must aggregate
+    without an Exchange, and every emitted row must carry the verified
+    plan property."""
+    from datafusion_test_spark.operators.maintenance import layout_bucket_agg
+
+    rows = layout_bucket_agg(spark, sf_dir).collect()
+    assert rows
+    assert all(r["bucketed_no_shuffle"] for r in rows)
+    n_supp = (
+        table(spark, sf_dir, "lineitem").select("l_suppkey").distinct().count()
+    )
+    assert len(rows) == n_supp
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Bucketed tables co-located on the join key join WITHOUT an Exchange —
     the pre-shuffled layout that turns every future join on that key into a
