@@ -142,6 +142,7 @@ HEADLINE = [
     "win_median_sliding",
     "feature_hashing",
     "ts_autocorr",
+    "text_langid_confusion",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

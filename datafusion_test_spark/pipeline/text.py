@@ -116,6 +116,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the langid heuristic against the corpus's
+    ground-truth `lang` column — the classifier eval composed with the
+    classifier itself (the eval tier's pattern applied to a text-tier
+    model): one row per (truth, predicted) cell with its exact count.
+    This is the table that decides whether 'und' fallbacks or a specific
+    confusion pair (e.g. es→fr) is what needs stopword-list work.
+
+    Plan: the per-document prediction is the same whole-stage-codegen
+    expression as text_langid (no shuffle), then one map-side-combined
+    groupBy over the O(|langs|²) cells.
+    """
+    d = table(spark, sf_dir, "documents")
+    _, _, pred = langid_exprs()
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+1-555-[0-9]{4}"
 
@@ -473,6 +500,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "text_langid_confusion": text_langid_confusion,
     "text_fingerprint": text_fingerprint,
     "text_topterms": text_topterms,
     "text_pii_scrub": text_pii_scrub,
@@ -722,6 +750,19 @@ ORACLE = {
         )
         SELECT doc_id, lang, {_PRED_SQL} AS pred_lang, CAST({_BEST_SQL} AS INT) AS best_hits
         FROM scored
+    """,
+    "text_langid_confusion": f"""
+        WITH scored AS (
+            SELECT lang,
+               {_HITS_SQL}
+            FROM documents
+        ),
+        p AS (
+            SELECT lang, {_PRED_SQL} AS pred_lang FROM scored
+        )
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+               (lang = pred_lang) AS is_correct
+        FROM p GROUP BY lang, pred_lang
     """,
     "text_fingerprint": """
         SELECT doc_id,

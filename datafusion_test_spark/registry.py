@@ -169,6 +169,7 @@ _PRIORITY = [
     "feature_hashing",
     "ts_autocorr",
     "layout_bucket_agg",
+    "text_langid_confusion",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,27 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_text_langid_confusion_consistent_with_langid(spark, sf_dir):
+    """Matrix cells must sum to the corpus and agree with per-doc langid
+    predictions aggregated driver-side."""
+    import collections
+
+    from datafusion_test_spark.pipeline.text import (
+        text_langid,
+        text_langid_confusion,
+    )
+
+    per_doc = collections.Counter(
+        (r["lang"], r["pred_lang"])
+        for r in text_langid(spark, sf_dir).collect()
+    )
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    got = {(r["lang"], r["pred_lang"]): r["n"] for r in rows}
+    assert got == dict(per_doc)
+    for r in rows:
+        assert r["is_correct"] == (r["lang"] == r["pred_lang"])
+
+
 def test_feature_hashing_conserves_tokens(spark, sf_dir):
     """Bucket counts must partition each doc's token count exactly, with
     buckets drawn from the 16 hex digits."""
