@@ -143,6 +143,7 @@ HEADLINE = [
     "feature_hashing",
     "ts_autocorr",
     "text_langid_confusion",
+    "corpus_datacard",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -116,6 +116,55 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the one-table datasheet a corpus release
+    ships: document count, language spread, exact-duplicate rate,
+    average length, and the share passing the minimum-length gate.
+    Every statistic is an exact integer or a single guarded divide
+    (dup_rate's denominator is n_docs ≥ 1 by construction of GROUP BY),
+    so the card is engine-exact.
+
+    Plan: ONE groupBy over the scan; the two COUNT DISTINCTs share the
+    aggregation's expand, and everything else is a conditional count —
+    map-side combined, no joins, no second scan.  At 100 TB this is the
+    nightly freshness report that costs one pass.
+    """
+    from .._util import half_up
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "text",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("text").alias("n_unique"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(F.col("n_words") >= 20, 1).otherwise(0)).alias(
+            "n_minlen"
+        ),
+    )
+    return g.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_dup_docs"),
+        half_up(
+            (F.col("n_docs") - F.col("n_unique"))
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+        half_up(F.col("sum_chars") / F.col("n_docs").cast("double")).alias(
+            "avg_chars"
+        ),
+        half_up(F.col("n_minlen") / F.col("n_docs").cast("double")).alias(
+            "minlen_pass_rate"
+        ),
+    )
+
+
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the langid heuristic against the corpus's
     ground-truth `lang` column — the classifier eval composed with the
@@ -501,6 +550,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_langid_confusion": text_langid_confusion,
+    "corpus_datacard": corpus_datacard,
     "text_fingerprint": text_fingerprint,
     "text_topterms": text_topterms,
     "text_pii_scrub": text_pii_scrub,
@@ -750,6 +800,33 @@ ORACLE = {
         )
         SELECT doc_id, lang, {_PRED_SQL} AS pred_lang, CAST({_BEST_SQL} AS INT) AS best_hits
         FROM scored
+    """,
+    "corpus_datacard": """
+        WITH d AS (
+            SELECT source, lang, text, n_chars,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        ),
+        g AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_minlen
+            FROM d GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               n_docs - n_unique AS n_dup_docs,
+               CAST(floor(CAST(n_docs - n_unique AS DOUBLE) / n_docs
+                          * 10000 + 0.5) AS DOUBLE) / 10000 AS dup_rate,
+               CAST(floor(CAST(sum_chars AS DOUBLE) / n_docs
+                          * 10000 + 0.5) AS DOUBLE) / 10000 AS avg_chars,
+               CAST(floor(CAST(n_minlen AS DOUBLE) / n_docs
+                          * 10000 + 0.5) AS DOUBLE) / 10000
+                   AS minlen_pass_rate
+        FROM g
     """,
     "text_langid_confusion": f"""
         WITH scored AS (

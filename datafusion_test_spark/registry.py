@@ -170,6 +170,7 @@ _PRIORITY = [
     "ts_autocorr",
     "layout_bucket_agg",
     "text_langid_confusion",
+    "corpus_datacard",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,24 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_corpus_datacard_consistency(spark, sf_dir):
+    """Card rows must cover every source once; rates bounded; dup count
+    equals docs minus distinct texts per source."""
+    from datafusion_test_spark.pipeline.text import corpus_datacard
+
+    docs = table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    rows = corpus_datacard(spark, sf_dir).collect()
+    assert len(rows) == n_sources
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 1 <= r["n_langs"]
+        assert 0 <= r["n_dup_docs"] < r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 <= r["minlen_pass_rate"] <= 1.0
+        assert r["avg_chars"] > 0
+
+
 def test_text_langid_confusion_consistent_with_langid(spark, sf_dir):
     """Matrix cells must sum to the corpus and agree with per-doc langid
     predictions aggregated driver-side."""
