@@ -144,6 +144,8 @@ HEADLINE = [
     "ts_autocorr",
     "text_langid_confusion",
     "corpus_datacard",
+    "graph_common_neighbors",
+    "dq_audit",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -551,6 +551,64 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(*out_cols)
 
 
+_CN_TOPK = 100
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the order↔part graph — the
+    classic 'bought together' signal: for every part pair co-occurring in
+    ≥ 2 orders, the number of shared orders and the neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)|.  Counts are exact integers; the Jaccard is
+    one divide, half-up rounded; output is the top-100 under the total
+    (common desc, part_a, part_b) order.
+
+    Scale shape: pairs are generated PER ORDER (self-join of the
+    order→part edge list on the order key), so the blow-up is Σ
+    basket-size² — bounded by the biggest basket (7 lines in TPC-H),
+    never by a part's popularity; a hot PART costs only its degree in the
+    count join.  This is the same per-container expansion the inverted-
+    index dedup uses, with baskets as containers.  The degree join is a
+    map-side-combined aggregate joined back on the pair's two keys.
+    """
+    e = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("p").alias("part_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("p").alias("part_b"), F.col("deg").alias("deg_b"))
+    from .._util import half_up
+
+    scored = (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            half_up(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_CN_TOPK)
+
+
 def _autocorr_sql() -> str:
     from .._util import sql_half_up
 
@@ -636,6 +694,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "ts_changepoint": ts_changepoint,
     "ts_autocorr": ts_autocorr,
+    "graph_common_neighbors": graph_common_neighbors,
     "feature_bucketize": feature_bucketize,
     "seq_string_mine": seq_string_mine,
     "funnel_conversion": funnel_conversion,
@@ -648,6 +707,29 @@ QUERIES = {
 ORACLE = {
     "graph_pagerank": _pagerank_sql(),
     "ts_autocorr": _autocorr_sql(),
+    "graph_common_neighbors": f"""
+        WITH e AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY p),
+        pairs AS (
+            SELECT a.p AS part_a, b.p AS part_b,
+                   CAST(count(*) AS BIGINT) AS common
+            FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+            HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, common,
+               da.deg AS deg_a, db.deg AS deg_b,
+               CAST(floor(CAST(common AS DOUBLE)
+                          / (da.deg + db.deg - common) * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS jaccard
+        FROM pairs
+        JOIN deg da ON da.p = part_a
+        JOIN deg db ON db.p = part_b
+        ORDER BY common DESC, part_a, part_b
+        LIMIT {_CN_TOPK}
+    """,
     "ts_changepoint": """
         WITH u AS (
             SELECT event_type, ts, event_id,

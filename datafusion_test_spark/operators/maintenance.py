@@ -341,8 +341,69 @@ def layout_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the expectations suite a warehouse runs
+    before publishing: referential integrity (orphan lineitems without an
+    order, orphan orders without a customer — left_anti joins, never a
+    collect), null-rate of the events value column, and a range gate on
+    order totals.  One exact-integer row; the booleans are the
+    contract a publish step asserts on.
+
+    Scale: each check is one anti-join or one conditional aggregate;
+    anti-joins shuffle on the key (AQE broadcasts the dim side when
+    small) and everything reduces map-side.  The checks share no state,
+    so at 100 TB they run concurrently and the audit costs max(check),
+    not sum.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_lineitem"))
+    )
+    orphan_o = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpos_price"
+        ),
+    )
+    ev = e.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "n_null_value"
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(ev))
+        .crossJoin(F.broadcast(orphan_li))
+        .crossJoin(F.broadcast(orphan_o))
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_orphan_lineitem").cast("long").alias("n_orphan_lineitem"),
+            F.col("n_orphan_orders").cast("long").alias("n_orphan_orders"),
+            F.col("n_null_value").cast("long").alias("n_null_value"),
+            F.col("n_nonpos_price").cast("long").alias("n_nonpos_price"),
+            (
+                (F.col("n_orphan_lineitem") == 0)
+                & (F.col("n_orphan_orders") == 0)
+            ).alias("ref_integrity_ok"),
+            (F.col("n_nonpos_price") == 0).alias("ranges_ok"),
+        )
+    )
+
+
 QUERIES = {
     "layout_bucket_agg": layout_bucket_agg,
+    "dq_audit": dq_audit,
     "scd2_build": scd2_build,
     "join_dim_snapshot": join_dim_snapshot,
     "agg_incremental": agg_incremental,
@@ -352,6 +413,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_audit": """
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events,
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+                AS n_orphan_lineitem,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                AS n_orphan_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE value IS NULL) AS n_null_value,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_totalprice <= 0) AS n_nonpos_price,
+            ((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) = 0
+             AND
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) = 0)
+                AS ref_integrity_ok,
+            ((SELECT count(*) FROM orders WHERE o_totalprice <= 0) = 0)
+                AS ranges_ok
+    """,
     "layout_bucket_agg": f"""
         SELECT l_suppkey,
                CAST(count(*) AS BIGINT) AS n_items,

@@ -171,6 +171,8 @@ _PRIORITY = [
     "layout_bucket_agg",
     "text_langid_confusion",
     "corpus_datacard",
+    "graph_common_neighbors",
+    "dq_audit",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1198,6 +1198,57 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_graph_common_neighbors_matches_bruteforce(spark, sf_dir):
+    """Top-100 co-purchase pairs must equal a driver-side counter over
+    per-order baskets with the same tie-break."""
+    import collections
+    import itertools
+
+    from datafusion_test_spark.operators.analytics import (
+        _CN_TOPK,
+        graph_common_neighbors,
+    )
+
+    baskets = collections.defaultdict(set)
+    for r in (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    common = collections.Counter()
+    deg = collections.Counter()
+    for parts in baskets.values():
+        for p in parts:
+            deg[p] += 1
+        for x, y in itertools.combinations(sorted(parts), 2):
+            common[(x, y)] += 1
+    qual = [(c, a, b) for (a, b), c in common.items() if c >= 2]
+    qual.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = [(a, b, c) for c, a, b in qual[:_CN_TOPK]]
+    rows = graph_common_neighbors(spark, sf_dir).collect()
+    assert [(r["part_a"], r["part_b"], r["common"]) for r in rows] == expected
+    for r in rows:
+        assert r["deg_a"] == deg[r["part_a"]]
+        assert r["deg_b"] == deg[r["part_b"]]
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_dq_audit_clean_testdata(spark, sf_dir):
+    """The synthetic warehouse must audit clean: no orphans, no range
+    violations; null-rate equals a direct count."""
+    from datafusion_test_spark.operators.maintenance import dq_audit
+
+    r = dq_audit(spark, sf_dir).collect()[0]
+    assert r["ref_integrity_ok"] is True and r["ranges_ok"] is True
+    assert r["n_orphan_lineitem"] == 0 and r["n_orphan_orders"] == 0
+    n_null = (
+        table(spark, sf_dir, "events").filter("value IS NULL").count()
+    )
+    assert r["n_null_value"] == n_null
+
+
 def test_corpus_datacard_consistency(spark, sf_dir):
     """Card rows must cover every source once; rates bounded; dup count
     equals docs minus distinct texts per source."""
