@@ -129,6 +129,59 @@ def test_two_phase_prefix_matches_pandas_cumsum(spark):
         assert t["tot_w"] == int(pdf["w"].sum()) and t["tot_rows"] == len(pdf)
 
 
+@given(
+    st.integers(min_value=1, max_value=10**9),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_half_up_reciprocal_identity(r, scale):
+    """(2·S + r) DIV 2r — the all-integer carrier eval_mrr/eval_ndcg use —
+    must equal round-half-up(S/r) computed exactly (via Fraction), for any
+    rank and scale."""
+    from fractions import Fraction
+    import math
+
+    got = (2 * scale + r) // (2 * r)
+    exact = Fraction(scale, r)
+    want = math.floor(exact + Fraction(1, 2))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # value
+            st.integers(min_value=1, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_weighted_median_crossing_properties(pairs):
+    """The 2·cum ≥ tot crossing pick (agg_weighted_median's rule) always
+    selects an existing value, and at least half the total weight sits at
+    or below it while strictly less than half sits strictly below."""
+    import collections
+
+    w = collections.Counter()
+    for v, wt in pairs:
+        w[v] += wt
+    tot = sum(w.values())
+    cum = 0
+    med = None
+    for v in sorted(w):
+        cum += w[v]
+        if 2 * cum >= tot:
+            med = v
+            break
+    assert med in w
+    at_or_below = sum(wt for v, wt in w.items() if v <= med)
+    below = sum(wt for v, wt in w.items() if v < med)
+    assert 2 * at_or_below >= tot
+    assert 2 * below < tot
+
+
 def test_two_phase_prefix_grouped_matches_pandas(spark):
     """group_cols= must yield an INDEPENDENT exclusive cumsum + rank per
     group, matching pandas groupby-cumsum at several partition counts,
