@@ -415,8 +415,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")
             ).cast("long").alias("pr"),
         )
-    from .._util import half_up
-
     return (
         pr.orderBy(F.desc("pr"), F.asc("node"))
         .limit(_PR_TOPK)
@@ -585,8 +583,6 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("p").alias("part_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("p").alias("part_b"), F.col("deg").alias("deg_b"))
-    from .._util import half_up
-
     scored = (
         pairs.join(da, "part_a")
         .join(db, "part_b")

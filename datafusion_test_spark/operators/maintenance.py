@@ -306,8 +306,6 @@ def layout_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     as join_bucketed; values hash-match the plain GROUP BY oracle,
     proving layout round-trip + aggregation correctness.
     """
-    import os
-
     from ..plans.introspect import plan_string
 
     wh = scratch_dir("dfts_bucketagg_wh_")

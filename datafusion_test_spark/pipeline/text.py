@@ -129,8 +129,6 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined, no joins, no second scan.  At 100 TB this is the
     nightly freshness report that costs one pass.
     """
-    from .._util import half_up
-
     d = table(spark, sf_dir, "documents").select(
         "source",
         "lang",
