@@ -258,6 +258,36 @@ def test_drift_ks_no_global_data_window(spark, sf_dir):
     assert "windowspecdefinition(value" not in plan
 
 
+def test_drift_timeline_no_global_data_window(spark, sf_dir):
+    """Per-day cumulative counts ride the (pid, day)-partitioned prefix
+    window; no data-sized window keyed only on value may appear."""
+    from datafusion_test_spark.pipeline.quality import drift_timeline
+
+    plan = _plan(drift_timeline(spark, sf_dir))
+    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(value" not in plan
+
+
+def test_ts_changepoint_no_global_data_window(spark, sf_dir):
+    """The per-series prefix must be (pid, event_type)-partitioned — a
+    window over (ts, event_id) alone would be the single-partition trap."""
+    from datafusion_test_spark.operators.analytics import ts_changepoint
+
+    plan = _plan(ts_changepoint(spark, sf_dir))
+    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(ts" not in plan
+
+
+def test_agg_weighted_median_no_global_data_window(spark, sf_dir):
+    """The weighted-median crossing rides the grouped prefix; no window
+    over bare v (the price order) may run unpartitioned."""
+    from datafusion_test_spark.operators.aggregates import agg_weighted_median
+
+    plan = _plan(agg_weighted_median(spark, sf_dir))
+    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(v#" not in plan
+
+
 def test_anomaly_mad_broadcasts_k_row_medians(spark, sf_dir):
     """Both percentile relations join back as broadcasts (k = event
     types); the events table must never be shuffle-joined to itself."""
