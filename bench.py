@@ -146,6 +146,7 @@ HEADLINE = [
     "corpus_datacard",
     "graph_common_neighbors",
     "dq_audit",
+    "dedup_containment",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -162,25 +162,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "n_copies", "text")
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (similarity >= 0.6), with a
-    document-frequency cap on shingles.
-
-    Inverted index: (shingle -> doc) exploded, self-joined on shingle to get
-    pairwise intersection counts; |A∪B| = |A|+|B|−|A∩B|.  One shuffle on the
-    shingle key; no cross-join.
-
-    DF cap: shingles appearing in more than _DF_CAP documents are removed
-    from the index before the self-join — a key shared by f docs emits O(f²)
-    pairs, so one stop-phrase shingle is otherwise a quadratic hot bucket.
-    The hot-key set is found with a map-side-combined count (output is one
-    row per DISTINCT shingle over the cap — tiny) and removed via broadcast
-    anti-join, so the index itself is never re-shuffled for the cap.  Set
-    sizes keep the full shingle universe, making the reported similarity a
-    lower bound for pairs that share a capped stop-shingle (which carries no
-    dedup signal).  The oracle applies the identical cap, so the result is
-    hash-exact at every scale factor.
-    """
+def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted-index shingle pairs — (doc_a, doc_b, n_a, n_b,
+    n_common) for every pair sharing ≥ 1 post-cap shingle.  Shared by
+    dedup_ngram_jaccard (symmetric Jaccard gate) and dedup_containment
+    (asymmetric containment gate); factored verbatim from the former so
+    both see the identical index, cap, and counts."""
     sh = shingle_sql("w")
     raw = (
         _doc_words(spark, sf_dir)
@@ -205,7 +192,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-hash, not broadcast: the inverted index is O(corpus) — at any
     # real scale collecting it to the driver is wrong, and even at sf0.1 the
     # broadcast build dominates (measured 8.3s -> 3.8s with the hint).
-    pairs = (
+    return (
         a.join(
             b.hint("shuffle_hash"),
             (F.col("a.sid") == F.col("b.sid"))
@@ -219,6 +206,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (similarity >= 0.6), with a
+    document-frequency cap on shingles.
+
+    Inverted index: (shingle -> doc) exploded, self-joined on shingle to get
+    pairwise intersection counts; |A∪B| = |A|+|B|−|A∩B|.  One shuffle on the
+    shingle key; no cross-join.
+
+    DF cap: shingles appearing in more than _DF_CAP documents are removed
+    from the index before the self-join — a key shared by f docs emits O(f²)
+    pairs, so one stop-phrase shingle is otherwise a quadratic hot bucket.
+    The hot-key set is found with a map-side-combined count (output is one
+    row per DISTINCT shingle over the cap — tiny) and removed via broadcast
+    anti-join, so the index itself is never re-shuffled for the cap.  Set
+    sizes keep the full shingle universe, making the reported similarity a
+    lower bound for pairs that share a capped stop-shingle (which carries no
+    dedup signal).  The oracle applies the identical cap, so the result is
+    hash-exact at every scale factor.
+    """
+    pairs = _shingle_pairs(spark, sf_dir)
     return (
         pairs.withColumn(
             "jaccard",
@@ -295,6 +304,53 @@ def minhash_pairs(
     if with_alive:  # ids retaining >= 1 post-cap band bucket (harness use)
         return pairs, capped.select("doc_id")
     return pairs
+
+
+_CONTAIN_NUM, _CONTAIN_DEN = 9, 10  # containment >= 0.9, integer-gated
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥ 0.9
+    over the same capped shingle index as dedup_ngram_jaccard.  Containment
+    is the gate that catches SUBSET duplicates (a doc pasted inside a
+    longer one), which symmetric Jaccard structurally misses: a 100-shingle
+    doc embedded in a 1000-shingle doc has containment 1.0 but Jaccard
+    0.1.  The gate is an integer cross-multiplication
+    (10·n_common ≥ 9·min(n_a,n_b)) — bit-exact, no ratio until the emitted
+    score — and each pair carries `jaccard_also` so the marginal recall of
+    the asymmetric gate over the symmetric one is measurable per pair (on
+    this corpus the planted copies are full-document, so the column is
+    uniformly true — the measurement, not an assumption).
+
+    Scale: identical to dedup_ngram_jaccard (shared _shingle_pairs:
+    inverted index, hot-shingle cap, one shuffle); only the gate differs.
+    """
+    from .._util import half_up
+
+    pairs = _shingle_pairs(spark, sf_dir)
+    gated = pairs.filter(
+        _CONTAIN_DEN * F.col("n_common")
+        >= _CONTAIN_NUM * F.least(F.col("n_a"), F.col("n_b"))
+    )
+    return gated.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        half_up(
+            F.col("n_common")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+        ).alias("containment"),
+        (
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                4,
+            )
+            >= 0.6
+        ).alias("jaccard_also"),
+    )
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,6 +1089,7 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash": dedup_minhash,
     # SURVEY §2.5's declared name for the MinHash-LSH strategy
     "dedup_near": dedup_minhash,
@@ -1118,6 +1175,20 @@ ORACLE = {
         WITH {{_JACCARD_CTES}}
         SELECT doc_a, doc_b, jaccard FROM jpairs
     """.format(_JACCARD_CTES=_JACCARD_CTES),
+    "dedup_containment": """
+        WITH {_JACCARD_CTES}
+        SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+               CAST(floor(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b)
+                          * 10000 + 0.5) AS DOUBLE) / 10000 AS containment,
+               (ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4)
+                >= 0.6) AS jaccard_also
+        FROM cpairs
+        WHERE {_CONTAIN_DEN} * n_common >= {_CONTAIN_NUM} * LEAST(n_a, n_b)
+    """.format(
+        _JACCARD_CTES=_JACCARD_CTES,
+        _CONTAIN_DEN=_CONTAIN_DEN,
+        _CONTAIN_NUM=_CONTAIN_NUM,
+    ),
     "dedup_chunk": f"""
         WITH ks AS (
             SELECT doc_id, text,

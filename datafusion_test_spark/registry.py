@@ -173,6 +173,7 @@ _PRIORITY = [
     "corpus_datacard",
     "graph_common_neighbors",
     "dq_audit",
+    "dedup_containment",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

