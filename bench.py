@@ -147,6 +147,7 @@ HEADLINE = [
     "graph_common_neighbors",
     "dq_audit",
     "dedup_containment",
+    "win_rolling_slope",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

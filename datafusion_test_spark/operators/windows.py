@@ -254,8 +254,62 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding OLS trend per customer — the slope of order totals over
+    their last-5-orders position index, the 'is this account ramping or
+    churning' signal.  Fully integer-exact: totals pre-scale to cents
+    (floor(y·100+0.5), bigint), positions are 1..n, and the OLS closed
+    form n·Σxy − Σx·Σy over n·Σx² − (Σx)² is pure int64 with one final
+    half-up divide (per-position slope in currency units).  n = 1 frames
+    emit NULL (undefined trend) under the ANSI guard.
+
+    Plan: ONE window pass collects the ≤ 5-element frame; every sum is a
+    bounded higher-order fold over that array — no second window, no
+    join.  The same closed form at any frame width; for data-sized
+    frames the swap is the incremental sum-carry (win_running_sum's
+    family), not a bigger list.
+    """
+    o, w = _w(spark, sf_dir)
+    frame = w.rowsBetween(-4, 0)
+    m = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",  # the window's ordering key must survive the cut
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y_s"),
+    ).withColumn("ys", F.collect_list("y_s").over(frame))
+    n = F.size("ys").cast("long")
+    idx = F.sequence(F.lit(1), F.size("ys"))
+    sxy = F.aggregate(
+        F.zip_with("ys", idx, lambda y, i: i.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    sy = F.aggregate(
+        "ys", F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    sx = F.expr("CAST(size(ys) AS BIGINT) * (size(ys) + 1) DIV 2")
+    sxx = F.expr(
+        "CAST(size(ys) AS BIGINT) * (size(ys) + 1) * (2 * size(ys) + 1) DIV 6"
+    )
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    from .._util import half_up
+
+    return m.select(
+        "o_orderkey",
+        "o_custkey",
+        n.cast("int").alias("n_win"),
+        F.when(
+            den > 0, half_up(num / (den * 100).cast("double"))
+        ).alias("slope"),
+    )
+
+
 QUERIES = {
     "win_median_sliding": win_median_sliding,
+    "win_rolling_slope": win_rolling_slope,
     "win_ewma": win_ewma,
     "win_time_range": win_time_range,
     "win_streaks": win_streaks,
@@ -302,7 +356,41 @@ def _ewma_oracle() -> str:
     """
 
 
+def _rolling_slope_oracle() -> str:
+    from .._util import sql_half_up
+
+    sxy = (
+        "list_aggregate(list_transform(generate_series(1, len(ys)), "
+        "i -> i * ys[i]), 'sum')"
+    )
+    sy = "list_aggregate(ys, 'sum')"
+    sx = "CAST(len(ys) AS BIGINT) * (len(ys) + 1) // 2"
+    sxx = (
+        "CAST(len(ys) AS BIGINT) * (len(ys) + 1) * (2 * len(ys) + 1) // 6"
+    )
+    num = f"(CAST(len(ys) AS BIGINT) * ({sxy}) - ({sx}) * ({sy}))"
+    den = f"(CAST(len(ys) AS BIGINT) * ({sxx}) - ({sx}) * ({sx}))"
+    ratio = sql_half_up(f"CAST({num} AS DOUBLE) / ({den} * 100)")
+    return f"""
+        WITH m AS (
+            SELECT o_orderkey, o_custkey,
+                   list(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       OVER w AS ys
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(len(ys) AS INTEGER) AS n_win,
+               CASE WHEN {den} > 0 THEN {ratio} END AS slope
+        FROM m
+    """
+
+
 ORACLE = {
+    "win_rolling_slope": _rolling_slope_oracle(),
     "win_median_sliding": """
         SELECT o_orderkey, o_custkey,
                CAST(count(*) OVER w AS INTEGER) AS n_win,

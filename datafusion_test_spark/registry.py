@@ -174,6 +174,7 @@ _PRIORITY = [
     "graph_common_neighbors",
     "dq_audit",
     "dedup_containment",
+    "win_rolling_slope",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

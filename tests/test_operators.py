@@ -1433,6 +1433,52 @@ def test_win_median_sliding_matches_bruteforce(spark, sf_dir):
     assert got == expected
 
 
+def test_win_rolling_slope_matches_bruteforce(spark, sf_dir):
+    """Per-row OLS slope must equal a driver-side replay with identical
+    integer arithmetic; single-order frames must be NULL."""
+    import collections
+    import math
+
+    from datafusion_test_spark.operators.windows import win_rolling_slope
+
+    hist = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .collect()
+    ):
+        hist[r["o_custkey"]].append(
+            (
+                r["o_orderdate"],
+                r["o_orderkey"],
+                math.floor(r["o_totalprice"] * 100 + 0.5),
+            )
+        )
+    expected = {}
+    for cust, rows in hist.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        for i, (_, okey, _) in enumerate(rows):
+            ys = [v for _, _, v in rows[max(0, i - 4) : i + 1]]
+            n = len(ys)
+            sxy = sum((j + 1) * y for j, y in enumerate(ys))
+            sy = sum(ys)
+            sx = n * (n + 1) // 2
+            sxx = n * (n + 1) * (2 * n + 1) // 6
+            den = n * sxx - sx * sx
+            slope = (
+                math.floor((n * sxy - sx * sy) / (den * 100) * 10000 + 0.5)
+                / 10000
+                if den > 0
+                else None
+            )
+            expected[okey] = (n, slope)
+    got = {
+        r["o_orderkey"]: (r["n_win"], r["slope"])
+        for r in win_rolling_slope(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_agg_weighted_median_matches_bruteforce(spark, sf_dir):
     """The distributed crossing pick must equal a driver-side weighted
     median with identical integer arithmetic, at two partition counts."""
