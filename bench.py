@@ -148,6 +148,7 @@ HEADLINE = [
     "dq_audit",
     "dedup_containment",
     "win_rolling_slope",
+    "privacy_l_diversity",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -575,8 +575,45 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_L = 3  # minimum distinct sensitive values per released QI group
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the refinement k-anonymity needs: a cohort can
+    be large (k-anonymous) yet still leak if everyone in it shares the
+    same sensitive value.  Here the quasi-identifier is `lang` and the
+    sensitive attribute is `source` (which feed a document came from):
+    a language cohort releases only if it spans ≥ l = 3 distinct sources
+    AND no single source dominates more than half of it (the simple
+    recursive-(c,l) guard with c = 2, stated as the integer
+    cross-multiplication 2·top_source ≤ n_docs).
+
+    One groupBy(lang, source) then a per-lang aggregate — the second
+    level is O(|langs|) rows; everything map-side combines.
+    """
+    per = table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = per.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("n").alias("top_source_n"),
+    )
+    diverse = (F.col("n_sources") >= _LDIV_L) & (
+        2 * F.col("top_source_n") <= F.col("n_docs")
+    )
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("top_source_n").cast("long").alias("top_source_n"),
+        diverse.alias("released"),
+    )
+
+
 QUERIES = {
     "privacy_k_anonymity": privacy_k_anonymity,
+    "privacy_l_diversity": privacy_l_diversity,
     "drift_ks": drift_ks,
     "drift_timeline": drift_timeline,
     "text_repetition": text_repetition,
@@ -602,6 +639,18 @@ ORACLE = {
                CASE WHEN count(*) >= {_KANON_K}
                     THEN lang || '/' || source ELSE '*' END AS released_as
         FROM documents GROUP BY lang, source
+    """,
+    "privacy_l_diversity": f"""
+        WITH per AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        )
+        SELECT lang,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(max(n) AS BIGINT) AS top_source_n,
+               (count(*) >= {_LDIV_L} AND 2 * max(n) <= SUM(n)) AS released
+        FROM per GROUP BY lang
     """,
     "drift_ks": """
         WITH u AS (

@@ -175,6 +175,7 @@ _PRIORITY = [
     "dq_audit",
     "dedup_containment",
     "win_rolling_slope",
+    "privacy_l_diversity",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

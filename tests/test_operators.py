@@ -1198,6 +1198,33 @@ def test_er_fuzzy_blocked_finds_variant_pairs(spark, sf_dir):
     )
 
 
+def test_privacy_l_diversity_semantics(spark, sf_dir):
+    """Release rule must equal the stated predicate computed driver-side;
+    totals reconcile with the corpus."""
+    import collections
+
+    from datafusion_test_spark.pipeline.quality import (
+        _LDIV_L,
+        privacy_l_diversity,
+    )
+
+    per = collections.defaultdict(collections.Counter)
+    for r in (
+        table(spark, sf_dir, "documents").select("lang", "source").collect()
+    ):
+        per[r["lang"]][r["source"]] += 1
+    rows = privacy_l_diversity(spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == set(per)
+    for r in rows:
+        c = per[r["lang"]]
+        assert r["n_docs"] == sum(c.values())
+        assert r["n_sources"] == len(c)
+        assert r["top_source_n"] == max(c.values())
+        assert r["released"] == (
+            len(c) >= _LDIV_L and 2 * max(c.values()) <= sum(c.values())
+        )
+
+
 def test_dedup_containment_superset_of_jaccard_pairs(spark, sf_dir):
     """Containment >= 0.9 must include every Jaccard >= 0.6 full-copy
     pair (a full copy has containment 1.0), flags must be consistent,
