@@ -298,12 +298,91 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PASS_N = 8  # attempts per problem (first N by arrival order)
+_PASS_K_BIG = 4
+
+
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (k = 1 and 4) with the standard unbiased estimator
+    1 − C(n−c, k)/C(n, k), carried INTEGER-EXACTLY: each problem is a
+    user, its attempts are that user's first 8 scored events in arrival
+    (event_id) order, and an attempt is correct when it is a purchase.
+    The binomial ratio collapses to falling factorials —
+    perm(n−c, k)/perm(n, k) — whose operands never exceed 8, so the
+    per-problem statistic is one integer half-up divide (scaled 10⁶) and
+    the cross-problem mean is an exact integer sum with one final divide
+    (the eval_mrr discipline).  k = 4 averages only problems with ≥ 4
+    attempts (the estimator requires n ≥ k).
+
+    Scale (100 TB): the only window partitions by user_id and is
+    capped at the first 8 rows per user, so its cost is bounded per
+    problem; everything after is a map-side-combined groupBy and one
+    global reduce.  Carrier: p_scaled ≤ 10⁶ per problem, so the sum
+    stays < 2^63 up to ~9·10¹² problems.
+    """
+    e = table(spark, sf_dir, "events")
+    j = e.filter(
+        F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == _POS, 1).otherwise(0).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("event_id"))
+    capped = j.withColumn("att", F.row_number().over(w)).filter(
+        F.col("att") <= _PASS_N
+    )
+    pu = capped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("c")
+    )
+    s = _RANK_SCALE
+    # fail-fraction numerators/denominators as falling factorials
+    pu = pu.selectExpr(
+        "user_id",
+        "n",
+        "c",
+        # k = 1: fail = (n-c)/n ; pass_scaled = 10^6 - half_up
+        f"{s} - (2 * {s} * (n - c) + n) DIV (2 * n) AS p1_s",
+        # k = 4: fail = perm(n-c,4)/perm(n,4), 0 numerator when n-c < 4;
+        # NULL (excluded) when the problem has fewer than 4 attempts
+        f"""CASE WHEN n >= {_PASS_K_BIG} THEN
+                {s} - (2 * {s} * (CASE WHEN n - c >= {_PASS_K_BIG}
+                       THEN (n-c)*(n-c-1)*(n-c-2)*(n-c-3) ELSE 0 END)
+                      + n*(n-1)*(n-2)*(n-3))
+                     DIV (2 * n*(n-1)*(n-2)*(n-3))
+            END AS p4_s""",
+    )
+    t = pu.agg(
+        F.count(F.lit(1)).alias("n_problems"),
+        F.sum("p1_s").alias("sum_p1"),
+        F.count("p4_s").alias("n_problems_k4"),
+        F.coalesce(F.sum("p4_s"), F.lit(0)).alias("sum_p4"),
+    )
+    return t.select(
+        F.col("n_problems").cast("long").alias("n_problems"),
+        F.col("sum_p1").cast("long").alias("sum_p1"),
+        F.col("n_problems_k4").cast("long").alias("n_problems_k4"),
+        F.col("sum_p4").cast("long").alias("sum_p4"),
+        F.when(
+            F.col("n_problems") > 0,
+            half_up(F.col("sum_p1") / (F.col("n_problems") * s).cast("double")),
+        ).alias("pass_at_1"),
+        F.when(
+            F.col("n_problems_k4") > 0,
+            half_up(
+                F.col("sum_p4") / (F.col("n_problems_k4") * s).cast("double")
+            ),
+        ).alias("pass_at_4"),
+    )
+
+
 QUERIES = {
     "eval_auc": eval_auc,
     "eval_prf": eval_prf,
     "eval_calibration": eval_calibration,
     "eval_mrr": eval_mrr,
     "eval_ndcg": eval_ndcg,
+    "eval_pass_at_k": eval_pass_at_k,
 }
 
 _J = f"""
@@ -452,6 +531,57 @@ ORACLE = {
                CASE WHEN n_users_eval > 0 THEN {sql_half_up(
                    f"CAST(sum_ndcg AS DOUBLE) / (n_users_eval * {_RANK_SCALE})"
                )} END AS mean_ndcg
+        FROM t
+    """,
+    "eval_pass_at_k": f"""
+        WITH j AS (
+            SELECT user_id, event_id,
+                   CAST(CASE WHEN event_type = '{_POS}' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM events
+            WHERE event_type IN ('{_POS}', '{_NEG}') AND value IS NOT NULL
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT user_id, y,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       ) AS att
+                FROM j
+            ) WHERE att <= {_PASS_N}
+        ),
+        pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS c
+            FROM capped GROUP BY user_id
+        ),
+        sc AS (
+            SELECT user_id, n, c,
+                   {_RANK_SCALE} - (2 * {_RANK_SCALE} * (n - c) + n)
+                                   // (2 * n) AS p1_s,
+                   CASE WHEN n >= {_PASS_K_BIG} THEN
+                       {_RANK_SCALE} -
+                       (2 * {_RANK_SCALE} * (CASE WHEN n - c >= {_PASS_K_BIG}
+                            THEN (n-c)*(n-c-1)*(n-c-2)*(n-c-3) ELSE 0 END)
+                        + n*(n-1)*(n-2)*(n-3))
+                       // (2 * n*(n-1)*(n-2)*(n-3))
+                   END AS p4_s
+            FROM pu
+        ),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_problems,
+                   CAST(SUM(p1_s) AS BIGINT) AS sum_p1,
+                   CAST(count(p4_s) AS BIGINT) AS n_problems_k4,
+                   CAST(COALESCE(SUM(p4_s), 0) AS BIGINT) AS sum_p4
+            FROM sc
+        )
+        SELECT n_problems, sum_p1, n_problems_k4, sum_p4,
+               CASE WHEN n_problems > 0 THEN {sql_half_up(
+                   f"CAST(sum_p1 AS DOUBLE) / (n_problems * {_RANK_SCALE})"
+               )} END AS pass_at_1,
+               CASE WHEN n_problems_k4 > 0 THEN {sql_half_up(
+                   f"CAST(sum_p4 AS DOUBLE) / (n_problems_k4 * {_RANK_SCALE})"
+               )} END AS pass_at_4
         FROM t
     """,
 }

@@ -176,6 +176,7 @@ _PRIORITY = [
     "dedup_containment",
     "win_rolling_slope",
     "privacy_l_diversity",
+    "eval_pass_at_k",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -2076,3 +2076,59 @@ def test_eval_calibration_covers_all_rows(spark, sf_dir):
         assert 0 <= r["bin"] <= 9
         assert 0.0 <= r["pos_rate"] <= 1.0
         assert 0 <= r["n_pos"] <= r["n"]
+
+
+def test_eval_pass_at_k_matches_bruteforce(spark, sf_dir):
+    """The falling-factorial integer carrier must equal an independent
+    Fraction-exact 1 − C(n−c,k)/C(n,k) computed driver-side from the same
+    capped attempt lists (binomial ratio == falling-factorial ratio)."""
+    import collections
+    from fractions import Fraction
+    from math import comb
+
+    from datafusion_test_spark.pipeline.evals import (
+        _PASS_K_BIG,
+        _PASS_N,
+        _RANK_SCALE,
+        _scored,
+        eval_pass_at_k,
+    )
+    from datafusion_test_spark.io import table
+    from pyspark.sql import functions as F
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .select("user_id", "event_id", "event_type")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in e:
+        by_user[r["user_id"]].append((r["event_id"], r["event_type"]))
+
+    def p_scaled(n, c, k):
+        fr = Fraction(comb(n - c, k) if n - c >= k else 0, comb(n, k))
+        nu, de = fr.numerator, fr.denominator
+        return _RANK_SCALE - (2 * _RANK_SCALE * nu + de) // (2 * de)
+
+    sum_p1 = sum_p4 = n4 = 0
+    for atts in by_user.values():
+        capped = sorted(atts)[:_PASS_N]
+        n = len(capped)
+        c = sum(1 for _, t in capped if t == "purchase")
+        sum_p1 += p_scaled(n, c, 1)
+        if n >= _PASS_K_BIG:
+            n4 += 1
+            sum_p4 += p_scaled(n, c, _PASS_K_BIG)
+    got = eval_pass_at_k(spark, sf_dir).collect()[0]
+    assert got["n_problems"] == len(by_user)
+    assert got["sum_p1"] == sum_p1
+    assert got["n_problems_k4"] == n4
+    assert got["sum_p4"] == sum_p4
+    assert 0.0 <= got["pass_at_1"] <= 1.0
+    # pass@4 >= pass@1 always (more draws can only help)
+    if n4 == got["n_problems"] and n4 > 0:
+        assert got["pass_at_4"] >= got["pass_at_1"]
