@@ -574,7 +574,40 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional (zipper) join — pair row i of one ordered relation with
+    row i of another, NULL-padding the shorter side (DuckDB's POSITIONAL
+    JOIN, pandas' axis-aligned concat).  The alignment idiom for
+    re-attaching model outputs to the inputs they were generated from
+    when both sides were written in the same shard order.
+
+    Spark has no positional join; the scalable construction is: give each
+    side a GLOBAL 1-based row number with the range-partitioned two-phase
+    prefix rank (never a single-partition ORDER BY window), then full
+    outer equi-join on the rank.  At 100 TB both rank passes are linear
+    map-side work over #partitions-row offset tables, and the final join
+    shuffles on a dense integer key — no skew by construction.
+
+    Here: customers in c_custkey order zipped against suppliers in
+    s_suppkey order (150 vs 10 rows at sf0.001, so the NULL-padding path
+    is exercised for real).
+    """
+    from .._util import two_phase_prefix
+
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cr, _ = two_phase_prefix(c, par, ["c_custkey"], rank_as="rn")
+    sr, _ = two_phase_prefix(s, par, ["s_suppkey"], rank_as="rn")
+    return (
+        cr.select("rn", "c_custkey")
+        .join(sr.select("rn", "s_suppkey", "s_name"), "rn", "full_outer")
+        .select("rn", "c_custkey", "s_suppkey", "s_name")
+    )
+
+
 QUERIES = {
+    "join_positional": join_positional,
     "join_spatial_grid": join_spatial_grid,
     "join_asof_nearest": join_asof_nearest,
     "join_inner": join_inner,
@@ -597,6 +630,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    # ANSI phrasing of POSITIONAL JOIN (row_number + full join) so the
+    # pairing is deterministic regardless of DuckDB's physical row order
+    "join_positional": """
+        WITH cr AS (
+            SELECT row_number() OVER (ORDER BY c_custkey) AS rn, c_custkey
+            FROM customer
+        ),
+        sr AS (
+            SELECT row_number() OVER (ORDER BY s_suppkey) AS rn,
+                   s_suppkey, s_name
+            FROM supplier
+        )
+        SELECT COALESCE(cr.rn, sr.rn) AS rn, c_custkey, s_suppkey, s_name
+        FROM cr FULL JOIN sr ON cr.rn = sr.rn
+    """,
     "join_spatial_grid": f"""
         WITH p AS (
             SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,

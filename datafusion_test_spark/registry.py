@@ -177,6 +177,7 @@ _PRIORITY = [
     "win_rolling_slope",
     "privacy_l_diversity",
     "eval_pass_at_k",
+    "join_positional",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,37 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_join_positional_zipper_invariants(spark, sf_dir):
+    """Positional join must pair the i-th smallest custkey with the i-th
+    smallest suppkey, be exactly max(|A|,|B|) rows with a dense 1..max
+    rank, and NULL-pad the shorter (supplier) side."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.joins import join_positional
+
+    rows = join_positional(spark, sf_dir).collect()
+    n_c = table(spark, sf_dir, "customer").count()
+    n_s = table(spark, sf_dir, "supplier").count()
+    assert len(rows) == max(n_c, n_s)
+    assert sorted(r["rn"] for r in rows) == list(range(1, max(n_c, n_s) + 1))
+    custs = sorted(
+        r["c_custkey"] for r in rows if r["c_custkey"] is not None
+    )
+    supps = [
+        (r["rn"], r["s_suppkey"]) for r in rows if r["s_suppkey"] is not None
+    ]
+    assert len(custs) == n_c and len(supps) == n_s
+    # i-th rank carries the i-th smallest key on each populated side
+    by_rn = {r["rn"]: r for r in rows}
+    for i, ck in enumerate(custs, start=1):
+        assert by_rn[i]["c_custkey"] == ck
+    for rn, sk in supps:
+        assert sorted(s for _, s in supps)[rn - 1] == sk
+    # padding: every rank past the shorter side is NULL there
+    for r in rows:
+        if r["rn"] > n_s:
+            assert r["s_suppkey"] is None and r["s_name"] is None
+
+
 def test_join_spatial_grid_matches_bruteforce(spark, sf_dir):
     """Grid blocking must produce exactly the brute-force ε-pair set —
     each qualifying pair once, no near-boundary misses from cell
