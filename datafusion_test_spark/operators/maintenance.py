@@ -399,7 +399,68 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — classify every key between two versions of a table
+    as added / removed / changed (unchanged rows are filtered out, so the
+    result is the CHANGE SET, what `table_changes()` / snapshot-expire
+    audits return on Delta/Iceberg).  Runnable on plain parquet: one full
+    outer join on the primary key, column-compare for 'changed'.
+
+    Deterministic snapshot pair derived from orders (merge_upsert's
+    discipline): version A drops keys ≡0 (mod 7) — those arrive later —
+    and version B drops keys ≡0 (mod 11) (deleted) while keys ≡0 (mod 5)
+    get a 10% price bump and status 'U' (modified).  The 1.1 multiply is
+    one IEEE double op, bit-identical in DuckDB.
+
+    Scale (100 TB): with both snapshots bucketed on the key the join is a
+    zero-exchange SMJ; real table formats additionally prune partitions
+    whose file-level stats are identical, so the diff touches only
+    partitions that could differ.  Comparing a row FINGERPRINT
+    (xxhash64 of the value columns) instead of each column keeps the
+    shuffle rows narrow at wide schemas — here the two compare columns
+    are carried directly so the output can show old vs new.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    a = o.filter(F.col("o_orderkey") % 7 != 0)
+    b = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * F.lit(1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    j = a.alias("a").join(b.alias("b"), "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("a.o_totalprice").isNull(), F.lit("added"))
+        .when(F.col("b.o_totalprice").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            change.alias("change"),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+            F.col("a.o_orderstatus").alias("old_status"),
+            F.col("b.o_orderstatus").alias("new_status"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
+
+
 QUERIES = {
+    "table_diff": table_diff,
     "layout_bucket_agg": layout_bucket_agg,
     "dq_audit": dq_audit,
     "scd2_build": scd2_build,
@@ -411,6 +472,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "table_diff": """
+        WITH o AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        ),
+        a AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM o WHERE o_orderkey % 11 <> 0
+        ),
+        j AS (
+            SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE
+                       WHEN a.o_totalprice IS NULL THEN 'added'
+                       WHEN b.o_totalprice IS NULL THEN 'removed'
+                       WHEN a.o_totalprice <> b.o_totalprice
+                            OR a.o_orderstatus <> b.o_orderstatus
+                           THEN 'changed'
+                       ELSE 'unchanged'
+                   END AS change,
+                   a.o_totalprice AS old_price, b.o_totalprice AS new_price,
+                   a.o_orderstatus AS old_status, b.o_orderstatus AS new_status
+            FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT * FROM j WHERE change <> 'unchanged'
+    """,
     "dq_audit": """
         SELECT
             (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,

@@ -178,6 +178,7 @@ _PRIORITY = [
     "privacy_l_diversity",
     "eval_pass_at_k",
     "join_positional",
+    "table_diff",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,33 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_table_diff_matches_set_arithmetic(spark, sf_dir):
+    """The change set must equal the modular set arithmetic that defines
+    the two snapshots: added = keys ≡0 (7) present in B, removed =
+    keys ≡0 (11) present in A, changed = keys ≡0 (5) present in both."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.maintenance import table_diff
+
+    keys = [
+        r["o_orderkey"]
+        for r in table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    ]
+    exp_added = {k for k in keys if k % 7 == 0 and k % 11 != 0}
+    exp_removed = {k for k in keys if k % 7 != 0 and k % 11 == 0}
+    exp_changed = {
+        k for k in keys if k % 7 != 0 and k % 11 != 0 and k % 5 == 0
+    }
+    got = {"added": set(), "removed": set(), "changed": set()}
+    for r in table_diff(spark, sf_dir).collect():
+        got[r["change"]].add(r["o_orderkey"])
+        if r["change"] == "changed":
+            assert r["new_status"] == "U"
+            assert r["new_price"] == r["old_price"] * 1.1
+    assert got["added"] == exp_added
+    assert got["removed"] == exp_removed
+    assert got["changed"] == exp_changed
+
+
 def test_join_positional_zipper_invariants(spark, sf_dir):
     """Positional join must pair the i-th smallest custkey with the i-th
     smallest suppkey, be exactly max(|A|,|B|) rows with a dense 1..max
