@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, half_up, r4
+from .._util import DEC, half_up, r4, sql_half_up as _sql_hu
 from ..io import table
 
 
@@ -684,7 +684,68 @@ def _pagerank_sql() -> str:
     """
 
 
+_TE_M = 10  # smoothing pseudo-count
+
+
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    categorical-feature encoder of every tabular training pipeline,
+    leakage-free by construction: row i's encoding uses its category's
+    target statistics MINUS row i itself, so the feature never contains
+    the row's own label.
+
+    Category = o_orderpriority, target y = (o_orderstatus = 'F').
+    loo    = (sum_cat − y_i) / (n_cat − 1)            [NULL for singletons]
+    smooth = (sum_cat − y_i + m·prior) / (n_cat − 1 + m),  m = 10,
+             prior = global positive rate — carried as the exact integer
+             rational ((sum−y)·N + m·S) / ((n−1+m)·N), so both encodings
+             are ONE IEEE divide of int64 operands and hash-match the
+             oracle under half-up rounding.
+
+    Scale (100 TB): category stats are one map-side-combined groupBy on a
+    bounded-cardinality key, broadcast back onto the fact scan (a dim-
+    table-sized frame by definition — if the key were unbounded you'd
+    hash-encode it first, see feature_hashing); the global prior is a
+    1-row broadcast.  No shuffle ever carries the fact table.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    stats = o.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_cat"), F.sum("y").alias("sum_cat")
+    )
+    tot = o.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("y").alias("s_tot")
+    )
+    j = o.join(F.broadcast(stats), "cat").crossJoin(F.broadcast(tot))
+    loo = F.when(
+        F.col("n_cat") > 1,
+        half_up(
+            (F.col("sum_cat") - F.col("y")).cast("double")
+            / (F.col("n_cat") - 1).cast("double")
+        ),
+    )
+    smooth_num = (
+        (F.col("sum_cat") - F.col("y")) * F.col("n_tot")
+        + _TE_M * F.col("s_tot")
+    )
+    smooth_den = (F.col("n_cat") - 1 + _TE_M) * F.col("n_tot")
+    return j.select(
+        "o_orderkey",
+        "cat",
+        F.col("y").cast("long").alias("y"),
+        F.col("n_cat").cast("long").alias("n_cat"),
+        loo.alias("loo_enc"),
+        half_up(
+            smooth_num.cast("double") / smooth_den.cast("double")
+        ).alias("smooth_enc"),
+    )
+
+
 QUERIES = {
+    "feature_target_encode": feature_target_encode,
     "agg_regression": agg_regression,
     "anomaly_mad": anomaly_mad,
     "graph_pagerank": graph_pagerank,
@@ -701,6 +762,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feature_target_encode": f"""
+        WITH o AS (
+            SELECT o_orderkey, o_orderpriority AS cat,
+                   CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM orders
+        ),
+        stats AS (
+            SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+                   CAST(SUM(y) AS BIGINT) AS sum_cat
+            FROM o GROUP BY cat
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                   CAST(SUM(y) AS BIGINT) AS s_tot
+            FROM o
+        )
+        SELECT o.o_orderkey, o.cat, o.y, s.n_cat,
+               CASE WHEN s.n_cat > 1 THEN {_sql_hu(
+                   "CAST(s.sum_cat - o.y AS DOUBLE)"
+                   " / CAST(s.n_cat - 1 AS DOUBLE)"
+               )} END AS loo_enc,
+               {_sql_hu(
+                   f"CAST((s.sum_cat - o.y) * t.n_tot + {_TE_M} * t.s_tot"
+                   f" AS DOUBLE)"
+                   f" / CAST((s.n_cat - 1 + {_TE_M}) * t.n_tot AS DOUBLE)"
+               )} AS smooth_enc
+        FROM o JOIN stats s ON o.cat = s.cat CROSS JOIN tot t
+    """,
     "graph_pagerank": _pagerank_sql(),
     "ts_autocorr": _autocorr_sql(),
     "graph_common_neighbors": f"""

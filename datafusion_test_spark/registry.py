@@ -179,6 +179,7 @@ _PRIORITY = [
     "eval_pass_at_k",
     "join_positional",
     "table_diff",
+    "feature_target_encode",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

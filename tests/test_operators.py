@@ -1653,6 +1653,65 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_feature_target_encode_leakage_free(spark, sf_dir):
+    """LOO property: a positive row's encoding must be strictly below its
+    category's raw mean and a negative row's strictly above (whenever the
+    category is mixed) — i.e. the row's own label is truly excluded; and
+    the encoding must equal the driver-side Fraction computation."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        _TE_M,
+        feature_target_encode,
+    )
+    from pyspark.sql import functions as F
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .collect()
+    )
+    n_cat, sum_cat = collections.Counter(), collections.Counter()
+    for r in o:
+        n_cat[r["o_orderpriority"]] += 1
+        sum_cat[r["o_orderpriority"]] += r["y"]
+    n_tot = len(o)
+    s_tot = sum(r["y"] for r in o)
+
+    def hu(num, den):
+        # the same double pathway as _util.half_up: one IEEE divide of
+        # exact int64 operands, then floor(x*1e4 + 0.5)
+        return math.floor(num / den * 10_000 + 0.5) / 10_000
+
+    got = {r["o_orderkey"]: r for r in feature_target_encode(spark, sf_dir).collect()}
+    assert len(got) == n_tot
+    for r in o:
+        g = got[r["o_orderkey"]]
+        c, y = r["o_orderpriority"], r["y"]
+        n, s = n_cat[c], sum_cat[c]
+        assert g["n_cat"] == n and g["y"] == y
+        if n > 1:
+            exp = hu(s - y, n - 1)
+            assert g["loo_enc"] == exp
+            if 0 < s < n:  # mixed category: self-exclusion shifts the mean
+                mean = s / n
+                assert (g["loo_enc"] < mean) if y == 1 else (
+                    g["loo_enc"] > mean
+                )
+        else:
+            assert g["loo_enc"] is None
+        exp_s = hu(
+            (s - y) * n_tot + _TE_M * s_tot, (n - 1 + _TE_M) * n_tot
+        )
+        assert g["smooth_enc"] == exp_s
+
+
 def test_table_diff_matches_set_arithmetic(spark, sf_dir):
     """The change set must equal the modular set arithmetic that defines
     the two snapshots: added = keys ≡0 (7) present in B, removed =
