@@ -180,6 +180,7 @@ _PRIORITY = [
     "join_positional",
     "table_diff",
     "feature_target_encode",
+    "scan_binary_files",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -447,7 +447,51 @@ def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via the binaryFile source — the front door
+    of every multimodal pipeline: a directory of image/audio/whatever
+    blobs becomes (path, length, content) rows, which downstream decode
+    UDFs consume (see pipeline.multimodal).  Fixture: every document with
+    doc_id ≡ 0 (mod 13) is written to scratch as blob_<doc_id>.bin
+    containing its UTF-8 text, then re-read as binary.
+
+    The result re-derives each blob's identity from the FILE side only —
+    doc_id parsed from the path, byte length from both file metadata and
+    the content column, payload decoded back to text — and the oracle
+    recomputes the same rows from the documents view (the deterministic
+    fixture rule IS the contract, scan_json_corrupt's discipline), so a
+    lost, truncated, or mis-decoded blob breaks the hash.
+
+    Scale (100 TB): binaryFile is splittable across FILES (not within
+    one), so ingest parallelism = file count; real blob lakes write
+    many-MB objects and list them from a manifest, and
+    maxPartitionBytes-style packing bins small blobs per task.  Content
+    bytes stream Arrow-batched into any downstream pandas UDF — the
+    whole-file collect never touches the driver.
+    """
+    base = scratch_dir("dfts_blob_")
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(base, f"blob_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(base)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes_meta"),
+        F.length(F.col("content")).cast("long").alias("n_bytes_content"),
+        F.col("content").cast("string").alias("payload"),
+    )
+
+
 QUERIES = {
+    "scan_binary_files": scan_binary_files,
     "write_partitioned": write_partitioned,
     "merge_upsert": merge_upsert,
     "scan_csv_roundtrip": scan_csv_roundtrip,
@@ -474,6 +518,16 @@ _TT_V2_SUM = sql_dsum(
 )
 
 ORACLE = {
+    # the deterministic fixture rule restated over the source view:
+    # text is ASCII in this corpus, but octet_length states the byte
+    # contract explicitly either way
+    "scan_binary_files": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_meta,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_content,
+               text AS payload
+        FROM documents WHERE doc_id % 13 = 0
+    """,
     "layout_zorder": f"""
         WITH base AS (
             SELECT o_custkey % 256 AS zx,

@@ -114,3 +114,25 @@ def test_json_corrupt_quarantine_accounting(spark, sf_dir):
     assert r["n_good"] == n_docs
     assert r["n_corrupt"] >= 1
     assert r["n_lines"] == r["n_good"] + r["n_corrupt"]
+
+
+def test_scan_binary_files_roundtrip(spark, sf_dir):
+    """Every fixture blob must come back byte-identical: doc_id from the
+    path, both byte counts agreeing, payload equal to the source text."""
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.sources import connectors
+    from pyspark.sql import functions as F
+
+    src = {
+        r["doc_id"]: r["text"]
+        for r in t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = connectors.scan_binary_files(spark, sf_dir).collect()
+    assert len(rows) == len(src) > 0
+    for r in rows:
+        assert r["payload"] == src[r["doc_id"]]
+        n = len(src[r["doc_id"]].encode("utf-8"))
+        assert r["n_bytes_meta"] == r["n_bytes_content"] == n
