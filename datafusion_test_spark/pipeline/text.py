@@ -537,7 +537,75 @@ def corpus_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BP_CHUNK = 40  # chunk width, aligned with dedup_chunk's granularity
+_BP_MIN_DOCS = 3  # a chunk in >= 3 distinct docs is boilerplate
+
+
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate removal — drop every 40-char aligned
+    chunk that appears in ≥ 3 DISTINCT documents and reassemble each doc
+    from its surviving chunks in order (the CCNet/RefinedWeb move of
+    deleting repeated headers/footers/nav text across a crawl, at
+    dedup_chunk's granularity but REWRITING the text instead of flagging
+    the doc).  Chunks are the full 40-char slices plus the tail
+    remainder, so reassembly of an untouched doc is byte-identical.
+
+    Scale (100 TB): chunk frequency is one map-side-combined groupBy on
+    the chunk string (count of distinct docs via a pre-distinct, the
+    inverted-index discipline of dedup_chunk — add its _drop_hot cap when
+    a crawl has mega-hot chunks); the keep/drop verdict joins back on the
+    chunk key, and reassembly is a per-doc collect_list sorted by
+    position — bounded by one document's chunk count, never corpus-wide.
+    The doc text itself crosses the shuffle once, in chunk-sized pieces.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = f"(length(text) DIV {_BP_CHUNK})"
+    chunks = d.selectExpr(
+        "doc_id",
+        f"""concat(
+              CASE WHEN length(text) >= {_BP_CHUNK}
+                   THEN transform(sequence(1, cast({m} as int)),
+                        k -> substring(text, (k-1)*{_BP_CHUNK}+1, {_BP_CHUNK}))
+                   ELSE cast(array() as array<string>) END,
+              CASE WHEN length(text) % {_BP_CHUNK} != 0
+                   THEN array(substring(text, cast({m}*{_BP_CHUNK}+1 as int)))
+                   ELSE cast(array() as array<string>) END
+            ) AS cs""",
+    ).select("doc_id", F.posexplode("cs").alias("pos", "chunk"))
+    freq = (
+        chunks.select("doc_id", "chunk")
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    j = chunks.join(freq, "chunk")
+    keep = F.col("nd") < _BP_MIN_DOCS
+    g = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(keep, 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            "",
+        ).alias("cleaned"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.length("cleaned").cast("long").alias("cleaned_len"),
+        "cleaned",
+    )
+
+
 QUERIES = {
+    "text_boilerplate_strip": text_boilerplate_strip,
     "corpus_jaccard_sources": corpus_jaccard_sources,
     "text_bm25_topk": text_bm25_topk,
     "text_stats": text_stats,
@@ -617,6 +685,41 @@ def _corpus_jaccard_oracle() -> str:
 
 
 ORACLE = {
+    "text_boilerplate_strip": f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(length(text) // {_BP_CHUNK} AS BIGINT) AS m
+            FROM documents
+        ),
+        fc AS (
+            SELECT doc_id, k AS pos,
+                   substring(text, CAST((k-1)*{_BP_CHUNK}+1 AS INT),
+                             {_BP_CHUNK}) AS chunk
+            FROM d, unnest(generate_series(1, m)) AS t(k)
+        ),
+        rc AS (
+            SELECT doc_id, m + 1 AS pos,
+                   substring(text, CAST(m*{_BP_CHUNK}+1 AS INT)) AS chunk
+            FROM d WHERE length(text) % {_BP_CHUNK} <> 0
+        ),
+        a AS (SELECT * FROM fc UNION ALL SELECT * FROM rc),
+        freq AS (
+            SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM a GROUP BY chunk
+        ),
+        j AS (SELECT a.*, f.nd FROM a JOIN freq f USING (chunk))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN nd >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(length(COALESCE(string_agg(
+                   CASE WHEN nd < {_BP_MIN_DOCS} THEN chunk END, ''
+                   ORDER BY pos), '')) AS BIGINT) AS cleaned_len,
+               COALESCE(string_agg(
+                   CASE WHEN nd < {_BP_MIN_DOCS} THEN chunk END, ''
+                   ORDER BY pos), '') AS cleaned
+        FROM j GROUP BY doc_id
+    """,
     "corpus_jaccard_sources": _corpus_jaccard_oracle(),
     "text_bm25_topk": f"""
         WITH w AS (

@@ -181,6 +181,7 @@ _PRIORITY = [
     "table_diff",
     "feature_target_encode",
     "scan_binary_files",
+    "text_boilerplate_strip",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,56 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_text_boilerplate_strip_matches_bruteforce(spark, sf_dir):
+    """Reassembly must equal a driver-side replica: chunk every doc the
+    same way, count cross-doc chunk frequencies, drop hot chunks, rejoin
+    in order.  Also asserts the operator actually removes something on
+    this corpus (planted near-duplicates share aligned chunks)."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.text import (
+        _BP_CHUNK,
+        _BP_MIN_DOCS,
+        text_boilerplate_strip,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def split(t):
+        full = [
+            t[i : i + _BP_CHUNK]
+            for i in range(0, len(t) - _BP_CHUNK + 1, _BP_CHUNK)
+        ]
+        rem = t[len(full) * _BP_CHUNK :]
+        return full + ([rem] if rem else [])
+
+    freq = collections.Counter()
+    for t in docs.values():
+        for c in set(split(t)):
+            freq[c] += 1
+    got = {r["doc_id"]: r for r in text_boilerplate_strip(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    total_removed = 0
+    for did, t in docs.items():
+        cs = split(t)
+        kept = [c for c in cs if freq[c] < _BP_MIN_DOCS]
+        g = got[did]
+        assert g["n_chunks"] == len(cs)
+        assert g["n_removed"] == len(cs) - len(kept)
+        assert g["cleaned"] == "".join(kept)
+        assert g["cleaned_len"] == len("".join(kept))
+        if g["n_removed"] == 0:
+            assert g["cleaned"] == t
+        total_removed += g["n_removed"]
+    assert total_removed > 0
+
+
 def test_feature_target_encode_leakage_free(spark, sf_dir):
     """LOO property: a positive row's encoding must be strictly below its
     category's raw mean and a negative row's strictly above (whenever the
