@@ -214,7 +214,48 @@ def sub_in_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sub_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries — x >= ALL / > ANY / < ALL
+    (SELECT ...) — a surface Spark's parser does not accept (probed:
+    PARSE_SYNTAX_ERROR), implemented as the rewrite every optimizer
+    applies anyway: ALL collapses to a comparison against the subquery's
+    MAX/MIN 1-row aggregate, ANY to the opposite extreme, and = ANY is
+    IN (here an ExistenceJoin flag against the distinct value set).
+
+    Semantics note: with a non-empty, NULL-free supplier side (true of
+    this dataset by construction) the rewrite is exact; the general
+    NULL/empty case needs the count-based guards the docs of
+    NULL-aware anti-join describe — out of scope, stated explicitly.
+
+    Scale (100 TB): the quantifier side becomes a 1-row (extremes) or
+    distinct-set (eq_any) broadcast; the customer scan is map-only.
+    That is the entire point of the rewrite — a naive per-row subquery
+    re-execution would be O(N·M).
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = table(spark, sf_dir, "supplier")
+    ext = s.agg(
+        F.max("s_acctbal").alias("mx"), F.min("s_acctbal").alias("mn")
+    )
+    vals = s.select(F.col("s_acctbal").alias("v")).distinct()
+    j = (
+        c.crossJoin(F.broadcast(ext))
+        .join(
+            F.broadcast(vals), F.col("c_acctbal") == F.col("v"), "left"
+        )
+    )
+    return j.select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_acctbal") >= F.col("mx")).alias("ge_all"),
+        (F.col("c_acctbal") > F.col("mn")).alias("gt_any"),
+        (F.col("c_acctbal") < F.col("mn")).alias("lt_all"),
+        F.col("v").isNotNull().alias("eq_any"),
+    )
+
+
 QUERIES = {
+    "sub_quantified": sub_quantified,
     "sub_in_disjunct": sub_in_disjunct,
     "sub_scalar": sub_scalar,
     "cte_recursive": cte_recursive,
@@ -229,6 +270,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the NATIVE quantified forms — DuckDB parses ALL/ANY directly, so
+    # the oracle proves the min/max rewrite IS the quantified semantics
+    "sub_quantified": """
+        SELECT c_custkey, c_acctbal,
+               c_acctbal >= ALL (SELECT s_acctbal FROM supplier) AS ge_all,
+               c_acctbal >  ANY (SELECT s_acctbal FROM supplier) AS gt_any,
+               c_acctbal <  ALL (SELECT s_acctbal FROM supplier) AS lt_all,
+               c_acctbal =  ANY (SELECT s_acctbal FROM supplier) AS eq_any
+        FROM customer
+    """,
     "sub_in_disjunct": """
         SELECT c_custkey, c_acctbal,
                (c_custkey IN (

@@ -182,6 +182,7 @@ _PRIORITY = [
     "feature_target_encode",
     "scan_binary_files",
     "text_boilerplate_strip",
+    "sub_quantified",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,31 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_sub_quantified_matches_extremes(spark, sf_dir):
+    """The min/max rewrite must equal the quantifier definitions computed
+    driver-side over the full supplier balance set; exactly one customer
+    region of each flag structure must be internally consistent."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.subqueries import sub_quantified
+
+    bals = [
+        r["s_acctbal"]
+        for r in table(spark, sf_dir, "supplier").select("s_acctbal").collect()
+    ]
+    mx, mn, vals = max(bals), min(bals), set(bals)
+    rows = sub_quantified(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["c_acctbal"]
+        assert r["ge_all"] == all(b >= x for x in bals) == (b >= mx)
+        assert r["gt_any"] == any(b > x for x in bals) == (b > mn)
+        assert r["lt_all"] == all(b < x for x in bals) == (b < mn)
+        assert r["eq_any"] == (b in vals)
+        # ge_all implies gt_any whenever the set has >= 2 distinct values
+        if r["ge_all"] and len(vals) > 1:
+            assert r["gt_any"]
+
+
 def test_text_boilerplate_strip_matches_bruteforce(spark, sf_dir):
     """Reassembly must equal a driver-side replica: chunk every doc the
     same way, count cross-doc chunk frequencies, drop hot chunks, rejoin
