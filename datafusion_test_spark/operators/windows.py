@@ -307,7 +307,46 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — "how many distinct event types
+    has this user produced so far" — a frame Spark's window functions
+    refuse outright (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED).  The standard
+    rewrite: mark each row's FIRST occurrence within (user, type) via
+    row_number == 1, then a plain running SUM of the marks over the
+    user's timeline.  The oracle is DuckDB's NATIVE windowed
+    count(DISTINCT ...), so the rewrite is proven equal to the real
+    quantifier semantics, not to itself.
+
+    Scale: two hash shuffles — (user, type) for the first-occurrence
+    mark, then user for the running sum — each window bounded by one
+    user's history.  The native form, where an engine supports it, keeps
+    a per-frame hash set; the rewrite carries one extra int per row
+    instead and composes with any running aggregate.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.withColumn(
+        "is_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum("is_first").over(w_run).cast("long").alias("n_types_seen"),
+    )
+
+
 QUERIES = {
+    "win_running_distinct": win_running_distinct,
     "win_median_sliding": win_median_sliding,
     "win_rolling_slope": win_rolling_slope,
     "win_ewma": win_ewma,
@@ -390,6 +429,16 @@ def _rolling_slope_oracle() -> str:
 
 
 ORACLE = {
+    # DuckDB's native windowed DISTINCT aggregate — the semantics the
+    # Spark-side first-occurrence rewrite must reproduce
+    "win_running_distinct": """
+        SELECT user_id, event_id, event_type,
+               CAST(count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_types_seen
+        FROM events
+    """,
     "win_rolling_slope": _rolling_slope_oracle(),
     "win_median_sliding": """
         SELECT o_orderkey, o_custkey,

@@ -183,6 +183,7 @@ _PRIORITY = [
     "scan_binary_files",
     "text_boilerplate_strip",
     "sub_quantified",
+    "win_running_distinct",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,40 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_win_running_distinct_monotone_and_exact(spark, sf_dir):
+    """Per user, the running distinct count must be non-decreasing, step
+    by at most 1, start at 1, end at the user's true distinct-type count,
+    and equal a driver-side set-accumulation replay."""
+    import collections
+
+    from datafusion_test_spark.operators.windows import win_running_distinct
+
+    rows = win_running_distinct(spark, sf_dir).collect()
+    # replay needs the (ts, event_id) order; n_types_seen rows arrive
+    # unordered, so re-sort by the event_id tie-broken order implied by
+    # the per-user sequence of counts
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    from datafusion_test_spark.io import table
+
+    order = {
+        r["event_id"]: (r["ts"], r["event_id"])
+        for r in table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .collect()
+    }
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: order[r["event_id"]])
+        seen = set()
+        prev = 0
+        for r in rs:
+            seen.add(r["event_type"])
+            assert r["n_types_seen"] == len(seen)
+            assert prev <= r["n_types_seen"] <= prev + 1
+            prev = r["n_types_seen"]
+
+
 def test_sub_quantified_matches_extremes(spark, sf_dir):
     """The min/max rewrite must equal the quantifier definitions computed
     driver-side over the full supplier balance set; exactly one customer
