@@ -604,7 +604,68 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VG_BUCKET = 50  # docs per growth checkpoint
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve — cumulative distinct words
+    vs cumulative tokens at every 50-doc checkpoint of the corpus in
+    doc_id order.  The saturation diagnostic a pretraining team reads
+    before sizing a tokenizer vocab or judging whether more of the same
+    crawl still adds novelty (complements text_vocab_build's static
+    vocabulary with its GROWTH over ingest order).
+
+    Distributed shape: each word's FIRST document is one
+    map-side-combined min-aggregate over the exploded tokens (the
+    inverted-index discipline); per-checkpoint token counts are a second
+    groupBy on the derived bucket; the only window runs over the ~10
+    checkpoint rows — O(corpus/50·docs) rows never meet a window.  The
+    same shape at 100 TB: first-occurrence min() is exactly how
+    vocabulary novelty is computed incrementally (new-crawl words =
+    first_doc in the new range).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    tok = d.select("doc_id", F.explode("ws").alias("w"))
+    new_per = (
+        tok.groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+        .withColumn("bucket", F.expr(f"fd DIV {_VG_BUCKET}"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_words"))
+    )
+    toks = (
+        tok.withColumn("bucket", F.expr(f"doc_id DIV {_VG_BUCKET}"))
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    j = toks.join(new_per, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("n_new_words"), F.lit(0)).alias("n_new_words"),
+    )
+    # checkpoint rows only (corpus/50 of them) — the documented
+    # small-frame global window class, never O(rows)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.col("n_new_words").cast("long").alias("n_new_words"),
+        F.sum("n_new_words").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
 QUERIES = {
+    "corpus_vocab_growth": corpus_vocab_growth,
     "text_boilerplate_strip": text_boilerplate_strip,
     "corpus_jaccard_sources": corpus_jaccard_sources,
     "text_bm25_topk": text_bm25_topk,
@@ -685,6 +746,38 @@ def _corpus_jaccard_oracle() -> str:
 
 
 ORACLE = {
+    "corpus_vocab_growth": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        np AS (
+            SELECT CAST(min(doc_id) // {_VG_BUCKET} AS BIGINT) AS bucket,
+                   w
+            FROM tok GROUP BY w
+        ),
+        new_per AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_words
+            FROM np GROUP BY bucket
+        ),
+        toks AS (
+            SELECT CAST(doc_id // {_VG_BUCKET} AS BIGINT) AS bucket,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY 1
+        )
+        SELECT t.bucket, t.n_docs, t.n_tokens,
+               CAST(SUM(t.n_tokens) OVER (
+                   ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               CAST(COALESCE(n.n_new_words, 0) AS BIGINT) AS n_new_words,
+               CAST(SUM(COALESCE(n.n_new_words, 0)) OVER (
+                   ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_vocab
+        FROM toks t LEFT JOIN new_per n ON t.bucket = n.bucket
+    """,
     "text_boilerplate_strip": f"""
         WITH d AS (
             SELECT doc_id, text,

@@ -184,6 +184,7 @@ _PRIORITY = [
     "text_boilerplate_strip",
     "sub_quantified",
     "win_running_distinct",
+    "corpus_vocab_growth",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,33 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_corpus_vocab_growth_invariants(spark, sf_dir):
+    """The growth curve must be internally consistent: cum columns are
+    exact prefix sums, the final cum_vocab equals the corpus's true
+    distinct-word count, the final cum_tokens the true token count, and
+    novelty per checkpoint can never exceed its token count."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.text import corpus_vocab_growth
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        corpus_vocab_growth(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    ct = cv = 0
+    for r in rows:
+        ct += r["n_tokens"]
+        cv += r["n_new_words"]
+        assert r["cum_tokens"] == ct and r["cum_vocab"] == cv
+        assert 0 <= r["n_new_words"] <= r["n_tokens"]
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    assert ct == tok.count()
+    assert cv == tok.distinct().count()
+
+
 def test_win_running_distinct_monotone_and_exact(spark, sf_dir):
     """Per user, the running distinct count must be non-decreasing, step
     by at most 1, start at 1, end at the user's true distinct-type count,
