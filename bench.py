@@ -149,6 +149,15 @@ HEADLINE = [
     "dedup_containment",
     "win_rolling_slope",
     "privacy_l_diversity",
+    "eval_pass_at_k",
+    "join_positional",
+    "table_diff",
+    "feature_target_encode",
+    "scan_binary_files",
+    "text_boilerplate_strip",
+    "sub_quantified",
+    "win_running_distinct",
+    "corpus_vocab_growth",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -75,7 +75,66 @@ def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pipeline_prep": pipeline_prep}
+_PP_MIN_MARGIN = 10.0  # drop ambiguous pairs (reward gap below this)
+
+
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF training — per prompt,
+    pick the highest- and lowest-reward completions as (chosen, rejected)
+    and keep only pairs whose reward margin clears a threshold (ambiguous
+    pairs teach nothing and ties are label noise — the standard pairing
+    recipe over scored generations).
+
+    Modeled on events: a user is a prompt, their scored events are the
+    completions, `value` is the reward.  chosen = first by (value DESC,
+    event_id) and rejected = first by (value ASC, event_id) — row_number
+    tie-breaks make both picks total-order deterministic in either
+    engine.  Requires ≥ 2 completions; margin = chosen − rejected is one
+    IEEE subtract of parquet-carried doubles, so it hashes bit-equal.
+
+    Scale (100 TB): both row_number windows partition by the prompt key
+    and Spark plans them over ONE hash exchange (same partitioning); the
+    pair join keys on the prompt — everything is bounded by one prompt's
+    completion count, and no corpus-wide state exists.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    w_bot = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    chosen = ranked.filter((F.col("r_top") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("event_id").alias("chosen_event_id"),
+        F.col("value").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("r_bot") == 1).select(
+        "user_id",
+        F.col("event_id").alias("rejected_event_id"),
+        F.col("value").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, "user_id")
+        .withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .filter(F.col("margin") >= _PP_MIN_MARGIN)
+    )
+
+
+QUERIES = {
+    "pipeline_prep": pipeline_prep,
+    "pipeline_preference_pairs": pipeline_preference_pairs,
+}
 
 ORACLE = {
     "pipeline_prep": f"""
@@ -110,5 +169,33 @@ ORACLE = {
         WHERE pred_lang <> 'und'
         GROUP BY pred_lang, lang
         ORDER BY pred_lang, lang
+    """,
+    "pipeline_preference_pairs": f"""
+        WITH r AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS r_top,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value ASC, event_id
+                   ) AS r_bot,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        chosen AS (
+            SELECT user_id, event_id AS chosen_event_id,
+                   value AS chosen_score
+            FROM r WHERE r_top = 1 AND n >= 2
+        ),
+        rejected AS (
+            SELECT user_id, event_id AS rejected_event_id,
+                   value AS rejected_score
+            FROM r WHERE r_bot = 1
+        )
+        SELECT c.user_id, c.chosen_event_id, c.chosen_score,
+               j.rejected_event_id, j.rejected_score,
+               c.chosen_score - j.rejected_score AS margin
+        FROM chosen c JOIN rejected j USING (user_id)
+        WHERE c.chosen_score - j.rejected_score >= {_PP_MIN_MARGIN}
     """,
 }

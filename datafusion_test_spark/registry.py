@@ -185,6 +185,7 @@ _PRIORITY = [
     "sub_quantified",
     "win_running_distinct",
     "corpus_vocab_growth",
+    "pipeline_preference_pairs",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,46 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_pipeline_preference_pairs_argmax_argmin(spark, sf_dir):
+    """Each pair must be the true per-user extreme completions with the
+    declared tie-breaks, margins must clear the threshold, and no user
+    with < 2 scored events or a sub-threshold gap may appear."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.prep import (
+        _PP_MIN_MARGIN,
+        pipeline_preference_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    ev = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+        .collect()
+    ):
+        ev[r["user_id"]].append((r["value"], r["event_id"]))
+    exp = {}
+    for uid, rows in ev.items():
+        if len(rows) < 2:
+            continue
+        chosen = max(rows, key=lambda t: (t[0], -t[1]))
+        rejected = min(rows, key=lambda t: (t[0], t[1]))
+        if chosen[0] - rejected[0] >= _PP_MIN_MARGIN:
+            exp[uid] = (chosen[1], rejected[1], chosen[0] - rejected[0])
+    got = {
+        r["user_id"]: (
+            r["chosen_event_id"],
+            r["rejected_event_id"],
+            r["margin"],
+        )
+        for r in pipeline_preference_pairs(spark, sf_dir).collect()
+    }
+    assert got == exp and got
+
+
 def test_corpus_vocab_growth_invariants(spark, sf_dir):
     """The growth curve must be internally consistent: cum columns are
     exact prefix sums, the final cum_vocab equals the corpus's true
