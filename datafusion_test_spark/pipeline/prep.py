@@ -131,9 +131,77 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SFT_ROLE = {
+    "view": "user",
+    "click": "user",
+    "purchase": "assistant",
+    "signup": "assistant",
+    "error": "system",
+}
+
+
+def pipeline_sft_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation assembly — turn streams become role-tagged
+    training transcripts: each user is a conversation, their events in
+    (ts, event_id) order are the turns, the role comes from a fixed
+    event-type map, and the content is the event type plus a field parsed
+    out of the JSON props (the format-normalization step every chat
+    dataset goes through).  `valid_for_training` marks conversations
+    whose LAST turn is an assistant turn — the usual requirement for a
+    supervised target.
+
+    Scale (100 TB): one shuffle on the conversation key; assembly is a
+    per-key ordered collect_list → array_join, bounded by one
+    conversation's turn count (the same reassembly idiom as
+    text_boilerplate_strip).  JSON parsing is get_json_object — JVM-side
+    codegen, no Python.
+    """
+    role = F.create_map(
+        *[F.lit(x) for kv in _SFT_ROLE.items() for x in kv]
+    )[F.col("event_type")]
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            role,
+            F.lit(": "),
+            F.col("event_type"),
+            F.lit("#"),
+            F.get_json_object("props", "$.k"),
+        ).alias("turn"),
+        role.alias("role"),
+    )
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias(
+            "n_user_turns"
+        ),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "n_assistant_turns"
+        ),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "turn", "role"))
+        ).alias("ordered"),
+    )
+    return g.select(
+        "user_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_user_turns").cast("long").alias("n_user_turns"),
+        F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+        F.array_join(
+            F.transform(F.col("ordered"), lambda s: s["turn"]), " | "
+        ).alias("transcript"),
+        (
+            F.element_at(F.col("ordered"), -1)["role"] == "assistant"
+        ).alias("valid_for_training"),
+    )
+
+
 QUERIES = {
     "pipeline_prep": pipeline_prep,
     "pipeline_preference_pairs": pipeline_preference_pairs,
+    "pipeline_sft_transcripts": pipeline_sft_transcripts,
 }
 
 ORACLE = {
@@ -197,5 +265,42 @@ ORACLE = {
                c.chosen_score - j.rejected_score AS margin
         FROM chosen c JOIN rejected j USING (user_id)
         WHERE c.chosen_score - j.rejected_score >= {_PP_MIN_MARGIN}
+    """,
+    "pipeline_sft_transcripts": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type
+                       WHEN 'view' THEN 'user'
+                       WHEN 'click' THEN 'user'
+                       WHEN 'purchase' THEN 'assistant'
+                       WHEN 'signup' THEN 'assistant'
+                       WHEN 'error' THEN 'system'
+                   END AS role,
+                   event_type, props->>'$.k' AS k
+            FROM events
+        ),
+        t AS (
+            SELECT user_id, ts, event_id, role,
+                   role || ': ' || event_type || '#' || k AS turn
+            FROM e
+        ),
+        last_turn AS (
+            SELECT user_id, role AS last_role
+            FROM t
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
+        )
+        SELECT t.user_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN t.role = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user_turns,
+               CAST(SUM(CASE WHEN t.role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant_turns,
+               string_agg(t.turn, ' | ' ORDER BY t.ts, t.event_id)
+                   AS transcript,
+               (any_value(l.last_role) = 'assistant') AS valid_for_training
+        FROM t JOIN last_turn l USING (user_id)
+        GROUP BY t.user_id
     """,
 }

@@ -186,6 +186,7 @@ _PRIORITY = [
     "win_running_distinct",
     "corpus_vocab_growth",
     "pipeline_preference_pairs",
+    "pipeline_sft_transcripts",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

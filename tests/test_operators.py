@@ -1653,6 +1653,44 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_pipeline_sft_transcripts_assembly(spark, sf_dir):
+    """Transcripts must replay the per-user turn stream in (ts, event_id)
+    order with the fixed role map, and valid_for_training must equal
+    'last turn is an assistant turn'."""
+    import collections
+    import json
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.prep import (
+        _SFT_ROLE,
+        pipeline_sft_transcripts,
+    )
+
+    turns = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "props")
+        .collect()
+    ):
+        role = _SFT_ROLE[r["event_type"]]
+        k = json.loads(r["props"])["k"]
+        turns[r["user_id"]].append(
+            (r["ts"], r["event_id"], f"{role}: {r['event_type']}#{k}", role)
+        )
+    got = {r["user_id"]: r for r in pipeline_sft_transcripts(spark, sf_dir).collect()}
+    assert set(got) == set(turns)
+    for uid, ts in turns.items():
+        ts.sort(key=lambda t: (t[0], t[1]))
+        g = got[uid]
+        assert g["n_turns"] == len(ts)
+        assert g["n_user_turns"] == sum(1 for t in ts if t[3] == "user")
+        assert g["n_assistant_turns"] == sum(
+            1 for t in ts if t[3] == "assistant"
+        )
+        assert g["transcript"] == " | ".join(t[2] for t in ts)
+        assert g["valid_for_training"] == (ts[-1][3] == "assistant")
+
+
 def test_pipeline_preference_pairs_argmax_argmin(spark, sf_dir):
     """Each pair must be the true per-user extreme completions with the
     declared tie-breaks, margins must clear the threshold, and no user
