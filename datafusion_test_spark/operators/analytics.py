@@ -744,7 +744,56 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type — mean(value at hour h)
+    relative to the type's overall mean, the multiplicative seasonal
+    profile a metrics stack divides out before anomaly detection (and
+    the additive sibling of win_ewma's trend smoothing).
+
+    Integer-exact: values are cents-scaled to int64 (ts_changepoint's
+    carrier), so the index is the cross-multiplied rational
+    (sum_h · n_type) / (sum_type · n_h) — one IEEE divide of exact int64
+    products, half-up rounded identically in both engines.  Carrier
+    bound: |sum_h| ≤ rows·10⁶ and the product takes another ×rows, so
+    int64 holds to ~3·10⁹ scored rows per type; past that, drop the
+    scale to 10² or widen to DECIMAL(38).
+
+    Scale (100 TB): one map-side-combined groupBy on (type, hour) —
+    ≤ 24·|types| result rows — then windows over those ≤ 24-row
+    partitions.  The scan itself never meets a window (the documented
+    small-frame class).
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    ).groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_s").alias("s")
+    )
+    w = Window.partitionBy("event_type")
+    t = g.withColumn("tot_n", F.sum("n").over(w)).withColumn(
+        "tot_s", F.sum("s").over(w)
+    )
+    return t.select(
+        "event_type",
+        F.col("hr").cast("int").alias("hr"),
+        F.col("n").cast("long").alias("n"),
+        half_up(F.col("s") / (F.col("n") * 10000).cast("double")).alias(
+            "mean_value"
+        ),
+        F.when(
+            F.col("tot_s") != 0,
+            half_up(
+                (F.col("s") * F.col("tot_n")).cast("double")
+                / (F.col("tot_s") * F.col("n")).cast("double")
+            ),
+        ).alias("seasonal_index"),
+    )
+
+
 QUERIES = {
+    "ts_seasonal_index": ts_seasonal_index,
     "feature_target_encode": feature_target_encode,
     "agg_regression": agg_regression,
     "anomaly_mad": anomaly_mad,
@@ -762,6 +811,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ts_seasonal_index": f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(date_part('hour', ts) AS INTEGER) AS hr,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, hr
+        ),
+        t AS (
+            SELECT *,
+                   CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot_n,
+                   CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot_s
+            FROM g
+        )
+        SELECT event_type, hr, n,
+               {_sql_hu("CAST(s AS DOUBLE) / (n * 10000)")} AS mean_value,
+               CASE WHEN tot_s <> 0 THEN {_sql_hu(
+                   "CAST(s * tot_n AS DOUBLE) / CAST(tot_s * n AS DOUBLE)"
+               )} END AS seasonal_index
+        FROM t
+    """,
     "feature_target_encode": f"""
         WITH o AS (
             SELECT o_orderkey, o_orderpriority AS cat,

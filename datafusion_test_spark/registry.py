@@ -187,6 +187,7 @@ _PRIORITY = [
     "corpus_vocab_growth",
     "pipeline_preference_pairs",
     "pipeline_sft_transcripts",
+    "ts_seasonal_index",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,36 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_ts_seasonal_index_weighted_mean_one(spark, sf_dir):
+    """The n-weighted mean of a type's seasonal indices must be ~1 (the
+    index is mean_h/mean_type), every hour 0-23 of every type must
+    appear at most once, and counts must total the type's scored rows."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import ts_seasonal_index
+    from pyspark.sql import functions as F
+
+    rows = ts_seasonal_index(spark, sf_dir).collect()
+    per_type = collections.defaultdict(list)
+    for r in rows:
+        assert 0 <= r["hr"] <= 23
+        per_type[r["event_type"]].append(r)
+    totals = {
+        r["event_type"]: r["cnt"]
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for et, rs in per_type.items():
+        assert len({r["hr"] for r in rs}) == len(rs)
+        assert sum(r["n"] for r in rs) == totals[et]
+        wsum = sum(r["n"] * r["seasonal_index"] for r in rs)
+        assert abs(wsum / totals[et] - 1.0) < 1e-3  # rounding slack only
+
+
 def test_pipeline_sft_transcripts_assembly(spark, sf_dir):
     """Transcripts must replay the per-user turn stream in (ts, event_id)
     order with the fixed role map, and valid_for_training must equal
