@@ -664,7 +664,45 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCK_TERMS = ("slow", "dup", "error")  # stand-in unsafe lexicon
+_BLOCK_PCT = 20  # flagged when 1000·hits >= 20·tokens (2% density)
+
+
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based safety gate — flag documents whose blocklist-term
+    density crosses a threshold (the LDNOOBW-style unsafe-word filter
+    every crawl pipeline runs; here a stand-in lexicon drawn from the
+    synthetic vocabulary so the gate actually fires).  The verdict is an
+    integer cross-multiplication (1000·hits ≥ 20·tokens), never a float
+    density, and the matched terms are emitted as a sorted distinct list
+    for audit.
+
+    Scale: pure columnar higher-order functions (split → filter →
+    size) — whole-stage codegen, no explode, no shuffle at all; the
+    flagged fraction downstream is one map-side-combined aggregate.  A
+    real lexicon of ~2k terms ships as a broadcast array literal or a
+    broadcast join against an exploded token stream; the per-row lambda
+    here is the array-literal variant.
+    """
+    terms = F.array(*[F.lit(t) for t in _BLOCK_TERMS])
+    ws = F.split(F.lower(F.col("text")), " ")
+    hits = F.filter(ws, lambda x: F.array_contains(terms, x))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), " ").alias(
+            "hit_terms"
+        ),
+    )
+    return d.withColumn(
+        "flagged",
+        1000 * F.col("n_hits") >= _BLOCK_PCT * F.col("n_tokens"),
+    )
+
+
 QUERIES = {
+    "text_blocklist_filter": text_blocklist_filter,
     "corpus_vocab_growth": corpus_vocab_growth,
     "text_boilerplate_strip": text_boilerplate_strip,
     "corpus_jaccard_sources": corpus_jaccard_sources,
@@ -745,7 +783,25 @@ def _corpus_jaccard_oracle() -> str:
     """
 
 
+_BLOCK_SQL = "[" + ", ".join(f"'{t}'" for t in _BLOCK_TERMS) + "]"
+
 ORACLE = {
+    "text_blocklist_filter": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS ws,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> list_contains({_BLOCK_SQL}, x)) AS hits
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(hits) AS BIGINT) AS n_hits,
+               COALESCE(array_to_string(list_sort(list_distinct(hits)),
+                                        ' '), '') AS hit_terms,
+               (1000 * len(hits) >= {_BLOCK_PCT} * len(ws)) AS flagged
+        FROM d
+    """,
     "corpus_vocab_growth": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

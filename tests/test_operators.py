@@ -1653,6 +1653,37 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_text_blocklist_filter_matches_bruteforce(spark, sf_dir):
+    """Hit counts, matched-term audit strings, and the integer density
+    verdict must equal a driver-side recount; the gate must fire on at
+    least one document of this corpus."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.text import (
+        _BLOCK_PCT,
+        _BLOCK_TERMS,
+        text_blocklist_filter,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = text_blocklist_filter(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    n_flagged = 0
+    for r in rows:
+        ws = docs[r["doc_id"]].lower().split(" ")
+        hits = [w for w in ws if w in _BLOCK_TERMS]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_hits"] == len(hits)
+        assert r["hit_terms"] == " ".join(sorted(set(hits)))
+        assert r["flagged"] == (1000 * len(hits) >= _BLOCK_PCT * len(ws))
+        n_flagged += r["flagged"]
+    assert n_flagged > 0
+
+
 def test_ts_seasonal_index_weighted_mean_one(spark, sf_dir):
     """The n-weighted mean of a type's seasonal indices must be ~1 (the
     index is mean_h/mean_type), every hour 0-23 of every type must
