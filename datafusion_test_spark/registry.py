@@ -189,6 +189,7 @@ _PRIORITY = [
     "pipeline_sft_transcripts",
     "ts_seasonal_index",
     "text_blocklist_filter",
+    "rollup_ohlc",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -139,6 +139,47 @@ def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — per (event_type, hour) bar with open / high /
+    low / close / volume / value-sum, the candlestick aggregation every
+    tick store exposes (time_bucket + first/last).  Open and close are
+    the values at the (ts, event_id) extremes — row_number tie-breaks
+    give a total order, so both engines pick the SAME row even when
+    timestamps collide (the join_asof discipline); high/low/volume are
+    plain aggregates; the sum is decimal-carried.
+
+    Scale: one hash shuffle on (type, bucket); the two row_number windows
+    share that partitioning with the final groupBy, so Spark plans ONE
+    exchange for all three.  Each window is bounded by a bar's tick
+    count — the natural partition of tick data.
+    """
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    b = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_f = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    w_l = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = b.withColumn("rf", F.row_number().over(w_f)).withColumn(
+        "rl", F.row_number().over(w_l)
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
 def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly rollup with last-observation-carried-forward —
     the time_bucket_gapfill + locf pattern of time-series stores: a dense
@@ -411,9 +452,39 @@ QUERIES = {
     "stream_join_outer": stream_join_outer,
     "rollup_timeseries": rollup_timeseries,
     "rollup_gapfill": rollup_gapfill,
+    "rollup_ohlc": rollup_ohlc,
 }
 
 ORACLE = {
+    "rollup_ohlc": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   ts, event_id, value
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id
+                   ) AS rf,
+                   row_number() OVER (
+                       PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rl
+            FROM b
+        )
+        SELECT event_type, bucket,
+               max(CASE WHEN rf = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rl = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS volume,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM r GROUP BY event_type, bucket
+    """,
     "stream_topk_windowed": """
         WITH counts AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -1653,6 +1653,44 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_rollup_ohlc_bar_invariants(spark, sf_dir):
+    """Each bar must satisfy low <= open,close <= high, volume equal the
+    bar's tick count, and open/close equal the (ts, event_id)-extreme
+    ticks replayed driver-side."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.streaming.batch_windows import rollup_ohlc
+    from pyspark.sql import functions as F
+
+    ticks = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .collect()
+    ):
+        ticks[(r["event_type"], r["bucket"])].append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    rows = rollup_ohlc(spark, sf_dir).collect()
+    assert len(rows) == len(ticks)
+    for r in rows:
+        bar = sorted(ticks[(r["event_type"], r["bucket"])])
+        vals = [t[2] for t in bar]
+        assert r["volume"] == len(bar)
+        assert r["open"] == bar[0][2] and r["close"] == bar[-1][2]
+        assert r["high"] == max(vals) and r["low"] == min(vals)
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+
+
 def test_text_blocklist_filter_matches_bruteforce(spark, sf_dir):
     """Hit counts, matched-term audit strings, and the integer density
     verdict must equal a driver-side recount; the gate must fire on at
