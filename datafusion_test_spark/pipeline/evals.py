@@ -376,7 +376,77 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AB_A, _AB_B = "view", "click"
+_AB_Z2_CRIT = 3.8415  # chi^2(1) 95% == z^2 for a two-sided 5% test
+
+
+def eval_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B z-test on the value metric — variant A = view
+    events, variant B = click events (drift_ks's pair, answering "did
+    the mean move" where KS answers "did the distribution move").
+    Welch-style large-sample statistic: z² = (μ_A − μ_B)² /
+    (s²_A/n_A + s²_B/n_B), compared against χ²₁'s 95% point so no
+    square root is ever taken (libm discipline).
+
+    Determinism: values are cents-scaled to int64 and each group reduces
+    to the exact integers (n, Σv, Σv²); the statistic is then ONE double
+    expression over those six integers, stated verbatim in the oracle —
+    identical inputs, identical IEEE op tree, identical result.  (Σv²
+    stays < 2⁶³ to ~9·10⁶ rows/group at |v| ≤ 100; past that carry Σv²
+    as DECIMAL(38,0) — the formula is unchanged.)
+
+    Scale: one conditional map-side-combined aggregate over the scan —
+    the 6-integer sketch is mergeable, so this is a single reduce at any
+    data size.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_AB_A, _AB_B) & F.col("value").isNotNull()
+    )
+    v = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
+    a = F.col("event_type") == _AB_A
+    t = e.select(
+        F.when(a, 1).otherwise(0).alias("ia"), v.alias("v_s")
+    ).agg(
+        F.sum("ia").alias("n_a"),
+        F.sum(F.expr("1 - ia")).alias("n_b"),
+        F.sum(F.col("ia") * F.col("v_s")).alias("s_a"),
+        F.sum((1 - F.col("ia")) * F.col("v_s")).alias("s_b"),
+        F.sum(F.col("ia") * F.col("v_s") * F.col("v_s")).alias("q_a"),
+        F.sum((1 - F.col("ia")) * F.col("v_s") * F.col("v_s")).alias("q_b"),
+    )
+    # the one shared double expression tree (scaled back from cents)
+    mean_a = F.col("s_a").cast("double") / (F.col("n_a") * 10000).cast("double")
+    mean_b = F.col("s_b").cast("double") / (F.col("n_b") * 10000).cast("double")
+    var_a = (
+        F.col("n_a").cast("double") * F.col("q_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double")
+    ) / (
+        (F.col("n_a") * (F.col("n_a") - 1)).cast("double") * F.lit(1.0e8)
+    )
+    var_b = (
+        F.col("n_b").cast("double") * F.col("q_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double")
+    ) / (
+        (F.col("n_b") * (F.col("n_b") - 1)).cast("double") * F.lit(1.0e8)
+    )
+    z2 = (
+        (mean_a - mean_b)
+        * (mean_a - mean_b)
+        / (var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double"))
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return t.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        half_up(mean_a).alias("mean_a"),
+        half_up(mean_b).alias("mean_b"),
+        F.when(ok, half_up(z2)).alias("z2"),
+        F.when(ok, z2 >= _AB_Z2_CRIT).alias("significant"),
+    )
+
+
 QUERIES = {
+    "eval_ab_ztest": eval_ab_ztest,
     "eval_auc": eval_auc,
     "eval_prf": eval_prf,
     "eval_calibration": eval_calibration,
@@ -412,7 +482,59 @@ _RANKED = f"""
 _DISC_SQL = "[" + ", ".join(str(d) for d in _DISC) + "]"
 _IDCG_SQL = "[" + ", ".join(str(v) for v in _IDCG[1:]) + "]"
 
+_AB_MEAN_A = "(CAST(s_a AS DOUBLE) / CAST(n_a * 10000 AS DOUBLE))"
+_AB_MEAN_B = "(CAST(s_b AS DOUBLE) / CAST(n_b * 10000 AS DOUBLE))"
+_AB_VAR_A = (
+    "((CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)"
+    " - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))"
+    " / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1.0e8))"
+)
+_AB_VAR_B = (
+    "((CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)"
+    " - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))"
+    " / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1.0e8))"
+)
+_AB_Z2 = (
+    f"(({_AB_MEAN_A} - {_AB_MEAN_B}) * ({_AB_MEAN_A} - {_AB_MEAN_B})"
+    f" / ({_AB_VAR_A} / CAST(n_a AS DOUBLE)"
+    f" + {_AB_VAR_B} / CAST(n_b AS DOUBLE)))"
+)
+
 ORACLE = {
+    "eval_ab_ztest": f"""
+        WITH t AS (
+            SELECT
+                CAST(SUM(CASE WHEN event_type = '{_AB_A}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN event_type = '{_AB_B}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN event_type = '{_AB_A}'
+                     THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS s_a,
+                CAST(SUM(CASE WHEN event_type = '{_AB_B}'
+                     THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS s_b,
+                CAST(SUM(CASE WHEN event_type = '{_AB_A}'
+                     THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                          * CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS q_a,
+                CAST(SUM(CASE WHEN event_type = '{_AB_B}'
+                     THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                          * CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS q_b
+            FROM events
+            WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+              AND value IS NOT NULL
+        )
+        SELECT n_a, n_b,
+               {sql_half_up(_AB_MEAN_A)} AS mean_a,
+               {sql_half_up(_AB_MEAN_B)} AS mean_b,
+               CASE WHEN n_a > 1 AND n_b > 1
+                    THEN {sql_half_up(_AB_Z2)} END AS z2,
+               CASE WHEN n_a > 1 AND n_b > 1
+                    THEN {_AB_Z2} >= {_AB_Z2_CRIT} END AS significant
+        FROM t
+    """,
     "eval_auc": f"""
         WITH j AS ({_J}),
         g AS (

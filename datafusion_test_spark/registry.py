@@ -190,6 +190,7 @@ _PRIORITY = [
     "ts_seasonal_index",
     "text_blocklist_filter",
     "rollup_ohlc",
+    "eval_ab_ztest",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

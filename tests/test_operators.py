@@ -1653,6 +1653,55 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_eval_ab_ztest_matches_bruteforce(spark, sf_dir):
+    """The 6-integer sketch statistic must match a numpy-free driver-side
+    replica computed with the same cents-scaled integers and the same
+    double formula."""
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.evals import (
+        _AB_A,
+        _AB_B,
+        _AB_Z2_CRIT,
+        eval_ab_ztest,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin(_AB_A, _AB_B)
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    n = {_AB_A: 0, _AB_B: 0}
+    s = {_AB_A: 0, _AB_B: 0}
+    q = {_AB_A: 0, _AB_B: 0}
+    for r in rows:
+        vs = math.floor(r["value"] * 10000 + 0.5)
+        n[r["event_type"]] += 1
+        s[r["event_type"]] += vs
+        q[r["event_type"]] += vs * vs
+    ma = s[_AB_A] / (n[_AB_A] * 10000)
+    mb = s[_AB_B] / (n[_AB_B] * 10000)
+    va = (n[_AB_A] * q[_AB_A] - s[_AB_A] * s[_AB_A]) / (
+        n[_AB_A] * (n[_AB_A] - 1) * 1.0e8
+    )
+    vb = (n[_AB_B] * q[_AB_B] - s[_AB_B] * s[_AB_B]) / (
+        n[_AB_B] * (n[_AB_B] - 1) * 1.0e8
+    )
+    z2 = (ma - mb) ** 2 / (va / n[_AB_A] + vb / n[_AB_B])
+    got = eval_ab_ztest(spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (n[_AB_A], n[_AB_B])
+    assert got["mean_a"] == math.floor(ma * 10000 + 0.5) / 10000
+    assert got["mean_b"] == math.floor(mb * 10000 + 0.5) / 10000
+    assert got["z2"] == math.floor(z2 * 10000 + 0.5) / 10000
+    assert got["significant"] == (z2 >= _AB_Z2_CRIT)
+
+
 def test_rollup_ohlc_bar_invariants(spark, sf_dir):
     """Each bar must satisfy low <= open,close <= high, volume equal the
     bar's tick count, and open/close equal the (ts, event_id)-extreme
