@@ -792,7 +792,67 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = 3, 3 pruning rounds) on the co-purchase
+    part graph — iteratively delete nodes with degree < k, recompute
+    degrees, repeat; the dense-subgraph extraction used for community
+    seeds and spam/bot rings.  Fixed-round semantics (graph_pagerank's
+    discipline) so the oracle can state the SAME three unrolled rounds;
+    `stable` marks nodes whose final degree already satisfies k (i.e.
+    the fixpoint was reached for them within the budget).
+
+    Scale (100 TB): each round is one degree aggregate (map-side
+    combined) plus two semi-joins restricting the edge list — all keyed
+    on node id, no all-pairs anywhere; edges come from the per-basket
+    expansion (Σ basket², graph_common_neighbors's bound).  Real
+    deployments iterate to fixpoint with the dedup_clusters
+    localCheckpoint loop; 3 declared rounds keep the oracle exact.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        # eager localCheckpoint per loop carrier (the dedup_clusters
+        # finding): without it every round re-executes the basket
+        # expansion AND the logical plan compounds; with it each round
+        # reads one materialized edge list and AQE stays active
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        und = edges.select("u", "v").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    final = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return final.select(
+        F.col("u").alias("part"),
+        F.col("deg").cast("long").alias("deg"),
+        (F.col("deg") >= _KCORE_K).alias("stable"),
+    )
+
+
 QUERIES = {
+    "graph_kcore": graph_kcore,
     "ts_seasonal_index": ts_seasonal_index,
     "feature_target_encode": feature_target_encode,
     "agg_regression": agg_regression,
@@ -810,7 +870,52 @@ QUERIES = {
     "interval_union": interval_union,
 }
 
+def _kcore_sql() -> str:
+    """Unrolled 3-round k-core pruning — same rounds as graph_kcore."""
+    k = _KCORE_K
+    body = [
+        """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e0 AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        )"""
+    ]
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        body.append(
+            f""",
+        und{i} AS (
+            SELECT u, v FROM {prev}
+            UNION ALL SELECT v AS u, u AS v FROM {prev}
+        ),
+        keep{i} AS (
+            SELECT u FROM und{i} GROUP BY u HAVING count(*) >= {k}
+        ),
+        e{i} AS (
+            SELECT e.u, e.v FROM {prev} e
+            JOIN keep{i} ku ON e.u = ku.u
+            JOIN keep{i} kv ON e.v = kv.u
+        )"""
+        )
+        prev = f"e{i}"
+    body.append(
+        f""",
+        undf AS (
+            SELECT u, v FROM {prev}
+            UNION ALL SELECT v AS u, u AS v FROM {prev}
+        )
+        SELECT u AS part, CAST(count(*) AS BIGINT) AS deg,
+               (count(*) >= {k}) AS stable
+        FROM undf GROUP BY u"""
+    )
+    return "".join(body)
+
+
 ORACLE = {
+    "graph_kcore": _kcore_sql(),
     "ts_seasonal_index": f"""
         WITH g AS (
             SELECT event_type,

@@ -191,6 +191,7 @@ _PRIORITY = [
     "text_blocklist_filter",
     "rollup_ohlc",
     "eval_ab_ztest",
+    "graph_kcore",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

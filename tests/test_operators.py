@@ -1653,6 +1653,48 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_graph_kcore_matches_bruteforce(spark, sf_dir):
+    """Three pruning rounds replayed driver-side over the same basket
+    expansion must give identical surviving nodes and degrees."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore,
+    )
+
+    li = {
+        (r["l_orderkey"], r["l_partkey"])
+        for r in table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    by_order = collections.defaultdict(set)
+    for o, p in li:
+        by_order[o].add(p)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                edges.add((u, v))
+    for _ in range(_KCORE_ROUNDS):
+        deg = collections.Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    got = {r["part"]: (r["deg"], r["stable"]) for r in graph_kcore(spark, sf_dir).collect()}
+    assert got == {n: (d, d >= _KCORE_K) for n, d in deg.items()}
+
+
 def test_eval_ab_ztest_matches_bruteforce(spark, sf_dir):
     """The 6-integer sketch statistic must match a numpy-free driver-side
     replica computed with the same cents-scaled integers and the same
