@@ -198,10 +198,86 @@ def pipeline_sft_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_PERIOD = 7  # a 2-token span masked at the start of every 7 tokens
+
+
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption training-pair generation (the T5 denoising
+    objective): mask spans of 2 consecutive tokens at a fixed period,
+    replace each span with a per-document sentinel <Xi> in the corrupted
+    input, and emit the target sequence "<Xi> tok tok ..." that the model
+    must reconstruct.  The mask rule is positional (pos mod 7 ∈ {0,1} →
+    span pos div 7) instead of sampled, so the pair set is bit-reproducible
+    across engines, retries, and partitionings — the property a cached
+    pretraining mixture needs (~29% corruption rate vs T5's 15%; the
+    rate is the period, not the machinery).
+
+    Scale: posexplode → two conditional ordered reassemblies per doc
+    (the text_boilerplate_strip idiom) — one shuffle on doc_id, cost
+    bounded by a document's token count.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    tok = d.select("doc_id", F.posexplode("ws").alias("pos", "tok"))
+    p = _SPAN_PERIOD
+    m = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.col("pos") % p <= 1).alias("masked"),
+        F.expr(f"pos DIV {p}").alias("span"),
+    )
+    corrupted_tok = F.when(
+        ~F.col("masked"), F.col("tok")
+    ).when(
+        F.col("pos") % p == 0,
+        F.concat(F.lit("<X"), F.col("span"), F.lit(">")),
+    )
+    target_tok = F.when(
+        F.col("masked") & (F.col("pos") % p == 0),
+        F.concat(F.lit("<X"), F.col("span"), F.lit("> "), F.col("tok")),
+    ).when(F.col("masked"), F.col("tok"))
+    g = m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).cast("long").alias("n_masked"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            corrupted_tok.isNotNull(),
+                            F.struct(F.col("pos"), corrupted_tok.alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("corrupted"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            target_tok.isNotNull(),
+                            F.struct(F.col("pos"), target_tok.alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("target"),
+    )
+    return g
+
+
 QUERIES = {
     "pipeline_prep": pipeline_prep,
     "pipeline_preference_pairs": pipeline_preference_pairs,
     "pipeline_sft_transcripts": pipeline_sft_transcripts,
+    "pipeline_span_corruption": pipeline_span_corruption,
 }
 
 ORACLE = {
@@ -302,5 +378,35 @@ ORACLE = {
                (any_value(l.last_role) = 'assistant') AS valid_for_training
         FROM t JOIN last_turn l USING (user_id)
         GROUP BY t.user_id
+    """,
+    "pipeline_span_corruption": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS tok
+            FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+        ),
+        m AS (
+            SELECT doc_id, pos, tok,
+                   (pos % {_SPAN_PERIOD} <= 1) AS masked,
+                   pos // {_SPAN_PERIOD} AS span
+            FROM tok
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+               string_agg(
+                   CASE WHEN NOT masked THEN tok
+                        WHEN pos % {_SPAN_PERIOD} = 0
+                            THEN '<X' || span || '>' END,
+                   ' ' ORDER BY pos) AS corrupted,
+               string_agg(
+                   CASE WHEN masked AND pos % {_SPAN_PERIOD} = 0
+                            THEN '<X' || span || '> ' || tok
+                        WHEN masked THEN tok END,
+                   ' ' ORDER BY pos) AS target
+        FROM m GROUP BY doc_id
     """,
 }

@@ -192,6 +192,7 @@ _PRIORITY = [
     "rollup_ohlc",
     "eval_ab_ztest",
     "graph_kcore",
+    "pipeline_span_corruption",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

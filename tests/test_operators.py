@@ -1653,6 +1653,42 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_pipeline_span_corruption_roundtrip(spark, sf_dir):
+    """Denoising-pair contract: interleaving the corrupted input's
+    unmasked tokens with each sentinel's target span must reconstruct
+    the original document exactly."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.prep import pipeline_span_corruption
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = pipeline_span_corruption(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        # parse target into span_id -> tokens
+        spans = {}
+        cur = None
+        for t in r["target"].split(" ") if r["target"] else []:
+            if t.startswith("<X") and t.endswith(">"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in r["corrupted"].split(" "):
+            if t.startswith("<X") and t.endswith(">"):
+                rebuilt.extend(spans[t])
+            else:
+                rebuilt.append(t)
+        assert " ".join(rebuilt) == docs[r["doc_id"]]
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        assert r["n_tokens"] == len(docs[r["doc_id"]].split(" "))
+
+
 def test_graph_kcore_matches_bruteforce(spark, sf_dir):
     """Three pruning rounds replayed driver-side over the same basket
     expansion must give identical surviving nodes and degrees."""
