@@ -951,7 +951,74 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RERANK_C = 50  # stage-1 candidate budget
+_RERANK_K = 10  # final answer size
+
+
+def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: a CHEAP
+    approximate scorer over everything produces a small candidate set,
+    and the exact metric reranks only those.  Stage 1 scores with the
+    int8-quantized dot product (embed_quantize's per-vector symmetric
+    quantization; integer-EXACT, so the candidate cut is deterministic),
+    taking the top 50 by (score, vec_id); stage 2 computes the true
+    float cosine on those 50 rows only and returns the top 10.
+
+    The quantized dot ignores the per-vector scale mismatch — precisely
+    the systematic error that makes stage 1 cheap and stage 2 necessary;
+    at 100 TB stage 1 reads the 1-byte/dim index (64× less IO) and
+    stage 2 fetches 50 full vectors.  Plan: map-only scoring +
+    TakeOrderedAndProject for both cuts — no shuffle beyond the top-k
+    reductions.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    quant = e.select(
+        "vec_id", "label", "embedding", absmax.alias("absmax")
+    ).filter(F.col("absmax") > 0.0)
+    scale = F.lit(127.0) / F.col("absmax")
+    quant = quant.withColumn(
+        "q",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+        ),
+    )
+    q = F.broadcast(
+        quant.join(
+            quant.agg(F.min("vec_id").alias("qid")),
+            F.col("vec_id") == F.col("qid"),
+        ).select(
+            F.col("embedding").alias("qvec"), F.col("q").alias("qq")
+        )
+    )
+    s1 = quant.crossJoin(q).withColumn(
+        "stage1_score",
+        F.aggregate(
+            F.zip_with("q", "qq", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    cand = s1.orderBy(F.desc("stage1_score"), F.asc("vec_id")).limit(
+        _RERANK_C
+    )
+    return (
+        cand.withColumn(
+            "cos_sim", F.round(cosine(F.col("embedding"), F.col("qvec")), 4)
+        )
+        .select("vec_id", "label", "cos_sim", "stage1_score")
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_RERANK_K)
+    )
+
+
 QUERIES = {
+    "sim_rerank_two_stage": sim_rerank_two_stage,
     "sim_ivfpq": sim_ivfpq,
     "agg_vector_centroid": agg_vector_centroid,
     "embed_pca": embed_pca,
@@ -967,6 +1034,42 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sim_rerank_two_stage": f"""
+        WITH base AS (
+            SELECT vec_id, label, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS absmax
+            FROM embeddings
+        ),
+        qd AS (
+            SELECT vec_id, label, embedding,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * (127.0 / absmax),
+                                       0) AS BIGINT)) AS q
+            FROM base WHERE absmax > 0.0
+        ),
+        qv AS (
+            SELECT embedding AS qvec, q AS qq FROM qd
+            WHERE vec_id = (SELECT min(vec_id) FROM qd)
+        ),
+        s1 AS (
+            SELECT vec_id, label, embedding, qvec,
+                   CAST(list_sum(list_transform(list_zip(q, qq),
+                       p -> p[1] * p[2])) AS BIGINT) AS stage1_score
+            FROM qd, qv
+        ),
+        cand AS (
+            SELECT * FROM s1
+            ORDER BY stage1_score DESC, vec_id
+            LIMIT {_RERANK_C}
+        )
+        SELECT vec_id, label,
+               ROUND({sql_cosine('embedding', 'qvec')}, 4) AS cos_sim,
+               stage1_score
+        FROM cand
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT {_RERANK_K}
+    """,
     "sim_ivfpq": """
         SELECT CAST(min(vec_id) AS BIGINT) AS query_id,
                CAST(count(*) AS BIGINT) AS n_vectors,

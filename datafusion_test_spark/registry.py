@@ -193,6 +193,7 @@ _PRIORITY = [
     "eval_ab_ztest",
     "graph_kcore",
     "pipeline_span_corruption",
+    "sim_rerank_two_stage",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

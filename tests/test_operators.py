@@ -1653,6 +1653,61 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_sim_rerank_two_stage_matches_bruteforce(spark, sf_dir):
+    """Stage-1 candidate cut and stage-2 rerank replayed driver-side with
+    the same quantization must give the identical final top-10; the query
+    must retrieve itself at rank 1 with cos 1.0."""
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.similarity import (
+        _RERANK_C,
+        _RERANK_K,
+        sim_rerank_two_stage,
+    )
+
+    vecs = {
+        r["vec_id"]: (r["embedding"], r["label"])
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def quant(v):
+        am = max(abs(float(x)) for x in v)
+        if am == 0:
+            return None
+        s = 127.0 / am  # same op order as the Spark scale expression
+        # Spark/DuckDB ROUND(x, 0) is half-away-from-zero; Python round()
+        # is half-even, so emulate explicitly
+        return [math.floor(float(x) * s + 0.5) if x >= 0
+                else -math.floor(-float(x) * s + 0.5) for x in v]
+
+    qid = min(vecs)
+    qv, _ = vecs[qid]
+    qq = quant(qv)
+    s1 = []
+    for vid, (v, lab) in vecs.items():
+        qz = quant(v)
+        if qz is None:
+            continue
+        s1.append((-sum(a * b for a, b in zip(qz, qq)), vid))
+    s1.sort()
+    cand = [vid for _, vid in s1[:_RERANK_C]]
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        den = math.sqrt(sum(float(x) ** 2 for x in a)) * math.sqrt(
+            sum(float(y) ** 2 for y in b)
+        )
+        return num / den
+
+    reranked = sorted(
+        cand, key=lambda vid: (-round(cos(vecs[vid][0], qv), 4), vid)
+    )[:_RERANK_K]
+    got = sim_rerank_two_stage(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in got] == reranked
+    assert got[0]["vec_id"] == qid and got[0]["cos_sim"] == 1.0
+
+
 def test_pipeline_span_corruption_roundtrip(spark, sf_dir):
     """Denoising-pair contract: interleaving the corrupted input's
     unmasked tokens with each sentinel's target span must reconstruct
