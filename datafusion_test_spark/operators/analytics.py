@@ -851,7 +851,60 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEBOUNCE_US = 300_000_000  # 5-minute quiet gap starts a new burst
+
+
+def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / burst suppression — collapse each rapid-fire burst of
+    events per user into its first (anchor) event, a new burst starting
+    whenever the quiet gap before an event exceeds 5 minutes.  The
+    alert-dedup / retry-collapse primitive of every notification and
+    ingestion pipeline (and the keep-first complement of stream_session's
+    grouping).
+
+    Gaps are compared in exact unix MICROSECONDS (join_asof_nearest's
+    carrier — whole-second truncation would merge bursts spuriously);
+    burst ids are the running sum of new-burst flags, so both engines
+    derive identical ids from the identical (ts, event_id) total order.
+
+    Scale: lag + running sum + the final aggregate all partition by
+    user_id — ONE hash exchange, bounded by a user's history.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_burst",
+        F.when(
+            F.col("us") - F.lag("us", 1).over(w) > _DEBOUNCE_US, 1
+        ).otherwise(
+            F.when(F.lag("us", 1).over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn("burst_id", F.sum("new_burst").over(run))
+    return (
+        flagged.groupBy("user_id", "burst_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("anchor"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("burst_id").cast("long").alias("burst_id"),
+            F.col("anchor.ts").alias("anchor_ts"),
+            F.col("anchor.event_id").alias("anchor_event_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("n_events") - 1).cast("long").alias("n_suppressed"),
+        )
+    )
+
+
 QUERIES = {
+    "ts_debounce": ts_debounce,
     "graph_kcore": graph_kcore,
     "ts_seasonal_index": ts_seasonal_index,
     "feature_target_encode": feature_target_encode,
@@ -915,6 +968,43 @@ def _kcore_sql() -> str:
 
 
 ORACLE = {
+    "ts_debounce": f"""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) AS us
+            FROM events
+        ),
+        f AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL THEN 1
+                        WHEN us - lag(us) OVER w > {_DEBOUNCE_US} THEN 1
+                        ELSE 0 END AS new_burst
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        b AS (
+            SELECT *,
+                   CAST(SUM(new_burst) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS burst_id
+            FROM f
+        ),
+        a AS (
+            SELECT user_id, burst_id, ts AS anchor_ts,
+                   event_id AS anchor_event_id
+            FROM b
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, burst_id ORDER BY ts, event_id
+            ) = 1
+        )
+        SELECT g.user_id, g.burst_id, a.anchor_ts, a.anchor_event_id,
+               g.n_events, g.n_events - 1 AS n_suppressed
+        FROM (
+            SELECT user_id, burst_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM b GROUP BY user_id, burst_id
+        ) g JOIN a USING (user_id, burst_id)
+    """,
     "graph_kcore": _kcore_sql(),
     "ts_seasonal_index": f"""
         WITH g AS (

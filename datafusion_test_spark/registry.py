@@ -194,6 +194,7 @@ _PRIORITY = [
     "graph_kcore",
     "pipeline_span_corruption",
     "sim_rerank_two_stage",
+    "ts_debounce",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

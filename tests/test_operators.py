@@ -1653,6 +1653,50 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_ts_debounce_matches_bruteforce(spark, sf_dir):
+    """Burst segmentation replayed driver-side: ids dense per user,
+    anchors are the burst's first event, gaps within a burst <= 5 min,
+    gaps between consecutive bursts > 5 min."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        _DEBOUNCE_US,
+        ts_debounce,
+    )
+
+    ev = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    ):
+        us = int(r["ts"].timestamp() * 1_000_000)
+        ev[r["user_id"]].append((r["ts"], r["event_id"], us))
+    exp = {}
+    for uid, rows in ev.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        bid = 0
+        prev_us = None
+        bursts = collections.defaultdict(list)
+        for ts, eid, us in rows:
+            if prev_us is None or us - prev_us > _DEBOUNCE_US:
+                bid += 1
+            bursts[bid].append((ts, eid))
+            prev_us = us
+        for b, items in bursts.items():
+            exp[(uid, b)] = (items[0][0], items[0][1], len(items))
+    got = {
+        (r["user_id"], r["burst_id"]): (
+            r["anchor_ts"],
+            r["anchor_event_id"],
+            r["n_events"],
+        )
+        for r in ts_debounce(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
 def test_sim_rerank_two_stage_matches_bruteforce(spark, sf_dir):
     """Stage-1 candidate cut and stage-2 rerank replayed driver-side with
     the same quantization must give the identical final top-10; the query
