@@ -1082,7 +1082,50 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_PCTS = (30, 50, 70, 90)  # Jaccard thresholds, in percent
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity curve for near-dup removal — how many pairs
+    (and how many distinct removable docs) the shingle-Jaccard gate
+    flags at θ = 0.30/0.50/0.70/0.90.  The calibration table a corpus
+    team reads BEFORE fixing the dedup threshold: the knee of this curve
+    is where boilerplate ends and true duplicates begin.
+
+    The verdicts are integer cross-multiplications (100·common ≥
+    θ%·union) over the SAME capped inverted-index pair relation as
+    dedup_ngram_jaccard/_containment (shared _shingle_pairs), so the
+    sweep prices exactly the production gate.  Removable docs = distinct
+    doc_b (the keep-min-doc_id convention).
+
+    Scale: the pair relation is computed ONCE; the sweep is one
+    conditional aggregate over it — 4 extra counters, zero extra
+    shuffles.
+    """
+    pairs = _shingle_pairs(spark, sf_dir)
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    aggs = []
+    for t in _SWEEP_PCTS:
+        hit = 100 * F.col("n_common") >= t * union
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"p{t}")
+        )
+        aggs.append(
+            F.count_distinct(F.when(hit, F.col("doc_b"))).alias(f"d{t}")
+        )
+    one = pairs.agg(*aggs)
+    stacked = ", ".join(
+        f"{t}, cast(p{t} as bigint), cast(d{t} as bigint)"
+        for t in _SWEEP_PCTS
+    )
+    return one.selectExpr(
+        f"stack({len(_SWEEP_PCTS)}, {stacked})"
+        " as (theta_pct, n_pairs, n_docs_removable)"
+    )
+
+
 QUERIES = {
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_resolve": dedup_resolve,
     "er_fuzzy_blocked": er_fuzzy_blocked,
     "er_multipass": er_multipass,
@@ -1130,7 +1173,23 @@ _JACCARD_CTES = f"""sh AS (
             WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) >= 0.6
         )"""
 
+_SWEEP_BRANCH = """
+        SELECT {t} AS theta_pct,
+               CAST(COALESCE(SUM(CASE WHEN 100 * n_common >=
+                   {t} * (n_a + n_b - n_common) THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT CASE WHEN 100 * n_common >=
+                   {t} * (n_a + n_b - n_common) THEN doc_b END)
+                   AS BIGINT) AS n_docs_removable
+        FROM cpairs"""
+
 ORACLE = {
+    "dedup_threshold_sweep": "WITH {ctes}\n{branches}".format(
+        ctes=_JACCARD_CTES,
+        branches=" UNION ALL ".join(
+            _SWEEP_BRANCH.format(t=t) for t in _SWEEP_PCTS
+        ),
+    ),
     "graph_triangles": f"""
         WITH {{_JACCARD_CTES}},
         exact AS (

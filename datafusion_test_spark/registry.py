@@ -195,6 +195,7 @@ _PRIORITY = [
     "pipeline_span_corruption",
     "sim_rerank_two_stage",
     "ts_debounce",
+    "dedup_threshold_sweep",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

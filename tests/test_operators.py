@@ -1653,6 +1653,33 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the flagged set; theta=0.30
+    must flag at least the pairs theta=0.60 (the production gate) does,
+    and counts must be consistent (docs <= pairs, both >= 0)."""
+    from datafusion_test_spark.pipeline.dedup import (
+        _SWEEP_PCTS,
+        dedup_threshold_sweep,
+        dedup_ngram_jaccard,
+    )
+
+    rows = {
+        r["theta_pct"]: (r["n_pairs"], r["n_docs_removable"])
+        for r in dedup_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(_SWEEP_PCTS)
+    prev_pairs = prev_docs = None
+    for t in sorted(rows):
+        np_, nd = rows[t]
+        assert 0 <= nd <= np_
+        if prev_pairs is not None:
+            assert np_ <= prev_pairs and nd <= prev_docs
+        prev_pairs, prev_docs = np_, nd
+    # the 0.5 sweep point must dominate the production 0.6 gate's count
+    n_gate = dedup_ngram_jaccard(spark, sf_dir).count()
+    assert rows[50][0] >= n_gate >= rows[70][0]
+
+
 def test_ts_debounce_matches_bruteforce(spark, sf_dir):
     """Burst segmentation replayed driver-side: ids dense per user,
     anchors are the burst's first event, gaps within a burst <= 5 min,
