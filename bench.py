@@ -158,6 +158,17 @@ HEADLINE = [
     "sub_quantified",
     "win_running_distinct",
     "corpus_vocab_growth",
+    "pipeline_preference_pairs",
+    "pipeline_sft_transcripts",
+    "ts_seasonal_index",
+    "text_blocklist_filter",
+    "rollup_ohlc",
+    "eval_ab_ztest",
+    "graph_kcore",
+    "pipeline_span_corruption",
+    "sim_rerank_two_stage",
+    "ts_debounce",
+    "dedup_threshold_sweep",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

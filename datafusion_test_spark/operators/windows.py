@@ -345,7 +345,48 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT — each order's share of its customer's total
+    spend, plus the running (Pareto) share along the customer's order
+    history.  The contribution-analysis window ANSI engines expose as
+    ratio_to_report(x) OVER (PARTITION BY ...), built here from a
+    partition-total window and an exact divide: prices are cents-scaled
+    to int64, so both shares are single IEEE divides of exact integers
+    (half-up rounded identically in both engines).
+
+    Scale: one hash exchange on the customer key feeds all three frames
+    (total, running, row) — Spark plans a single Window node chain."""
+    from .._util import half_up
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    part = Window.partitionBy("o_custkey")
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = o.withColumn("tot", F.sum("cents").over(part)).withColumn(
+        "cum", F.sum("cents").over(run)
+    )
+    return t.select(
+        "o_orderkey",
+        "o_custkey",
+        half_up(F.col("cents") / F.col("tot").cast("double")).alias("share"),
+        half_up(F.col("cum") / F.col("tot").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
 QUERIES = {
+    "win_ratio_to_report": win_ratio_to_report,
     "win_running_distinct": win_running_distinct,
     "win_median_sliding": win_median_sliding,
     "win_rolling_slope": win_rolling_slope,
@@ -429,6 +470,30 @@ def _rolling_slope_oracle() -> str:
 
 
 ORACLE = {
+    "win_ratio_to_report": """
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        t AS (
+            SELECT *,
+                   CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT)
+                       AS tot,
+                   CAST(SUM(cents) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM o
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE)
+                          * 10000 + 0.5) AS DOUBLE) / 10000 AS share,
+               CAST(floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                          * 10000 + 0.5) AS DOUBLE) / 10000 AS cum_share
+        FROM t
+    """,
     # DuckDB's native windowed DISTINCT aggregate — the semantics the
     # Spark-side first-occurrence rewrite must reproduce
     "win_running_distinct": """

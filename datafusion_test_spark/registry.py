@@ -196,6 +196,7 @@ _PRIORITY = [
     "sim_rerank_two_stage",
     "ts_debounce",
     "dedup_threshold_sweep",
+    "win_ratio_to_report",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

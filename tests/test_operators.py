@@ -1653,6 +1653,36 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_win_ratio_to_report_sums_to_one(spark, sf_dir):
+    """Per customer: shares are in (0, 1], sum to ~1 (rounding slack),
+    cum_share is non-decreasing and ends at 1.0."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.windows import win_ratio_to_report
+    from pyspark.sql import functions as F
+
+    order_keys = {
+        r["o_orderkey"]: (r["o_orderdate"], r["o_orderkey"])
+        for r in table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    per_cust = collections.defaultdict(list)
+    for r in win_ratio_to_report(spark, sf_dir).collect():
+        per_cust[r["o_custkey"]].append(r)
+    for rows in per_cust.values():
+        rows.sort(key=lambda r: order_keys[r["o_orderkey"]])
+        tot = sum(r["share"] for r in rows)
+        assert abs(tot - 1.0) <= 0.0001 * len(rows)
+        prev = 0.0
+        for r in rows:
+            assert 0.0 < r["share"] <= 1.0
+            assert r["cum_share"] >= prev - 1e-12
+            prev = r["cum_share"]
+        assert rows[-1]["cum_share"] == 1.0
+
+
 def test_dedup_threshold_sweep_monotone(spark, sf_dir):
     """Raising the threshold can only shrink the flagged set; theta=0.30
     must flag at least the pairs theta=0.60 (the production gate) does,
