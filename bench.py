@@ -177,6 +177,7 @@ HEADLINE = [
 # timed identically but reported as a separate group and excluded from the
 # headline total (VERDICT r3 item 4).
 LAYOUT = [
+    "sim_index_persist",
     "join_bucketed",
     "layout_bucket_agg",
     "join_partition_pruned",

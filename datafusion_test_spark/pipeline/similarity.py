@@ -951,6 +951,70 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index layout — the signature table WRITTEN as a
+    bucket-partitioned parquet warehouse and probed through the layout:
+    build once (rh_signature per vector), write partitionBy(bucket),
+    then serve a query by reading ONLY the probed bucket directories
+    (query bucket + Hamming-1 neighbors).  This is the index-as-table
+    model every production vector store compiles to: probe literals
+    reach the scan as PartitionFilters, so (2^bits − bits − 1)/2^bits of
+    the index is never opened.
+
+    The single query point is fetched client-side (one row) — that IS
+    the serving model; everything corpus-sized stays distributed.  The
+    result row is the claims contract (sim_ivfpq's style, since
+    xxhash64 signatures have no DuckDB twin): self-retrieval at cos 1.0,
+    the probe scan carrying partition filters, and the probed subset
+    being strictly smaller than the index.
+    """
+    import os
+
+    from .._util import scratch_dir
+    from ..plans.introspect import plan_string
+    from ._expr import lsh_bits, rh_signature
+
+    e = table(spark, sf_dir, "embeddings")
+    n_total = e.count()
+    bits = lsh_bits(n_total)
+    sig = e.withColumn(
+        "bucket", rh_signature(F.col("embedding"), bits=bits, dim=_DIM)
+    )
+    out = os.path.join(scratch_dir("dfts_lshidx_"), "lsh_index")
+    sig.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    idx = spark.read.parquet(out)
+
+    qid = e.agg(F.min("vec_id")).collect()[0][0]
+    qrow = idx.filter(F.col("vec_id") == qid).collect()[0]
+    qb = qrow["bucket"]
+    probes = [qb] + [qb ^ (1 << j) for j in range(bits)]
+    probe_df = idx.filter(F.col("bucket").isin(probes))
+    pruned = "PartitionFilters: [" in plan_string(probe_df) and (
+        "bucket" in plan_string(probe_df)
+    )
+    qvec = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    top1 = (
+        probe_df.withColumn("cos", F.round(cosine(F.col("embedding"), qvec), 4))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    n_probed = probe_df.count()
+    return spark.createDataFrame(
+        [
+            (
+                qid,
+                top1["vec_id"] == qid,
+                float(top1["cos"]),
+                bool(pruned),
+                n_probed < n_total,
+            )
+        ],
+        "query_id bigint, self_is_top boolean, top_cos double, "
+        "partition_pruned boolean, probed_subset boolean",
+    )
+
+
 _RERANK_C = 50  # stage-1 candidate budget
 _RERANK_K = 10  # final answer size
 
@@ -1018,6 +1082,7 @@ def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_index_persist": sim_index_persist,
     "sim_rerank_two_stage": sim_rerank_two_stage,
     "sim_ivfpq": sim_ivfpq,
     "agg_vector_centroid": agg_vector_centroid,
@@ -1034,6 +1099,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    # claims contract (sim_ivfpq's style): xxhash64 signatures have no
+    # DuckDB twin, so the oracle states the invariants the harness must
+    # produce from real data
+    "sim_index_persist": """
+        SELECT CAST(min(vec_id) AS BIGINT) AS query_id,
+               true AS self_is_top,
+               CAST(1.0 AS DOUBLE) AS top_cos,
+               true AS partition_pruned,
+               true AS probed_subset
+        FROM embeddings
+    """,
     "sim_rerank_two_stage": f"""
         WITH base AS (
             SELECT vec_id, label, embedding,

@@ -1653,6 +1653,16 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_sim_index_persist_probe_claims(spark, sf_dir):
+    """The persisted-index probe must retrieve the query itself at cos
+    1.0 through a partition-pruned scan of a strict index subset."""
+    from datafusion_test_spark.pipeline.similarity import sim_index_persist
+
+    r = sim_index_persist(spark, sf_dir).collect()[0]
+    assert r["self_is_top"] and r["top_cos"] == 1.0
+    assert r["partition_pruned"] and r["probed_subset"]
+
+
 def test_win_ratio_to_report_sums_to_one(spark, sf_dir):
     """Per customer: shares are in (0, 1], sum to ~1 (rounding slack),
     cum_share is non-decreasing and ends at 1.0."""
