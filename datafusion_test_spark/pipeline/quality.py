@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import sql_half_up as _sql_half_up
+from .._util import DEC, sql_half_up as _sql_half_up
 from ..io import table
 
 # Quality thresholds, chosen to discriminate on the synthetic corpus
@@ -611,7 +611,50 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSEUDO_SALT = "dfts-release-2026"
+
+
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization release — replace user identifiers
+    with salted-hash pseudonyms while PRESERVING joinability (the
+    GDPR-style 'pseudonymised data' release, the complement of
+    text_pii_scrub's destructive redaction): every table keyed by the
+    same salted md5 still joins, but the raw id never leaves the trusted
+    zone.  Output is the released per-pseudonym activity summary plus a
+    `no_collisions` audit bit proving the mapping stayed injective on
+    this corpus (the release gate).
+
+    Scale: the pseudonym is a map-side expression (no mapping table to
+    ship or look up — the salt is the secret); the summary is one
+    groupBy on the pseudonym, and the collision audit compares two
+    count-distincts sharing the scan.  Rotating the salt per release
+    epoch kills cross-release linkability — the standard practice the
+    docstring contract encodes.
+    """
+    e = table(spark, sf_dir, "events")
+    p = F.md5(F.concat(F.lit(_PSEUDO_SALT), F.col("user_id").cast("string")))
+    t = e.select(p.alias("pseudonym"), "user_id", "event_type", "value")
+    g = t.groupBy("pseudonym").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    audit = t.agg(
+        (
+            F.countDistinct("pseudonym") == F.countDistinct("user_id")
+        ).alias("no_collisions")
+    )
+    return g.crossJoin(F.broadcast(audit)).select(
+        "pseudonym",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "total_value",
+        "no_collisions",
+    )
+
+
 QUERIES = {
+    "privacy_pseudonymize": privacy_pseudonymize,
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_l_diversity": privacy_l_diversity,
     "drift_ks": drift_ks,
@@ -633,6 +676,29 @@ _SQL_KS_RATIO = _sql_half_up(
 )
 
 ORACLE = {
+    "privacy_pseudonymize": f"""
+        WITH t AS (
+            SELECT md5('{_PSEUDO_SALT}' || CAST(user_id AS VARCHAR))
+                       AS pseudonym,
+                   user_id, event_type, value
+            FROM events
+        ),
+        g AS (
+            SELECT pseudonym,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_value
+            FROM t GROUP BY pseudonym
+        ),
+        audit AS (
+            SELECT (count(DISTINCT pseudonym) = count(DISTINCT user_id))
+                       AS no_collisions
+            FROM t
+        )
+        SELECT pseudonym, n_events, n_types, total_value, no_collisions
+        FROM g CROSS JOIN audit
+    """,
     "privacy_k_anonymity": f"""
         SELECT lang, source, count(*) AS n_docs,
                (count(*) < {_KANON_K}) AS suppressed,

@@ -198,6 +198,7 @@ _PRIORITY = [
     "dedup_threshold_sweep",
     "win_ratio_to_report",
     "sim_index_persist",
+    "privacy_pseudonymize",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

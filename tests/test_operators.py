@@ -1653,6 +1653,36 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_privacy_pseudonymize_joinable_and_injective(spark, sf_dir):
+    """The salted mapping must be injective on this corpus (audit bit
+    true, one row per user), deterministic (re-run gives identical
+    pseudonyms), and the released summary must match per-user activity."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.quality import privacy_pseudonymize
+    from pyspark.sql import functions as F
+
+    users = collections.Counter()
+    for r in table(spark, sf_dir, "events").select("user_id").collect():
+        users[r["user_id"]] += 1
+    r1 = privacy_pseudonymize(spark, sf_dir).collect()
+    r2 = privacy_pseudonymize(spark, sf_dir).collect()
+    assert {x["pseudonym"] for x in r1} == {x["pseudonym"] for x in r2}
+    assert len(r1) == len(users)
+    assert all(x["no_collisions"] for x in r1)
+    assert sorted(x["n_events"] for x in r1) == sorted(users.values())
+    # no raw id appears in any released column
+    for x in r1:
+        assert set(x.asDict()) == {
+            "pseudonym",
+            "n_events",
+            "n_types",
+            "total_value",
+            "no_collisions",
+        }
+
+
 def test_sim_index_persist_probe_claims(spark, sf_dir):
     """The persisted-index probe must retrieve the query itself at cos
     1.0 through a partition-pruned scan of a strict index subset."""
