@@ -1124,7 +1124,61 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction (survivorship) — after entity
+    clustering, merge each multi-member duplicate cluster into ONE
+    canonical record by per-attribute rules: completeness (max n_chars),
+    majority vote (modal lang, ties alphabetical), priority pick (min
+    source), provenance (member count, earliest doc_id).  The MDM step
+    that turns dedup_resolve's keep-list into the record a consumer
+    reads.
+
+    Plan: the star relation (dedup_clusters' fixpoint) joins document
+    attributes on doc_id; the vote is one (cluster, lang) count plus a
+    per-cluster rank window — every stage bounded by cluster size.  At
+    100 TB the golden table is the bucketed upsert target the next
+    incremental resolve merges into (merge_upsert's layout).
+    """
+    stars = _dup_stars(spark, sf_dir)
+    roots = stars.select(
+        F.col("v").alias("cluster_id"), F.col("v").alias("doc_id")
+    ).distinct()
+    members = stars.select(
+        F.col("v").alias("cluster_id"), F.col("u").alias("doc_id")
+    ).unionByName(roots)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang", "source"
+    )
+    m = members.join(d, "doc_id")
+    votes = m.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    wv = Window.partitionBy("cluster_id").orderBy(
+        F.desc("nv"), F.asc("lang")
+    )
+    modal = votes.withColumn("rk", F.row_number().over(wv)).filter(
+        F.col("rk") == 1
+    ).select("cluster_id", F.col("lang").alias("modal_lang"))
+    g = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("first_seen"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("source").alias("src_pick"),
+    )
+    return g.join(modal, "cluster_id").select(
+        "cluster_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("first_seen").cast("long").alias("first_seen"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "src_pick",
+        "modal_lang",
+    )
+
+
 QUERIES = {
+    "er_survivorship": er_survivorship,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_resolve": dedup_resolve,
     "er_fuzzy_blocked": er_fuzzy_blocked,
@@ -1402,6 +1456,60 @@ ORACLE = {
                TRUE AS found_all_planted
         FROM low
     """,
+    "er_survivorship": """
+        WITH RECURSIVE {_JACCARD_CTES},
+        exact AS (
+            SELECT mn AS src, doc_id AS dst FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS mn
+                FROM documents
+            ) WHERE mn <> doc_id
+        ),
+        edges AS (
+            SELECT src, dst FROM exact
+            UNION SELECT doc_a, doc_b FROM jpairs
+        ),
+        sym AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach(node, anc) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.dst, r.anc FROM reach r JOIN sym s ON s.src = r.node
+        ),
+        labels AS (
+            SELECT node AS doc_id, MIN(anc) AS label FROM reach GROUP BY node
+        ),
+        multi AS (
+            SELECT label FROM labels GROUP BY label HAVING COUNT(*) > 1
+        ),
+        m AS (
+            SELECT l.label AS cluster_id, d.doc_id, d.n_chars, d.lang,
+                   d.source
+            FROM labels l
+            JOIN multi mu ON l.label = mu.label
+            JOIN documents d ON d.doc_id = l.doc_id
+        ),
+        modal AS (
+            SELECT cluster_id, lang AS modal_lang
+            FROM (SELECT cluster_id, lang, count(*) AS nv
+                  FROM m GROUP BY cluster_id, lang)
+            QUALIFY row_number() OVER (
+                PARTITION BY cluster_id ORDER BY nv DESC, lang ASC
+            ) = 1
+        )
+        SELECT g.cluster_id,
+               CAST(g.n_members AS BIGINT) AS n_members,
+               CAST(g.first_seen AS BIGINT) AS first_seen,
+               CAST(g.max_chars AS BIGINT) AS max_chars,
+               CAST(g.total_chars AS BIGINT) AS total_chars,
+               g.src_pick, mo.modal_lang
+        FROM (
+            SELECT cluster_id, count(*) AS n_members,
+                   min(doc_id) AS first_seen, max(n_chars) AS max_chars,
+                   SUM(n_chars) AS total_chars, min(source) AS src_pick
+            FROM m GROUP BY cluster_id
+        ) g JOIN modal mo USING (cluster_id)
+    """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_resolve": """
         WITH RECURSIVE {_JACCARD_CTES},
         exact AS (

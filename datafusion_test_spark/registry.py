@@ -199,6 +199,7 @@ _PRIORITY = [
     "win_ratio_to_report",
     "sim_index_persist",
     "privacy_pseudonymize",
+    "er_survivorship",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

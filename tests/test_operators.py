@@ -1653,6 +1653,46 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_er_survivorship_consistent_with_resolve(spark, sf_dir):
+    """Golden records must cover exactly dedup_resolve's clusters, with
+    max_chars equal to the keeper's length (completeness rule) and the
+    modal lang actually being a member's lang with maximal vote count."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.dedup import (
+        dedup_resolve,
+        er_survivorship,
+    )
+
+    res = dedup_resolve(spark, sf_dir).collect()
+    members = collections.defaultdict(list)
+    keeper_chars = {}
+    for r in res:
+        members[r["cluster_id"]].append(r["doc_id"])
+        if r["keep"]:
+            keeper_chars[r["cluster_id"]] = r["n_chars"]
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    gold = {r["cluster_id"]: r for r in er_survivorship(spark, sf_dir).collect()}
+    assert set(gold) == set(members)
+    for cid, g in gold.items():
+        ms = members[cid]
+        assert g["n_members"] == len(ms)
+        assert g["first_seen"] == min(ms)
+        assert g["max_chars"] == keeper_chars[cid]
+        votes = collections.Counter(langs[d] for d in ms)
+        best = max(votes.values())
+        assert votes[g["modal_lang"]] == best
+        assert g["modal_lang"] == min(
+            l for l, v in votes.items() if v == best
+        )
+
+
 def test_privacy_pseudonymize_joinable_and_injective(spark, sf_dir):
     """The salted mapping must be injective on this corpus (audit bit
     true, one row per user), deterministic (re-run gives identical
