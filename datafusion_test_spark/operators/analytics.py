@@ -903,7 +903,64 @@ def ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra — classify the temporal relation
+    (before / meets / overlaps / starts / during / finishes / equal,
+    plus the inverses collapsed by ordering) between each user's
+    activity intervals per event type.  The temporal-reasoning surface
+    interval stores expose; here each (user, event_type) activity span
+    [min ts, max ts] is one interval and every type pair per user is
+    classified.  All comparisons in exact unix MICROSECONDS, so the
+    13-way boundary cases (meets vs overlaps needs equality) are
+    bit-deterministic.
+
+    Pairs are ordered (start_a, end_a, type_a) ≤ (start_b, end_b,
+    type_b), so only the 7 forward relations appear.  Scale: one
+    groupBy to build ≤ |types| intervals per user, then a per-user
+    self-join bounded by |types|² = 25 — never corpus-quadratic.
+    """
+    e = table(spark, sf_dir, "events")
+    iv = e.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            F.struct(
+                F.col("a.s"), F.col("a.e"), F.col("a.event_type")
+            )
+            < F.struct(F.col("b.s"), F.col("b.e"), F.col("b.event_type"))
+        ),
+    )
+    sa, ea, sb, eb = (
+        F.col("a.s"),
+        F.col("a.e"),
+        F.col("b.s"),
+        F.col("b.e"),
+    )
+    rel = (
+        F.when((sa == sb) & (ea == eb), "equal")
+        .when(ea < sb, "before")
+        .when(ea == sb, "meets")
+        .when(sa == sb, "starts")
+        .when(ea == eb, "finishes")
+        .when((sa < sb) & (ea > eb), "contains")
+        .when((sa < sb) & (ea < eb), "overlaps")
+        .otherwise("during")
+    )
+    return pairs.select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        rel.alias("relation"),
+    )
+
+
 QUERIES = {
+    "join_interval_relations": join_interval_relations,
     "ts_debounce": ts_debounce,
     "graph_kcore": graph_kcore,
     "ts_seasonal_index": ts_seasonal_index,
@@ -968,6 +1025,27 @@ def _kcore_sql() -> str:
 
 
 ORACLE = {
+    "join_interval_relations": """
+        WITH iv AS (
+            SELECT user_id, event_type,
+                   min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+               CASE
+                   WHEN a.s = b.s AND a.e = b.e THEN 'equal'
+                   WHEN a.e < b.s THEN 'before'
+                   WHEN a.e = b.s THEN 'meets'
+                   WHEN a.s = b.s THEN 'starts'
+                   WHEN a.e = b.e THEN 'finishes'
+                   WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+                   WHEN a.s < b.s AND a.e < b.e THEN 'overlaps'
+                   ELSE 'during'
+               END AS relation
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id
+         AND (a.s, a.e, a.event_type) < (b.s, b.e, b.event_type)
+    """,
     "ts_debounce": f"""
         WITH e AS (
             SELECT user_id, ts, event_id,

@@ -200,6 +200,7 @@ _PRIORITY = [
     "sim_index_persist",
     "privacy_pseudonymize",
     "er_survivorship",
+    "join_interval_relations",
     # --- driver-verified green in r01|r02|r03 — re-verify last ---
     "fn_cast",
     "stream_foreach_batch",

@@ -1653,6 +1653,50 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_join_interval_relations_definitions(spark, sf_dir):
+    """Each emitted relation must satisfy Allen's definition on the
+    replayed microsecond intervals, and each user must contribute
+    exactly C(n_types, 2) ordered pairs."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        join_interval_relations,
+    )
+    from pyspark.sql import functions as F
+
+    iv = {}
+    for r in (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+        .collect()
+    ):
+        iv[(r["user_id"], r["event_type"])] = (r["s"], r["e"])
+    n_types = collections.Counter(u for u, _ in iv)
+    rows = join_interval_relations(spark, sf_dir).collect()
+    per_user = collections.Counter(r["user_id"] for r in rows)
+    for u, n in n_types.items():
+        assert per_user[u] == n * (n - 1) // 2
+    defs = {
+        "equal": lambda sa, ea, sb, eb: sa == sb and ea == eb,
+        "before": lambda sa, ea, sb, eb: ea < sb,
+        "meets": lambda sa, ea, sb, eb: ea == sb,
+        "starts": lambda sa, ea, sb, eb: sa == sb and ea < eb,
+        "finishes": lambda sa, ea, sb, eb: sa < sb and ea == eb,
+        "contains": lambda sa, ea, sb, eb: sa < sb and ea > eb,
+        "overlaps": lambda sa, ea, sb, eb: sa < sb < ea < eb,
+    }
+    for r in rows:
+        sa, ea = iv[(r["user_id"], r["type_a"])]
+        sb, eb = iv[(r["user_id"], r["type_b"])]
+        assert r["relation"] in defs
+        assert defs[r["relation"]](sa, ea, sb, eb), (r, sa, ea, sb, eb)
+
+
 def test_er_survivorship_consistent_with_resolve(spark, sf_dir):
     """Golden records must cover exactly dedup_resolve's clusters, with
     max_chars equal to the keeper's length (completeness rule) and the
