@@ -273,11 +273,68 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g
 
 
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reason-coded admission gate — the production corpus filter that
+    AND-composes independent quality rules and records WHY each document
+    failed (reason codes are what let a data team tune one rule without
+    re-running the others): Gopher heuristics (text_quality_gopher's
+    pass bit), language identified (text_langid ≠ 'und'), blocklist
+    density (text_blocklist_filter), and exact-duplicate keeper status
+    (dedup_exact's min-doc_id convention).  Each rule is THE operator's
+    own relation, imported — not re-stated — so the gate can never
+    drift from its components (the langid_exprs single-source
+    discipline, and the oracle composes the same components' SQL).
+
+    Scale: each rule is an independent map-heavy relation joined back on
+    doc_id; a production deployment fuses them into one scan (the rules
+    are all projections + bounded aggregates), at the cost of exactly
+    the modularity this operator exists to demonstrate.
+    """
+    from .quality import text_quality_gopher
+    from .text import text_blocklist_filter, text_langid
+
+    g = text_quality_gopher(spark, sf_dir).select("doc_id", "pass_quality")
+    b = text_blocklist_filter(spark, sf_dir).select("doc_id", "flagged")
+    l = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    keeper = d.withColumn(
+        "is_keeper",
+        F.row_number().over(
+            Window.partitionBy("text").orderBy("doc_id")
+        )
+        == 1,
+    ).select("doc_id", "is_keeper")
+    j = (
+        g.join(b, "doc_id").join(l, "doc_id").join(keeper, "doc_id")
+    )
+    fails = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(~F.col("pass_quality"), F.lit("gopher")),
+                F.when(F.col("pred_lang") == "und", F.lit("langid")),
+                F.when(F.col("flagged"), F.lit("blocklist")),
+                F.when(~F.col("is_keeper"), F.lit("duplicate")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.col("pass_quality").alias("ok_gopher"),
+        (F.col("pred_lang") != "und").alias("ok_langid"),
+        (~F.col("flagged")).alias("ok_blocklist"),
+        F.col("is_keeper").alias("ok_unique"),
+        F.array_join(fails, ",").alias("reasons"),
+        (F.size(fails) == 0).alias("admitted"),
+    )
+
+
 QUERIES = {
     "pipeline_prep": pipeline_prep,
     "pipeline_preference_pairs": pipeline_preference_pairs,
     "pipeline_sft_transcripts": pipeline_sft_transcripts,
     "pipeline_span_corruption": pipeline_span_corruption,
+    "pipeline_quality_gate": pipeline_quality_gate,
 }
 
 ORACLE = {
@@ -410,3 +467,48 @@ ORACLE = {
         FROM m GROUP BY doc_id
     """,
 }
+
+
+def _quality_gate_oracle() -> str:
+    """Composes the COMPONENT operators' own oracle SQL as CTE bodies —
+    the oracle-side twin of the gate importing the operators' relations,
+    so rule drift breaks both sides together."""
+    from .quality import ORACLE as _QO
+    from .text import ORACLE as _TO
+
+    return f"""
+        WITH gq AS ({_QO["text_quality_gopher"]}),
+        bq AS ({_TO["text_blocklist_filter"]}),
+        lq AS ({_TO["text_langid"]}),
+        kq AS (
+            SELECT doc_id,
+                   (row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                    = 1) AS is_keeper
+            FROM documents
+        ),
+        j AS (
+            SELECT gq.doc_id, gq.pass_quality, bq.flagged, lq.pred_lang,
+                   kq.is_keeper,
+                   list_sort(list_filter([
+                       CASE WHEN NOT gq.pass_quality THEN 'gopher' END,
+                       CASE WHEN lq.pred_lang = 'und' THEN 'langid' END,
+                       CASE WHEN bq.flagged THEN 'blocklist' END,
+                       CASE WHEN NOT kq.is_keeper THEN 'duplicate' END],
+                       x -> x IS NOT NULL)) AS fails
+            FROM gq
+            JOIN bq USING (doc_id)
+            JOIN lq USING (doc_id)
+            JOIN kq USING (doc_id)
+        )
+        SELECT doc_id,
+               pass_quality AS ok_gopher,
+               (pred_lang <> 'und') AS ok_langid,
+               (NOT flagged) AS ok_blocklist,
+               is_keeper AS ok_unique,
+               COALESCE(array_to_string(fails, ','), '') AS reasons,
+               (len(fails) = 0) AS admitted
+        FROM j
+    """
+
+
+ORACLE["pipeline_quality_gate"] = _quality_gate_oracle()

@@ -1653,6 +1653,53 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_pipeline_quality_gate_composes_components(spark, sf_dir):
+    """The gate's per-rule bits must equal the component operators'
+    verdicts, reasons must list exactly the failed rules sorted, and
+    admitted must be the AND of all four."""
+    from datafusion_test_spark.pipeline.prep import pipeline_quality_gate
+    from datafusion_test_spark.pipeline.quality import text_quality_gopher
+    from datafusion_test_spark.pipeline.text import (
+        text_blocklist_filter,
+        text_langid,
+    )
+
+    gop = {
+        r["doc_id"]: r["pass_quality"]
+        for r in text_quality_gopher(spark, sf_dir).collect()
+    }
+    blk = {
+        r["doc_id"]: r["flagged"]
+        for r in text_blocklist_filter(spark, sf_dir).collect()
+    }
+    lid = {
+        r["doc_id"]: r["pred_lang"]
+        for r in text_langid(spark, sf_dir).collect()
+    }
+    rows = pipeline_quality_gate(spark, sf_dir).collect()
+    assert len(rows) == len(gop)
+    n_admitted = 0
+    for r in rows:
+        d = r["doc_id"]
+        assert r["ok_gopher"] == gop[d]
+        assert r["ok_blocklist"] == (not blk[d])
+        assert r["ok_langid"] == (lid[d] != "und")
+        exp_fail = sorted(
+            name
+            for name, ok in [
+                ("gopher", r["ok_gopher"]),
+                ("langid", r["ok_langid"]),
+                ("blocklist", r["ok_blocklist"]),
+                ("duplicate", r["ok_unique"]),
+            ]
+            if not ok
+        )
+        assert r["reasons"] == ",".join(exp_fail)
+        assert r["admitted"] == (not exp_fail)
+        n_admitted += r["admitted"]
+    assert 0 < n_admitted < len(rows)
+
+
 def test_join_interval_relations_definitions(spark, sf_dir):
     """Each emitted relation must satisfy Allen's definition on the
     replayed microsecond intervals, and each user must contribute
