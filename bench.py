@@ -169,6 +169,11 @@ HEADLINE = [
     "sim_rerank_two_stage",
     "ts_debounce",
     "dedup_threshold_sweep",
+    "win_ratio_to_report",
+    "privacy_pseudonymize",
+    "er_survivorship",
+    "join_interval_relations",
+    "pipeline_quality_gate",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

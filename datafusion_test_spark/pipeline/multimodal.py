@@ -280,7 +280,66 @@ def mm_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample manifest — the gather step before multimodal
+    training: align every sample id's modalities (caption text,
+    embedding vector, raw blob) via outer joins, flag what is present,
+    and assign complete samples to md5-drawn shards.  Simulated
+    incompleteness: captions missing for id ≡ 0 (mod 9), vectors for
+    id ≡ 0 (mod 11); blob presence follows scan_binary_files' fixture
+    rule (id ≡ 0 mod 13) so the manifest agrees with the blob store.
+
+    This is the completeness ledger a dataloader consumes: `complete`
+    requires caption + vector (blob optional metadata here), shard is
+    the deterministic md5 bucket (split_train_holdout's draw).
+
+    Scale: two outer joins on the sample id (bucket all modality tables
+    on it and they are zero-exchange), one map-side projection after —
+    no aggregate at all, linear at any corpus size.
+    """
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 != 0)
+        .select(F.col("doc_id").alias("sample_id"), "n_chars")
+    )
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 11 != 0)
+        .select(F.col("vec_id").alias("sample_id"), "label")
+    )
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("sample_id"))
+        .unionByName(
+            table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("sample_id")
+            )
+        )
+        .distinct()
+    )
+    j = ids.join(d, "sample_id", "left").join(e, "sample_id", "left")
+    has_text = F.col("n_chars").isNotNull()
+    has_vec = F.col("label").isNotNull()
+    complete = has_text & has_vec
+    # first md5 hex char -> 0..15 -> 8 shards; strpos-based so both
+    # engines share the exact same string-to-int path (no conv()/from_hex
+    # dialect divergence)
+    shard = F.expr(
+        "(instr('0123456789abcdef',"
+        " substring(md5(cast(sample_id as string)), 1, 1)) - 1) DIV 2"
+    ).cast("long")
+    return j.select(
+        "sample_id",
+        has_text.alias("has_text"),
+        has_vec.alias("has_embedding"),
+        (F.col("sample_id") % 13 == 0).alias("has_blob"),
+        complete.alias("complete"),
+        F.when(complete, shard).alias("shard"),
+    )
+
+
 QUERIES = {
+    "mm_dataset_manifest": mm_dataset_manifest,
     "mm_clip_filter": mm_clip_filter,
     "multimodal_cols": multimodal_cols,
     "mm_binary_meta": mm_binary_meta,
@@ -306,6 +365,33 @@ def _clip_oracle() -> str:
 
 
 ORACLE = {
+    "mm_dataset_manifest": """
+        WITH ids AS (
+            SELECT doc_id AS sample_id FROM documents
+            UNION SELECT vec_id FROM embeddings
+        ),
+        d AS (
+            SELECT doc_id AS sample_id, n_chars FROM documents
+            WHERE doc_id % 9 <> 0
+        ),
+        e AS (
+            SELECT vec_id AS sample_id, label FROM embeddings
+            WHERE vec_id % 11 <> 0
+        )
+        SELECT i.sample_id,
+               (d.n_chars IS NOT NULL) AS has_text,
+               (e.label IS NOT NULL) AS has_embedding,
+               (i.sample_id % 13 = 0) AS has_blob,
+               (d.n_chars IS NOT NULL AND e.label IS NOT NULL) AS complete,
+               CASE WHEN d.n_chars IS NOT NULL AND e.label IS NOT NULL
+                    THEN CAST((strpos('0123456789abcdef', substring(
+                             md5(CAST(i.sample_id AS VARCHAR)), 1, 1)) - 1)
+                             // 2 AS BIGINT)
+               END AS shard
+        FROM ids i
+        LEFT JOIN d USING (sample_id)
+        LEFT JOIN e USING (sample_id)
+    """,
     "mm_clip_filter": _clip_oracle(),
     "multimodal_cols": """
         SELECT d.doc_id, d.lang, d.n_chars,

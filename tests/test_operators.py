@@ -1653,6 +1653,34 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_mm_dataset_manifest_completeness_rules(spark, sf_dir):
+    """Flags must follow the modality rules exactly, complete ==
+    text AND vector, shard only for complete samples and in 0..7."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.multimodal import mm_dataset_manifest
+
+    doc_ids = {
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    vec_ids = {
+        r["vec_id"]
+        for r in table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    }
+    rows = mm_dataset_manifest(spark, sf_dir).collect()
+    assert {r["sample_id"] for r in rows} == doc_ids | vec_ids
+    for r in rows:
+        sid = r["sample_id"]
+        assert r["has_text"] == (sid in doc_ids and sid % 9 != 0)
+        assert r["has_embedding"] == (sid in vec_ids and sid % 11 != 0)
+        assert r["has_blob"] == (sid % 13 == 0)
+        assert r["complete"] == (r["has_text"] and r["has_embedding"])
+        if r["complete"]:
+            assert 0 <= r["shard"] <= 7
+        else:
+            assert r["shard"] is None
+
+
 def test_pipeline_quality_gate_composes_components(spark, sf_dir):
     """The gate's per-rule bits must equal the component operators'
     verdicts, reasons must list exactly the failed rules sorted, and
