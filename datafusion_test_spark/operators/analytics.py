@@ -959,7 +959,52 @@ def join_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-scaling step of
+    every tabular training pipeline, grouped by event type so each
+    feature distribution is normalized against its own cohort.
+
+    Determinism: each group reduces to exact cents-scaled integers
+    (n, Σv, Σv²); mean and sample variance are single double expressions
+    over them, and sqrt is IEEE-correctly-rounded (the one libm-adjacent
+    function the 754 standard pins), so z = (v − μ)/σ is bit-identical
+    cross-engine, half-up rounded to 4 places.  Groups with σ = 0 or
+    n < 2 emit NULL (constant features carry no signal).
+
+    Scale: one map-side-combined groupBy builds the 3-integer sketch per
+    group (bounded cardinality → broadcast back onto the scan); the
+    standardized column is then pure projection — the fact table never
+    shuffles.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
+    rows = e.select("event_id", "event_type", "value", v.alias("v_s"))
+    g = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_s").alias("s"),
+        F.sum(F.col("v_s") * F.col("v_s")).alias("q"),
+    )
+    j = rows.join(F.broadcast(g), "event_type")
+    num = (F.col("n") * F.col("v_s") - F.col("s")).cast("double")
+    var_num = (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double")
+    # z = (n·v − S) / (n·sqrt(var_num/(n·(n−1)))) stated as one tree;
+    # scale factors cancel, so no 10^4 appears
+    den = F.col("n").cast("double") * F.sqrt(
+        var_num / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    ok = (F.col("n") > 1) & (var_num > 0)
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(ok, half_up(num / den)).alias("z"),
+    )
+
+
 QUERIES = {
+    "feature_standardize": feature_standardize,
     "join_interval_relations": join_interval_relations,
     "ts_debounce": ts_debounce,
     "graph_kcore": graph_kcore,
@@ -1024,7 +1069,31 @@ def _kcore_sql() -> str:
     return "".join(body)
 
 
+_STD_Z = (
+    "(CAST(n * v_s - s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE)"
+    "    * sqrt(CAST(n * q - s * s AS DOUBLE)"
+    "           / CAST(n * (n - 1) AS DOUBLE))))"
+)
+
 ORACLE = {
+    "feature_standardize": f"""
+        WITH rows_ AS (
+            SELECT event_id, event_type, value,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events WHERE value IS NOT NULL
+        ),
+        g AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(v_s) AS BIGINT) AS s,
+                   CAST(SUM(v_s * v_s) AS BIGINT) AS q
+            FROM rows_ GROUP BY event_type
+        )
+        SELECT r.event_id, r.event_type, r.value,
+               CASE WHEN n > 1 AND n * q - s * s > 0
+                    THEN {_sql_hu(_STD_Z)} END AS z
+        FROM rows_ r JOIN g USING (event_type)
+    """,
     "join_interval_relations": """
         WITH iv AS (
             SELECT user_id, event_type,

