@@ -459,7 +459,76 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CK_HEX = "0123456789abcdef"
+
+
+def _ck_expr(row_str: str, instr_fn: str) -> str:
+    """Order-independent row fingerprint: md5 of the canonical row
+    string, first 8 hex chars folded to an int64 via per-char strpos —
+    a hash-to-int path with NO dialect divergence (conv()/from_hex
+    differ across engines; strpos does not).  Shared verbatim by the
+    Spark expression (instr) and the oracle (strpos)."""
+    terms = " + ".join(
+        f"(CAST({instr_fn}('{_CK_HEX}',"
+        f" substring(md5({row_str}), {k}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    )
+    return f"({terms})"
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the cross-environment
+    equality audit run after a migration/backfill: each row canonicalizes
+    to a '|'-joined string (floats carried as cents-scaled integers —
+    raw double-to-string formatting is NOT portable across engines), the
+    row hashes to an int64, and the table fingerprint is the SUM of row
+    hashes plus the row count.  Any changed/missing/extra row moves the
+    sum; row order and partitioning never do (sum is commutative), so
+    two engines — or two clusters — can compare tables without sorting
+    or co-locating anything.
+
+    Scale: pure map-side projection + one global 2-cell reduce per
+    table; the cheapest possible full-table integrity check, and the
+    complement of table_diff (which names the differing keys once this
+    checksum says they differ).
+    """
+    specs = {
+        "orders": (
+            "concat_ws('|', cast(o_orderkey as string), o_orderstatus,"
+            " o_orderpriority,"
+            " cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            " as string))"
+        ),
+        "customer": (
+            "concat_ws('|', cast(c_custkey as string), c_name,"
+            " c_mktsegment, cast(c_nationkey as string))"
+        ),
+        "nation": (
+            "concat_ws('|', cast(n_nationkey as string), n_name,"
+            " cast(n_regionkey as string))"
+        ),
+    }
+    outs = []
+    for name, row_str in specs.items():
+        t = table(spark, sf_dir, name)
+        outs.append(
+            t.select(
+                F.expr(_ck_expr(row_str, "instr")).alias("h")
+            ).agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("h").cast("long").alias("checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 QUERIES = {
+    "table_checksum": table_checksum,
     "table_diff": table_diff,
     "layout_bucket_agg": layout_bucket_agg,
     "dq_audit": dq_audit,
@@ -471,7 +540,35 @@ QUERIES = {
     "layout_compaction": layout_compaction,
 }
 
+def _checksum_oracle() -> str:
+    branches = []
+    for name, row_str in {
+        "orders": (
+            "concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,"
+            " o_orderpriority,"
+            " CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " AS VARCHAR))"
+        ),
+        "customer": (
+            "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,"
+            " c_mktsegment, CAST(c_nationkey AS VARCHAR))"
+        ),
+        "nation": (
+            "concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,"
+            " CAST(n_regionkey AS VARCHAR))"
+        ),
+    }.items():
+        branches.append(
+            f"SELECT '{name}' AS table_name,"
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(SUM({_ck_expr(row_str, 'strpos')}) AS BIGINT)"
+            f" AS checksum FROM {name}"
+        )
+    return " UNION ALL ".join(branches)
+
+
 ORACLE = {
+    "table_checksum": _checksum_oracle(),
     "table_diff": """
         WITH o AS (
             SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders

@@ -1653,6 +1653,33 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_table_checksum_detects_any_change(spark, sf_dir):
+    """The fingerprint must match a driver-side md5 replica, be order-
+    independent by construction, and move when any single row changes."""
+    import hashlib
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.maintenance import table_checksum
+
+    def row_hash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nat = table(spark, sf_dir, "nation").collect()
+    exp = sum(
+        row_hash(f"{r['n_nationkey']}|{r['n_name']}|{r['n_regionkey']}")
+        for r in nat
+    )
+    got = {r["table_name"]: r for r in table_checksum(spark, sf_dir).collect()}
+    assert got["nation"]["checksum"] == exp
+    assert got["nation"]["n_rows"] == len(nat)
+    # a one-row perturbation moves the sum
+    r0 = nat[0]
+    perturbed = exp - row_hash(
+        f"{r0['n_nationkey']}|{r0['n_name']}|{r0['n_regionkey']}"
+    ) + row_hash(f"{r0['n_nationkey']}|XX|{r0['n_regionkey']}")
+    assert perturbed != exp
+
+
 def test_feature_standardize_group_moments(spark, sf_dir):
     """Standardized values must have ~0 mean and ~1 sample std within
     each group (rounding slack only), preserve rank order, and match a
