@@ -174,6 +174,9 @@ HEADLINE = [
     "er_survivorship",
     "join_interval_relations",
     "pipeline_quality_gate",
+    "mm_dataset_manifest",
+    "feature_standardize",
+    "table_checksum",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

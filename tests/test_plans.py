@@ -330,3 +330,51 @@ def test_sub_in_disjunct_plans_as_existence_join(spark, sf_dir):
     from datafusion_test_spark.operators.subqueries import sub_in_disjunct
 
     assert "ExistenceJoin" in _plan(sub_in_disjunct(spark, sf_dir))
+
+
+def test_feature_target_encode_fact_never_shuffles(spark, sf_dir):
+    """Category stats and the global prior must broadcast back onto the
+    orders scan — no hash exchange keyed on the fact's join column."""
+    from datafusion_test_spark.operators.analytics import feature_target_encode
+
+    plan = _plan(feature_target_encode(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row prior crossJoin
+    # the only cat-keyed exchange is the stats aggregate INSIDE the
+    # broadcast build side — the fact/probe side (everything before the
+    # first BroadcastExchange in the plan text) never shuffles
+    probe = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning(cat" not in probe
+    assert plan.count("Exchange hashpartitioning(cat") == 1
+
+
+def test_rollup_ohlc_single_exchange(spark, sf_dir):
+    """Both tie-break windows and the final aggregate share one
+    (event_type, bucket) hash exchange."""
+    from datafusion_test_spark.streaming.batch_windows import rollup_ohlc
+
+    plan = _plan(rollup_ohlc(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+
+
+def test_win_ratio_to_report_single_exchange(spark, sf_dir):
+    """The partition-total and running frames share one o_custkey
+    exchange — contribution analysis costs one shuffle."""
+    from datafusion_test_spark.operators.windows import win_ratio_to_report
+
+    plan = _plan(win_ratio_to_report(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_feature_standardize_broadcasts_sketch(spark, sf_dir):
+    """The per-type 3-integer sketch joins back by broadcast; the event
+    scan itself is never hash-exchanged on event_type."""
+    from datafusion_test_spark.operators.analytics import feature_standardize
+
+    plan = _plan(feature_standardize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    idx = plan.find("BroadcastHashJoin")
+    # the only event_type exchange allowed is INSIDE the broadcast build
+    # side (the groupBy), never on the probe/fact side before the join
+    probe_side = plan[:idx]
+    assert "Exchange hashpartitioning(event_type" not in probe_side
