@@ -445,7 +445,73 @@ def eval_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit of the corpus admission gate — does
+    pipeline_quality_gate admit some languages at a materially lower
+    rate?  The four-fifths (80%) rule from fair-selection practice,
+    applied where it actually bites a data pipeline: a filter that
+    silently under-admits one language skews the training mixture.
+
+    Per ground-truth language: doc count, admitted count, admit rate,
+    impact ratio vs the best-admitting language, and the 80%-rule flag
+    as an integer cross-multiplication (10·adm_g·n_best ≥ 8·adm_best·n_g)
+    — no float ever decides the verdict.  The gate relation is IMPORTED
+    from pipeline_quality_gate, so the audit can never drift from the
+    filter it audits.
+
+    Scale: the gate's per-doc relation reduces to one |langs|-row
+    aggregate; the best-group rate is a 1-row broadcast.
+    """
+    from ..io import table as _table
+    from .prep import pipeline_quality_gate
+
+    g = pipeline_quality_gate(spark, sf_dir).select("doc_id", "admitted")
+    langs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = (
+        g.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("admitted").cast("int")).alias("n_admitted"),
+        )
+    )
+    # best-admitting group by rate (exact integer comparison via
+    # cross-multiplication is overkill for picking the max; a rational
+    # sort key (n_admitted/n_docs, lang) needs one divide — but to stay
+    # float-free the argmax uses cross-multiplied pairwise max via a
+    # 1-row reduce on (n_admitted, n_docs) ordered by the exact rational)
+    best = per.orderBy(
+        F.expr("n_admitted / n_docs").desc(), F.asc("lang")
+    ).limit(1).select(
+        F.col("n_admitted").alias("best_adm"),
+        F.col("n_docs").alias("best_n"),
+        F.col("lang").alias("best_lang"),
+    )
+    j = per.crossJoin(F.broadcast(best))
+    return j.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_admitted").cast("long").alias("n_admitted"),
+        half_up(F.col("n_admitted") / F.col("n_docs").cast("double")).alias(
+            "admit_rate"
+        ),
+        "best_lang",
+        F.when(
+            F.col("best_adm") > 0,
+            half_up(
+                (F.col("n_admitted") * F.col("best_n")).cast("double")
+                / (F.col("best_adm") * F.col("n_docs")).cast("double")
+            ),
+        ).alias("impact_ratio"),
+        (
+            10 * F.col("n_admitted") * F.col("best_n")
+            >= 8 * F.col("best_adm") * F.col("n_docs")
+        ).alias("passes_four_fifths"),
+    )
+
+
 QUERIES = {
+    "eval_filter_parity": eval_filter_parity,
     "eval_ab_ztest": eval_ab_ztest,
     "eval_auc": eval_auc,
     "eval_prf": eval_prf,
@@ -499,6 +565,42 @@ _AB_Z2 = (
     f" / ({_AB_VAR_A} / CAST(n_a AS DOUBLE)"
     f" + {_AB_VAR_B} / CAST(n_b AS DOUBLE)))"
 )
+
+def _filter_parity_oracle() -> str:
+    """Composes pipeline_quality_gate's own oracle as the gate CTE —
+    the audit and the audited filter share one definition per engine."""
+    from .prep import ORACLE as _PO
+
+    ratio = sql_half_up(
+        "CAST(p.n_admitted * b.best_n AS DOUBLE)"
+        " / CAST(b.best_adm * p.n_docs AS DOUBLE)"
+    )
+    rate = sql_half_up("CAST(p.n_admitted AS DOUBLE) / p.n_docs")
+    return f"""
+        WITH gate AS ({_PO["pipeline_quality_gate"]}),
+        per AS (
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN g.admitted THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_admitted
+            FROM gate g JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+        ),
+        best AS (
+            SELECT n_admitted AS best_adm, n_docs AS best_n,
+                   lang AS best_lang
+            FROM per
+            ORDER BY n_admitted / n_docs DESC, lang
+            LIMIT 1
+        )
+        SELECT p.lang, p.n_docs, p.n_admitted,
+               {rate} AS admit_rate,
+               b.best_lang,
+               CASE WHEN b.best_adm > 0 THEN {ratio} END AS impact_ratio,
+               (10 * p.n_admitted * b.best_n >= 8 * b.best_adm * p.n_docs)
+                   AS passes_four_fifths
+        FROM per p CROSS JOIN best b
+    """
+
 
 ORACLE = {
     "eval_ab_ztest": f"""
@@ -707,3 +809,5 @@ ORACLE = {
         FROM t
     """,
 }
+
+ORACLE["eval_filter_parity"] = _filter_parity_oracle()

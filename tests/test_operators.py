@@ -1653,6 +1653,41 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_eval_filter_parity_consistent_with_gate(spark, sf_dir):
+    """Per-language admit counts must equal a driver-side recount over
+    the gate's output; the best group must pass the 80% rule by
+    definition, and every flag must agree with the cross-multiplication."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.evals import eval_filter_parity
+    from datafusion_test_spark.pipeline.prep import pipeline_quality_gate
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    n = collections.Counter()
+    adm = collections.Counter()
+    for r in pipeline_quality_gate(spark, sf_dir).collect():
+        n[langs[r["doc_id"]]] += 1
+        adm[langs[r["doc_id"]]] += r["admitted"]
+    rows = eval_filter_parity(spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == set(n)
+    best = sorted(n, key=lambda g: (-adm[g] / n[g], g))[0]
+    for r in rows:
+        g = r["lang"]
+        assert r["n_docs"] == n[g] and r["n_admitted"] == adm[g]
+        assert r["best_lang"] == best
+        assert r["passes_four_fifths"] == (
+            10 * adm[g] * n[best] >= 8 * adm[best] * n[g]
+        )
+        if g == best:
+            assert r["passes_four_fifths"] and r["impact_ratio"] == 1.0
+
+
 def test_table_checksum_detects_any_change(spark, sf_dir):
     """The fingerprint must match a driver-side md5 replica, be order-
     independent by construction, and move when any single row changes."""
