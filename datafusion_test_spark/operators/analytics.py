@@ -985,10 +985,16 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v_s") * F.col("v_s")).alias("q"),
     )
     j = rows.join(F.broadcast(g), "event_type")
-    num = (F.col("n") * F.col("v_s") - F.col("s")).cast("double")
-    var_num = (
-        F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    ).cast("double")
+    num = (F.col("n") * F.col("v_s")).cast("double") - F.col("s").cast(
+        "double"
+    )
+    # products formed in DOUBLE: s² and n·q overflow int64 past ~10⁴ rows
+    # per group at |v| ≤ 100 (s ≈ rows·5·10⁵ ⇒ s² ≈ 10²⁰ at sf0.1 —
+    # caught by the bench run); identical-double-op-tree determinism is
+    # the eval_ab_ztest discipline
+    var_num = F.col("n").cast("double") * F.col("q").cast("double") - F.col(
+        "s"
+    ).cast("double") * F.col("s").cast("double")
     # z = (n·v − S) / (n·sqrt(var_num/(n·(n−1)))) stated as one tree;
     # scale factors cancel, so no 10^4 appears
     den = F.col("n").cast("double") * F.sqrt(
@@ -1070,9 +1076,10 @@ def _kcore_sql() -> str:
 
 
 _STD_Z = (
-    "(CAST(n * v_s - s AS DOUBLE)"
+    "((CAST(n * v_s AS DOUBLE) - CAST(s AS DOUBLE))"
     " / (CAST(n AS DOUBLE)"
-    "    * sqrt(CAST(n * q - s * s AS DOUBLE)"
+    "    * sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+    "            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
     "           / CAST(n * (n - 1) AS DOUBLE))))"
 )
 
@@ -1090,7 +1097,9 @@ ORACLE = {
             FROM rows_ GROUP BY event_type
         )
         SELECT r.event_id, r.event_type, r.value,
-               CASE WHEN n > 1 AND n * q - s * s > 0
+               CASE WHEN n > 1
+                     AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
                     THEN {_sql_hu(_STD_Z)} END AS z
         FROM rows_ r JOIN g USING (event_type)
     """,
