@@ -177,6 +177,7 @@ HEADLINE = [
     "mm_dataset_manifest",
     "feature_standardize",
     "table_checksum",
+    "eval_filter_parity",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
