@@ -299,6 +299,60 @@ def pipeline_shuffle(
     return ranked.select("doc_id", "draw", "pos")
 
 
+_EXPORT_ROWS_PER_SHARD = 64
+
+
+def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded JSONL delivery — the standard LLM-data handoff format:
+    documents in the reproducible md5 training order (pipeline_shuffle's
+    permutation), cut into fixed-size shards (shard = rank DIV 64),
+    WRITTEN as real JSONL files partitioned by shard, re-read, and
+    summarized as the per-shard manifest the consumer checks in
+    (shard id, row count, char mass, first/last position).
+
+    The write-then-reread makes the export itself part of the verified
+    surface (connectors.py's round-trip discipline): a shard that lost
+    or duplicated rows breaks the manifest hash.  Scale: the ranked
+    write IS one repartitionByRange pass; shards are directories, so a
+    loader streams shard k without touching the rest, and the manifest
+    is one groupBy over the re-read.
+    """
+    import os
+
+    from .._util import scratch_dir, two_phase_prefix
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    drawn = d.withColumn("draw", F.md5(F.col("doc_id").cast("string")))
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranked, _ = two_phase_prefix(drawn, par, ["draw", "doc_id"], rank_as="pos")
+    sharded = ranked.withColumn(
+        "shard", F.expr(f"(pos - 1) DIV {_EXPORT_ROWS_PER_SHARD}")
+    )
+    out = os.path.join(scratch_dir("dfts_jsonl_"), "export")
+    sharded.select("shard", "doc_id", "pos", "n_chars", "text").write.mode(
+        "overwrite"
+    ).partitionBy("shard").json(out)
+    rt = spark.read.schema(
+        "doc_id bigint, pos bigint, n_chars bigint, text string, shard int"
+    ).json(out)
+    return (
+        rt.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("chars"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("chars").cast("long").alias("chars"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+            F.col("last_pos").cast("long").alias("last_pos"),
+        )
+    )
+
+
 _FH_BUCKETS = 16  # feature_hashing: one bucket per leading md5 hex digit
 
 
@@ -335,6 +389,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "export_jsonl_shards": export_jsonl_shards,
     "feature_hashing": feature_hashing,
     "pipeline_shuffle": pipeline_shuffle,
     "text_contamination": text_contamination,
@@ -420,6 +475,24 @@ def _shards_oracle() -> str:
 
 
 ORACLE = {
+    # the manifest restated from the deterministic order — any row lost,
+    # duplicated, or mis-sharded by the JSONL round-trip breaks the hash
+    "export_jsonl_shards": f"""
+        WITH ranked AS (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS pos
+            FROM documents
+        )
+        SELECT CAST((pos - 1) // {_EXPORT_ROWS_PER_SHARD} AS BIGINT)
+                   AS shard,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(min(pos) AS BIGINT) AS first_pos,
+               CAST(max(pos) AS BIGINT) AS last_pos
+        FROM ranked GROUP BY 1
+    """,
     "feature_hashing": """
         SELECT doc_id,
                substring(md5(word), 1, 1) AS bucket,

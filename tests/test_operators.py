@@ -1653,6 +1653,30 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_export_jsonl_shards_manifest(spark, sf_dir):
+    """Shards must partition the position space into contiguous 64-row
+    runs covering 1..N exactly once, with char mass totaling the corpus."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.curation import (
+        _EXPORT_ROWS_PER_SHARD,
+        export_jsonl_shards,
+    )
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    rows = sorted(export_jsonl_shards(spark, sf_dir).collect(), key=lambda r: r["shard"])
+    k = _EXPORT_ROWS_PER_SHARD
+    assert [r["shard"] for r in rows] == list(range((n + k - 1) // k))
+    assert sum(r["n_rows"] for r in rows) == n
+    assert sum(r["chars"] for r in rows) == total_chars
+    for r in rows:
+        assert r["first_pos"] == r["shard"] * k + 1
+        assert r["last_pos"] == min((r["shard"] + 1) * k, n)
+        assert r["n_rows"] == r["last_pos"] - r["first_pos"] + 1
+
+
 def test_eval_filter_parity_consistent_with_gate(spark, sf_dir):
     """Per-language admit counts must equal a driver-side recount over
     the gate's output; the best group must pass the 80% rule by
