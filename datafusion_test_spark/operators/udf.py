@@ -174,11 +174,23 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides shuffle once on the key and pair up group-by-group; output
     is counts + time bounds (order-insensitive statistics only — the
     cogroup feed order within a group is not a contract).
+
+    SELF-COGROUP HAZARD (found at sf0.1): deriving both sides from ONE
+    scan lets the analyzer bind the right side's reconcile arguments to
+    the LEFT's expression ids (plan showed reconcile(user_id#2L, ts#1,
+    user_id#2L, ts#1)), and the right pandas frame then arrives with its
+    ts column silently MISSING for some groups.  Each side therefore
+    gets its own scan — the same discipline as self-join aliasing.
     """
-    e = table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
+    clicks = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+    )
+    purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
     )
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

@@ -378,3 +378,22 @@ def test_feature_standardize_broadcasts_sketch(spark, sf_dir):
     # side (the groupBy), never on the probe/fact side before the join
     probe_side = plan[:idx]
     assert "Exchange hashpartitioning(event_type" not in probe_side
+
+
+def test_udf_cogrouped_binds_distinct_sides(spark, sf_dir):
+    """Self-cogroup regression (found at sf0.1): the right side's
+    reconcile arguments must bind their OWN expression ids — when both
+    sides share one scan, the analyzer can bind the right side to the
+    left's ids and the right pandas frame silently loses its ts column."""
+    from datafusion_test_spark.operators.udf import udf_cogrouped
+
+    plan = _plan(udf_cogrouped(spark, sf_dir))
+    line = next(
+        ln for ln in plan.splitlines() if "FlatMapCoGroupsInPandas" in ln
+    )
+    import re
+
+    args = re.search(r"reconcile\(([^)]*)\)", line).group(1).split(", ")
+    assert len(args) == 4
+    left_ids, right_ids = set(args[:2]), set(args[2:])
+    assert left_ids.isdisjoint(right_ids), line
