@@ -1009,7 +1009,71 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — hold out the log's LAST day,
+    predict each (event_type, hour) as the training days' hourly mean,
+    and score absolute error against the held-out actuals.  The
+    model-eval loop every metrics forecast ships with, kept
+    integer-exact: values are cents-scaled; each test row's error is the
+    integer |v·n_h − s_h| (prediction s_h/n_h cross-multiplied), summed
+    per (type, hour) cell so no mixed-denominator float sum ever forms;
+    the cell MAE is then ONE half-up divide err_sum/(n_h·10⁴·n_test).
+    Cells with no training history emit NULL mae (n_train = 0 — the
+    cold-start alarm, not a crash).
+
+    Scale: train and test are two conditional aggregates over one scan
+    (the 6-integer-sketch discipline); the scoreboard join is on the
+    bounded (type, hour) key.  Carrier: |v·n_h| ≤ 10⁶·n_h, summed over a
+    cell's test rows — int64 to ~10⁹ row-pairs per cell; past that,
+    bucket days first.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hr"),
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    )
+    last_day = b.agg(F.max("day").alias("last_day"))
+    b = b.crossJoin(F.broadcast(last_day))
+    train = (
+        b.filter(F.col("day") < F.col("last_day"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n_train"), F.sum("v_s").alias("s_train"))
+    )
+    test = b.filter(F.col("day") == F.col("last_day")).select(
+        "event_type", "hr", "v_s"
+    )
+    j = test.join(train, ["event_type", "hr"], "left")
+    cell = j.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.first("n_train").alias("n_train"),
+        F.sum(
+            F.when(
+                F.col("n_train").isNotNull(),
+                F.abs(
+                    F.col("v_s") * F.col("n_train") - F.col("s_train")
+                ),
+            )
+        ).alias("err_num"),
+    )
+    return cell.select(
+        "event_type",
+        F.col("hr").cast("int").alias("hr"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.coalesce(F.col("n_train"), F.lit(0)).cast("long").alias("n_train"),
+        F.when(
+            F.col("n_train").isNotNull(),
+            half_up(
+                F.col("err_num").cast("double")
+                / (F.col("n_train") * 10000 * F.col("n_test")).cast("double")
+            ),
+        ).alias("mae"),
+    )
+
+
 QUERIES = {
+    "ts_forecast_backtest": ts_forecast_backtest,
     "feature_standardize": feature_standardize,
     "join_interval_relations": join_interval_relations,
     "ts_debounce": ts_debounce,
@@ -1084,6 +1148,39 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "ts_forecast_backtest": f"""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(date_part('hour', ts) AS INTEGER) AS hr,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events WHERE value IS NOT NULL
+        ),
+        ld AS (SELECT max(day) AS last_day FROM b),
+        train AS (
+            SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_train,
+                   CAST(SUM(v_s) AS BIGINT) AS s_train
+            FROM b, ld WHERE day < last_day
+            GROUP BY event_type, hr
+        ),
+        test AS (
+            SELECT event_type, hr, v_s FROM b, ld WHERE day = last_day
+        )
+        SELECT t.event_type, t.hr,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(COALESCE(any_value(tr.n_train), 0) AS BIGINT)
+                   AS n_train,
+               CASE WHEN any_value(tr.n_train) IS NOT NULL THEN
+                   {_sql_hu(
+                       "CAST(SUM(abs(t.v_s * tr.n_train - tr.s_train))"
+                       " AS DOUBLE)"
+                       " / CAST(any_value(tr.n_train) * 10000 * count(*)"
+                       " AS DOUBLE)"
+                   )}
+               END AS mae
+        FROM test t LEFT JOIN train tr USING (event_type, hr)
+        GROUP BY t.event_type, t.hr
+    """,
     "feature_standardize": f"""
         WITH rows_ AS (
             SELECT event_id, event_type, value,

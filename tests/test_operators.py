@@ -1653,6 +1653,57 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_ts_forecast_backtest_matches_bruteforce(spark, sf_dir):
+    """Per-cell error sums replayed driver-side with the same integer
+    cross-multiplication must match; cold cells emit NULL mae."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import ts_forecast_backtest
+    from pyspark.sql import functions as F
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour("ts").alias("hr"),
+            "value",
+        )
+        .collect()
+    )
+    last_day = max(r["day"] for r in rows)
+    tr_n, tr_s = collections.Counter(), collections.Counter()
+    test = collections.defaultdict(list)
+    for r in rows:
+        vs = math.floor(r["value"] * 10000 + 0.5)
+        key = (r["event_type"], r["hr"])
+        if r["day"] < last_day:
+            tr_n[key] += 1
+            tr_s[key] += vs
+        elif r["day"] == last_day:
+            test[key].append(vs)
+    got = {
+        (r["event_type"], r["hr"]): r
+        for r in ts_forecast_backtest(spark, sf_dir).collect()
+    }
+    assert set(got) == set(test)
+    for key, vals in test.items():
+        g = got[key]
+        assert g["n_test"] == len(vals)
+        assert g["n_train"] == tr_n.get(key, 0)
+        if key not in tr_n:
+            assert g["mae"] is None
+            continue
+        err = sum(abs(v * tr_n[key] - tr_s[key]) for v in vals)
+        exp = math.floor(
+            err / (tr_n[key] * 10000 * len(vals)) * 10000 + 0.5
+        ) / 10000
+        assert g["mae"] == exp
+
+
 def test_scd2_correction_equals_rebuild(spark, sf_dir):
     """The incremental late-data splice must equal the full rebuild row
     set exactly, and the incremental path must actually split the work
