@@ -179,6 +179,8 @@ HEADLINE = [
     "table_checksum",
     "eval_filter_parity",
     "export_jsonl_shards",
+    "scd2_correction",
+    "ts_forecast_backtest",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
