@@ -701,7 +701,89 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAKE_TOPK = 3
+_STOP_ALL = sorted({w for ws in _STOP.values() for w in ws})
+
+
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword extraction — candidate phrases are the maximal
+    stopword-free word runs (the gaps-and-islands idiom on token
+    positions), each word scores degree/frequency over the document
+    (degree = summed length of the phrases it appears in), and a
+    phrase's score is the sum of its words' scores; top-3 phrases per
+    doc.  Integer-exact throughout: each word ratio is the half-up
+    integer (2·10⁴·deg + freq) DIV 2·freq, so phrase scores are exact
+    integer sums with deterministic (score DESC, phrase ASC) ties.
+
+    Scale: one posexplode, the island id from a per-doc window (bounded
+    by document length), two groupBys keyed by doc — nothing corpus-
+    global; the stopword set is a literal array (a real list ships as a
+    broadcast lexicon, text_blocklist_filter's note).
+    """
+    stops = F.array(*[F.lit(w) for w in _STOP_ALL])
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(~F.array_contains(stops, F.col("w")))
+    )
+    # island id: pos minus the rank among the doc's surviving tokens
+    wi = Window.partitionBy("doc_id").orderBy("pos")
+    isl = tok.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wi)
+    )
+    # phrase relation: (doc, grp) with its words in order and length
+    phr = isl.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    # word stats: freq + degree (sum of containing-phrase lengths)
+    wstat = (
+        isl.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .withColumn(
+            "wscore_s",
+            F.expr("(2 * 10000 * deg + freq) DIV (2 * freq)"),
+        )
+    )
+    scored = (
+        isl.join(wstat, ["doc_id", "w"])
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("wscore_s").alias("score_s"))
+        .join(phr, ["doc_id", "grp"])
+    )
+    wk = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_s"), F.asc("phrase"), F.asc("grp")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _RAKE_TOPK)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "phrase",
+            F.col("plen").cast("long").alias("plen"),
+            F.col("score_s").cast("long").alias("score_s"),
+        )
+    )
+
+
 QUERIES = {
+    "text_keywords_rake": text_keywords_rake,
     "text_blocklist_filter": text_blocklist_filter,
     "corpus_vocab_growth": corpus_vocab_growth,
     "text_boilerplate_strip": text_boilerplate_strip,
@@ -784,8 +866,61 @@ def _corpus_jaccard_oracle() -> str:
 
 
 _BLOCK_SQL = "[" + ", ".join(f"'{t}'" for t in _BLOCK_TERMS) + "]"
+_STOP_ALL_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
 
 ORACLE = {
+    "text_keywords_rake": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS w
+            FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+        ),
+        flt AS (
+            SELECT * FROM tok
+            WHERE NOT list_contains({_STOP_ALL_SQL}, w)
+        ),
+        isl AS (
+            SELECT *, pos - row_number() OVER (
+                PARTITION BY doc_id ORDER BY pos
+            ) AS grp
+            FROM flt
+        ),
+        phr AS (
+            SELECT doc_id, grp,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM isl GROUP BY doc_id, grp
+        ),
+        wstat AS (
+            SELECT i.doc_id, i.w,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(SUM(p.plen) AS BIGINT) AS deg
+            FROM isl i JOIN phr p USING (doc_id, grp)
+            GROUP BY i.doc_id, i.w
+        ),
+        ws2 AS (
+            SELECT *, (2 * 10000 * deg + freq) // (2 * freq) AS wscore_s
+            FROM wstat
+        ),
+        sc AS (
+            SELECT i.doc_id, i.grp,
+                   CAST(SUM(s.wscore_s) AS BIGINT) AS score_s
+            FROM isl i
+            JOIN ws2 s ON i.doc_id = s.doc_id AND i.w = s.w
+            GROUP BY i.doc_id, i.grp
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_s DESC, phrase ASC, grp ASC
+               ) AS INT) AS rk,
+               phrase, plen, score_s
+        FROM sc JOIN phr USING (doc_id, grp)
+        QUALIFY rk <= {_RAKE_TOPK}
+    """,
     "text_blocklist_filter": f"""
         WITH d AS (
             SELECT doc_id,

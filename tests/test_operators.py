@@ -1653,6 +1653,68 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_text_keywords_rake_matches_bruteforce(spark, sf_dir):
+    """Phrase segmentation, word degree/freq scoring and top-3 selection
+    replayed driver-side must match exactly."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.text import (
+        _RAKE_TOPK,
+        _STOP_ALL,
+        text_keywords_rake,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    exp = {}
+    for did, ws in docs.items():
+        phrases = []  # (grp, [words])
+        cur, start = [], None
+        rank_nonstop = 0
+        for pos, w in enumerate(ws):
+            if w in _STOP_ALL:
+                if cur:
+                    phrases.append((start, cur))
+                    cur, start = [], None
+                continue
+            rank_nonstop += 1
+            grp = pos - rank_nonstop  # pos - row_number (1-based)
+            if not cur:
+                start = grp
+            cur.append(w)
+        if cur:
+            phrases.append((start, cur))
+        freq, deg = collections.Counter(), collections.Counter()
+        for g, p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+        wscore = {
+            w: (2 * 10000 * deg[w] + freq[w]) // (2 * freq[w]) for w in freq
+        }
+        scored = [
+            (-sum(wscore[w] for w in p), " ".join(p), g, len(p))
+            for g, p in phrases
+        ]
+        scored.sort()
+        exp[did] = [
+            (i + 1, ph, ln, -ns)
+            for i, (ns, ph, g, ln) in enumerate(scored[:_RAKE_TOPK])
+        ]
+    got = collections.defaultdict(list)
+    for r in text_keywords_rake(spark, sf_dir).collect():
+        got[r["doc_id"]].append(
+            (r["rk"], r["phrase"], r["plen"], r["score_s"])
+        )
+    for did in exp:
+        assert sorted(got[did]) == exp[did], did
+
+
 def test_ts_forecast_backtest_matches_bruteforce(spark, sf_dir):
     """Per-cell error sums replayed driver-side with the same integer
     cross-multiplication must match; cold cells emit NULL mae."""
