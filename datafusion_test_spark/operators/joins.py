@@ -606,7 +606,67 @@ def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time sliding-window feature aggregation — for every
+    click, the user's view count and view-value mass in the STRICTLY
+    PRECEDING hour: the feature-store workhorse ("activity in the last
+    N minutes as of the event") that join_asof (last value) and
+    join_range (bucketed pair join) do not cover.
+
+    One union keeps clicks and views in the same per-user timeline; a
+    µs-exact RANGE frame [-1h, -1µs] makes the window strictly-before
+    (same-instant rows excluded — no leakage of the event into its own
+    feature), and conditional contributions confine the aggregate to
+    views while clicks ride along as frame anchors.  Decimal-carried
+    value sums.
+
+    Scale: ONE hash exchange on the user key; the range frame is
+    bounded by an hour of one user's activity.  This is exactly how
+    production point-in-time features avoid the per-event subquery
+    (O(events²) naive phrasing, stated declaratively by the oracle).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    t = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("iv"),
+        F.when(
+            (F.col("event_type") == "view") & F.col("value").isNotNull(),
+            F.col("value"),
+        ).alias("vv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    feat = t.withColumn("n_views_1h", F.sum("iv").over(w)).withColumn(
+        "view_value_1h",
+        F.sum(F.col("vv").cast("decimal(18,6)")).over(w).cast("double"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.coalesce(F.col("n_views_1h"), F.lit(0))
+            .cast("long")
+            .alias("n_views_1h"),
+            F.coalesce(F.col("view_value_1h"), F.lit(0.0)).alias(
+                "view_value_1h"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "join_asof_aggregate": join_asof_aggregate,
     "join_positional": join_positional,
     "join_spatial_grid": join_spatial_grid,
     "join_asof_nearest": join_asof_nearest,
@@ -630,6 +690,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the naive per-event subquery the window phrasing replaces — the
+    # oracle states the SEMANTICS (strictly-preceding hour), not the plan
+    "join_asof_aggregate": """
+        WITH e AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   epoch_us(ts) AS us
+            FROM events WHERE event_type IN ('click', 'view')
+        )
+        SELECT c.user_id, c.event_id, c.ts,
+               CAST(COALESCE(SUM(CASE WHEN v.event_type = 'view'
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_views_1h,
+               CAST(COALESCE(SUM(CASE WHEN v.event_type = 'view'
+                    AND v.value IS NOT NULL
+                    THEN CAST(v.value AS DECIMAL(18,6)) END), 0)
+                    AS DOUBLE) AS view_value_1h
+        FROM e c
+        LEFT JOIN e v
+          ON v.user_id = c.user_id
+         AND v.us >= c.us - 3600000000 AND v.us <= c.us - 1
+        WHERE c.event_type = 'click'
+        GROUP BY c.user_id, c.event_id, c.ts
+    """,
     # ANSI phrasing of POSITIONAL JOIN (row_number + full join) so the
     # pairing is deterministic regardless of DuckDB's physical row order
     "join_positional": """

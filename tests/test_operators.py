@@ -1653,6 +1653,59 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_join_asof_aggregate_strictly_preceding(spark, sf_dir):
+    """Per-click features replayed driver-side: only views in
+    [click−1h, click) count — never the click instant itself or later."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.joins import join_asof_aggregate
+    from pyspark.sql import functions as F
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("us"),
+        )
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    got = {
+        r["event_id"]: (r["n_views_1h"], r["view_value_1h"])
+        for r in join_asof_aggregate(spark, sf_dir).collect()
+    }
+    n_clicks = sum(
+        1 for rs in by_user.values() for r in rs if r["event_type"] == "click"
+    )
+    assert len(got) == n_clicks
+    checked_nonzero = 0
+    for uid, rs in by_user.items():
+        views = [r for r in rs if r["event_type"] == "view"]
+        for c in rs:
+            if c["event_type"] != "click":
+                continue
+            inwin = [
+                v
+                for v in views
+                if c["us"] - 3_600_000_000 <= v["us"] <= c["us"] - 1
+            ]
+            n, vv = got[c["event_id"]]
+            assert n == len(inwin)
+            exp = sum(
+                round(v["value"] * 1e6) for v in inwin if v["value"] is not None
+            )
+            assert round(vv * 1e6) == exp
+            checked_nonzero += n > 0
+    assert checked_nonzero > 0
+
+
 def test_text_keywords_rake_matches_bruteforce(spark, sf_dir):
     """Phrase segmentation, word degree/freq scoring and top-3 selection
     replayed driver-side must match exactly."""
