@@ -385,7 +385,55 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPC_N = 20  # trailing control-window size
+
+
+def win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control chart (±3σ rule) — flag every event whose value
+    leaves the 3-sigma band of the STRICTLY TRAILING 20 observations of
+    its type: the statistical-process-control monitor behind alerting
+    pipelines, kept ENTIRELY in int64.  The verdict is the
+    cross-multiplied inequality (n·v − S)²·(n−1) > 9·n·(n·Q − S²) over
+    cents-scaled values, so no sqrt, no float, and no rounding ever
+    decides an alarm.  Carrier bound (documented, checked at sf0.1):
+    |n·v − S| ≤ 2n·10⁶ ⇒ LHS ≤ 4n³·10¹² ≈ 3·10¹⁶ at n = 20 — three
+    orders inside int64.  Rows without a full 20-row history emit NULL
+    (warm-up, not a verdict).
+
+    Scale: one hash exchange on event_type; the sliding sums are rows
+    frames bounded by 20.  At 100 TB the partition key becomes
+    (series_id) with millions of independent series — same plan.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_SPC_N, -1)
+    )
+    s = t.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "S", F.sum("v_s").over(w)
+    ).withColumn("Q", F.sum(F.col("v_s") * F.col("v_s")).over(w))
+    dev = F.col("n") * F.col("v_s") - F.col("S")
+    lhs = dev * dev * (F.col("n") - 1)
+    rhs = 9 * F.col("n") * (F.col("n") * F.col("Q") - F.col("S") * F.col("S"))
+    return s.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.col("n").cast("int").alias("n_window"),
+        F.when(F.col("n") >= _SPC_N, lhs > rhs).alias("out_of_control"),
+    )
+
+
 QUERIES = {
+    "win_control_chart": win_control_chart,
     "win_ratio_to_report": win_ratio_to_report,
     "win_running_distinct": win_running_distinct,
     "win_median_sliding": win_median_sliding,
@@ -470,6 +518,31 @@ def _rolling_slope_oracle() -> str:
 
 
 ORACLE = {
+    "win_control_chart": f"""
+        WITH t AS (
+            SELECT event_type, event_id, ts, value,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT *,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(v_s) OVER w AS BIGINT) AS S,
+                   CAST(SUM(v_s * v_s) OVER w AS BIGINT) AS Q
+            FROM t
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN {_SPC_N} PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_type, event_id, value,
+               CAST(n AS INTEGER) AS n_window,
+               CASE WHEN n >= {_SPC_N} THEN
+                   (n * v_s - S) * (n * v_s - S) * (n - 1)
+                   > 9 * n * (n * Q - S * S)
+               END AS out_of_control
+        FROM s
+    """,
     "win_ratio_to_report": """
         WITH o AS (
             SELECT o_orderkey, o_custkey, o_orderdate,

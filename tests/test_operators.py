@@ -1653,6 +1653,52 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_win_control_chart_matches_bruteforce(spark, sf_dir):
+    """Alarm verdicts replayed driver-side with the same cross-multiplied
+    integers must match; warm-up rows (< 20 trailing) must be NULL, and
+    carriers must stay inside int64."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.windows import (
+        _SPC_N,
+        win_control_chart,
+    )
+    from pyspark.sql import functions as F
+
+    series = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+        .collect()
+    ):
+        series[r["event_type"]].append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 10000 + 0.5))
+        )
+    exp = {}
+    for et, rows in series.items():
+        rows.sort()
+        for i, (_, eid, v) in enumerate(rows):
+            win = [x[2] for x in rows[max(0, i - _SPC_N) : i]]
+            n = len(win)
+            if n < _SPC_N:
+                exp[eid] = (n, None)
+                continue
+            S, Q = sum(win), sum(x * x for x in win)
+            lhs = (n * v - S) ** 2 * (n - 1)
+            rhs = 9 * n * (n * Q - S * S)
+            assert abs(lhs) < 2**63 and abs(rhs) < 2**63
+            exp[eid] = (n, lhs > rhs)
+    got = {
+        r["event_id"]: (r["n_window"], r["out_of_control"])
+        for r in win_control_chart(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert any(v[1] for v in got.values() if v[1] is not None)
+
+
 def test_join_asof_aggregate_strictly_preceding(spark, sf_dir):
     """Per-click features replayed driver-side: only views in
     [click−1h, click) count — never the click instant itself or later."""
