@@ -181,6 +181,9 @@ HEADLINE = [
     "export_jsonl_shards",
     "scd2_correction",
     "ts_forecast_backtest",
+    "text_keywords_rake",
+    "join_asof_aggregate",
+    "win_control_chart",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

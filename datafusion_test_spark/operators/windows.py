@@ -432,7 +432,51 @@ def win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the largest peak-to-trough drop of
+    the cumulative value stream, the risk metric every equity/metric
+    curve report carries.  Cents-scaled int64 throughout: cum is the
+    exact running sum, peak the running max of cum, drawdown = peak −
+    cum, and the answer is one argmax per series with (ts, event_id)
+    tie-breaks — every quantity an integer, the argmax total-ordered.
+
+    Scale: all three frames (running sum, running max, final argmax via
+    row_number) share ONE hash exchange on the series key; cost bounded
+    by a series' history.  Carrier: |cum| ≤ rows·10⁶ — int64 to ~9·10¹²
+    rows per series.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (
+        t.withColumn("cum", F.sum("v_s").over(run))
+        .withColumn("peak", F.max(F.col("cum")).over(run))
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+    )
+    wk = Window.partitionBy("event_type").orderBy(
+        F.desc("dd"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("dd").cast("long").alias("max_drawdown_s"),
+            F.col("event_id").alias("trough_event_id"),
+            F.col("peak").cast("long").alias("peak_s"),
+            F.col("cum").cast("long").alias("trough_cum_s"),
+        )
+    )
+
+
 QUERIES = {
+    "win_drawdown": win_drawdown,
     "win_control_chart": win_control_chart,
     "win_ratio_to_report": win_ratio_to_report,
     "win_running_distinct": win_running_distinct,
@@ -518,6 +562,38 @@ def _rolling_slope_oracle() -> str:
 
 
 ORACLE = {
+    "win_drawdown": """
+        WITH t AS (
+            SELECT event_type, event_id, ts,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events WHERE value IS NOT NULL
+        ),
+        c AS (
+            SELECT *,
+                   CAST(SUM(v_s) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM t
+        ),
+        s AS (
+            SELECT *,
+                   CAST(max(cum) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS peak
+            FROM c
+        )
+        SELECT event_type,
+               CAST(peak - cum AS BIGINT) AS max_drawdown_s,
+               event_id AS trough_event_id,
+               peak AS peak_s, cum AS trough_cum_s
+        FROM s
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY peak - cum DESC, ts, event_id
+        ) = 1
+    """,
     "win_control_chart": f"""
         WITH t AS (
             SELECT event_type, event_id, ts, value,

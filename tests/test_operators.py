@@ -1653,6 +1653,52 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_win_drawdown_matches_bruteforce(spark, sf_dir):
+    """Per-series max drawdown replayed driver-side on the same
+    cents-scaled running sums must match exactly."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.windows import win_drawdown
+    from pyspark.sql import functions as F
+
+    series = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+        .collect()
+    ):
+        series[r["event_type"]].append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 10000 + 0.5))
+        )
+    exp = {}
+    for et, rows in series.items():
+        rows.sort()
+        cum = 0
+        peak = None
+        best = None  # (sort_key, dd, eid, peak, cum)
+        for ts, eid, v in rows:
+            cum += v
+            peak = cum if peak is None else max(peak, cum)
+            dd = peak - cum
+            key = (-dd, ts, eid)
+            if best is None or key < best[0]:
+                best = (key, dd, eid, peak, cum)
+        exp[et] = (best[1], best[2], best[3], best[4])
+    got = {
+        r["event_type"]: (
+            r["max_drawdown_s"],
+            r["trough_event_id"],
+            r["peak_s"],
+            r["trough_cum_s"],
+        )
+        for r in win_drawdown(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
 def test_win_control_chart_matches_bruteforce(spark, sf_dir):
     """Alarm verdicts replayed driver-side with the same cross-multiplied
     integers must match; warm-up rows (< 20 trailing) must be NULL, and
