@@ -1177,7 +1177,48 @@ def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — keep EVERY document but down-weight
+    duplicates by 1/cluster_size for loss weighting (the SoftDeDup
+    recipe: hard removal loses the distributional signal that a text
+    was popular; reweighting keeps the corpus intact while equalizing
+    each cluster's total gradient mass).  Clusters are the shared
+    near-dup fixpoint (_dup_stars, same relation as dedup_resolve /
+    er_survivorship); docs outside any multi-member cluster carry
+    weight 1.
+
+    weight = half-up integer of 10⁴/cluster_size — exact cross-engine;
+    the invariant Σ weights over a cluster ≈ 1 (±rounding) is the
+    training-mass contract.  Scale: one left join of the corpus against
+    the cluster membership (bounded by dup volume), map-only after.
+    """
+    stars = _dup_stars(spark, sf_dir)
+    roots = stars.select(
+        F.col("v").alias("cluster_id"), F.col("v").alias("doc_id")
+    ).distinct()
+    members = stars.select(
+        F.col("v").alias("cluster_id"), F.col("u").alias("doc_id")
+    ).unionByName(roots)
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    m = members.join(sizes, "cluster_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    j = d.join(m, "doc_id", "left")
+    csize = F.coalesce(F.col("csize"), F.lit(1))
+    return j.select(
+        "doc_id",
+        F.col("cluster_id").alias("cluster_id"),
+        csize.cast("long").alias("cluster_size"),
+        F.expr(
+            "cast((2 * 10000 + coalesce(csize, 1))"
+            " DIV (2 * coalesce(csize, 1)) as bigint)"
+        ).alias("weight_s"),
+    )
+
+
 QUERIES = {
+    "dedup_soft_weights": dedup_soft_weights,
     "er_survivorship": er_survivorship,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_resolve": dedup_resolve,
@@ -1456,6 +1497,43 @@ ORACLE = {
                TRUE AS found_all_planted
         FROM low
     """,
+    "dedup_soft_weights": """
+        WITH RECURSIVE {_JACCARD_CTES},
+        exact AS (
+            SELECT mn AS src, doc_id AS dst FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS mn
+                FROM documents
+            ) WHERE mn <> doc_id
+        ),
+        edges AS (
+            SELECT src, dst FROM exact
+            UNION SELECT doc_a, doc_b FROM jpairs
+        ),
+        sym AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach(node, anc) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.dst, r.anc FROM reach r JOIN sym s ON s.src = r.node
+        ),
+        labels AS (
+            SELECT node AS doc_id, MIN(anc) AS label FROM reach GROUP BY node
+        ),
+        multi AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS csize
+            FROM labels GROUP BY label HAVING COUNT(*) > 1
+        ),
+        m AS (
+            SELECT l.doc_id, l.label AS cluster_id, mu.csize
+            FROM labels l JOIN multi mu ON l.label = mu.label
+        )
+        SELECT d.doc_id, m.cluster_id,
+               CAST(COALESCE(m.csize, 1) AS BIGINT) AS cluster_size,
+               CAST((2 * 10000 + COALESCE(m.csize, 1))
+                    // (2 * COALESCE(m.csize, 1)) AS BIGINT) AS weight_s
+        FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """.format(_JACCARD_CTES=_JACCARD_CTES),
     "er_survivorship": """
         WITH RECURSIVE {_JACCARD_CTES},
         exact AS (

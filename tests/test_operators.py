@@ -1653,6 +1653,40 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_dedup_soft_weights_mass_conservation(spark, sf_dir):
+    """Every document appears once; singletons weigh exactly 1.0; each
+    multi-member cluster's summed weight is within rounding of 1.0, and
+    clusters agree with dedup_resolve's membership."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.dedup import (
+        dedup_resolve,
+        dedup_soft_weights,
+    )
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    rows = dedup_soft_weights(spark, sf_dir).collect()
+    assert len(rows) == n_docs
+    clusters = collections.defaultdict(list)
+    for r in rows:
+        if r["cluster_id"] is None:
+            assert r["cluster_size"] == 1 and r["weight_s"] == 10000
+        else:
+            clusters[r["cluster_id"]].append(r)
+    res_members = collections.defaultdict(set)
+    for r in dedup_resolve(spark, sf_dir).collect():
+        res_members[r["cluster_id"]].add(r["doc_id"])
+    assert {c: {r["doc_id"] for r in v} for c, v in clusters.items()} == dict(
+        res_members
+    )
+    for cid, v in clusters.items():
+        k = len(v)
+        assert all(r["cluster_size"] == k for r in v)
+        total = sum(r["weight_s"] for r in v)
+        assert abs(total - 10000) <= k  # half-up rounding slack
+
+
 def test_win_drawdown_matches_bruteforce(spark, sf_dir):
     """Per-series max drawdown replayed driver-side on the same
     cents-scaled running sums must match exactly."""
