@@ -659,7 +659,55 @@ def agg_weighted_median(
     )
 
 
+def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling weekly-active-users — per observed day, the DISTINCT
+    users active in the trailing 7-day window, plus that day's DAU and
+    the DAU/WAU stickiness ratio.  Sliding distinct counts do NOT
+    decompose into running sums (a user active twice in the window must
+    count once), so the scalable phrasing explodes each (user, day)
+    activity fact to the ≤ 7 anchor days it supports and counts
+    distinct per anchor — bounded ×7 fan-out instead of a per-day
+    re-scan, with the quadratic self-join as the declarative oracle.
+
+    Scale: the activity relation is first collapsed to distinct
+    (user, day) — map-side combine over the raw stream — so the
+    exploded volume is 7·|user-days|, not 7·|events|; the final
+    count-distinct shuffles on the anchor day (365 keys/year).
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events")
+    ed = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = ed.select("day").distinct()
+    exploded = ed.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("anchor"),
+    )
+    wau = (
+        exploded.join(days.withColumnRenamed("day", "anchor"), "anchor")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ed.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["anchor"])
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            half_up(F.col("dau") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "agg_rolling_wau": agg_rolling_wau,
     "agg_weighted_median": agg_weighted_median,
     "agg_count_min": agg_count_min,
     "agg_percentiles": agg_percentiles,
@@ -689,6 +737,30 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the quadratic self-join phrasing — the SEMANTICS the x7 explode
+    # replaces at scale
+    "agg_rolling_wau": """
+        WITH ed AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ed),
+        wau AS (
+            SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+            FROM days d
+            JOIN ed e ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY d.day
+        ),
+        dau AS (
+            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ed GROUP BY day
+        )
+        SELECT d.day, d.dau, w.wau,
+               CAST(floor(CAST(d.dau AS DOUBLE) / w.wau * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day
+    """,
     "agg_weighted_median": """
         WITH g AS (
             SELECT l_returnflag AS flag, l_extendedprice AS v,

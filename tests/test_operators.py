@@ -1653,6 +1653,39 @@ def test_ts_changepoint_matches_bruteforce(spark, sf_dir):
         assert got == expected, par
 
 
+def test_agg_rolling_wau_matches_bruteforce(spark, sf_dir):
+    """WAU per day must equal the driver-side trailing-7-day distinct
+    union, DAU <= WAU always, and stickiness = DAU/WAU half-up."""
+    import collections
+    import datetime
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import agg_rolling_wau
+    from pyspark.sql import functions as F
+
+    by_day = collections.defaultdict(set)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .collect()
+    ):
+        by_day[r["day"]].add(r["user_id"])
+    got = {r["day"]: r for r in agg_rolling_wau(spark, sf_dir).collect()}
+    assert set(got) == set(by_day)
+    for day, users in by_day.items():
+        window = set()
+        for k in range(7):
+            window |= by_day.get(day - datetime.timedelta(days=k), set())
+        g = got[day]
+        assert g["dau"] == len(users)
+        assert g["wau"] == len(window)
+        assert g["dau"] <= g["wau"]
+        assert g["stickiness"] == math.floor(
+            len(users) / len(window) * 10000 + 0.5
+        ) / 10000
+
+
 def test_dedup_soft_weights_mass_conservation(spark, sf_dir):
     """Every document appears once; singletons weigh exactly 1.0; each
     multi-member cluster's summed weight is within rounding of 1.0, and
