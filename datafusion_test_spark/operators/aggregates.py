@@ -706,7 +706,56 @@ def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    inequality statistic behind "top-x% of customers drive y% of
+    revenue", computed EXACTLY from the closed form over ascending
+    ranks: G = (2·Σ r·x_r − (n+1)·Σx) / (n·Σx), with cents-scaled
+    integer spend, the global rank from the range-partitioned two-phase
+    prefix (never a single-partition window), and the rank-weighted SUM
+    carried as DECIMAL(38,0) so the accumulator never wraps.  Carrier
+    bound: each int64 product r·x needs rank·cents < 2⁶³ — holds to
+    ~10⁶ customers at ~$10M lifetime spend; past that, pre-scale cents
+    to dollars (the statistic is scale-invariant).  One IEEE divide at
+    the end, half-up to 6 places.
+
+    Scale: per-customer totals are one map-side-combined groupBy; the
+    rank is linear two-phase work; the final reduce is 3 cells.
+    """
+    from .._util import half_up, two_phase_prefix
+
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents")
+    )
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranked, _ = two_phase_prefix(
+        per, par, ["cents", "o_custkey"], rank_as="r"
+    )
+    t = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(
+            (F.col("r") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("srx"),
+    )
+    g = (
+        F.lit(2.0) * F.col("srx").cast("double")
+        - (F.col("n") + 1).cast("double") * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * F.col("sx").cast("double"))
+    return t.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.when(
+            (F.col("n") > 0) & (F.col("sx") > 0), half_up(g, 6)
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
+    "agg_gini": agg_gini,
     "agg_rolling_wau": agg_rolling_wau,
     "agg_weighted_median": agg_weighted_median,
     "agg_count_min": agg_count_min,
@@ -737,6 +786,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_gini": """
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                        AS BIGINT) AS r
+            FROM per
+        ),
+        t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sx,
+                   SUM(CAST(r * cents AS DECIMAL(38,0))) AS srx
+            FROM ranked
+        )
+        SELECT n AS n_customers, sx AS total_cents,
+               CASE WHEN n > 0 AND sx > 0 THEN
+                   CAST(floor((2.0 * CAST(srx AS DOUBLE)
+                               - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * 1000000 + 0.5) AS DOUBLE) / 1000000
+               END AS gini
+        FROM t
+    """,
     # the quadratic self-join phrasing — the SEMANTICS the x7 explode
     # replaces at scale
     "agg_rolling_wau": """

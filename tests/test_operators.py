@@ -3506,3 +3506,30 @@ def test_eval_pass_at_k_matches_bruteforce(spark, sf_dir):
     # pass@4 >= pass@1 always (more draws can only help)
     if n4 == got["n_problems"] and n4 > 0:
         assert got["pass_at_4"] >= got["pass_at_1"]
+
+
+def test_agg_gini_matches_bruteforce(spark, sf_dir):
+    """Gini replayed driver-side with the same sorted-rank closed form
+    must match; the statistic must sit in [0, 1)."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import agg_gini
+    from pyspark.sql import functions as F
+
+    spend = collections.Counter()
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        spend[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    xs = [spend[k] for k in sorted(spend, key=lambda k: (spend[k], k))]
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    g = (2.0 * srx - (n + 1) * sx) / (n * sx)
+    got = agg_gini(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n and got["total_cents"] == sx
+    assert got["gini"] == math.floor(g * 1_000_000 + 0.5) / 1_000_000
+    assert 0.0 <= got["gini"] < 1.0
