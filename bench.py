@@ -184,6 +184,10 @@ HEADLINE = [
     "text_keywords_rake",
     "join_asof_aggregate",
     "win_control_chart",
+    "win_drawdown",
+    "dedup_soft_weights",
+    "agg_rolling_wau",
+    "agg_gini",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
