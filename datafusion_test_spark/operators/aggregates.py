@@ -754,7 +754,66 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford P(d) = log10(1 + 1/d), frozen to 10^6-scaled literals at import
+# (the eval_ndcg discount-table discipline: no runtime log in the contract)
+import math as _math
+
+_BENFORD_S = [
+    round(1_000_000 * _math.log10(1 + 1 / d)) for d in range(1, 10)
+]
+
+
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen: natural multi-scale amounts follow
+    P(d) = log₁₀(1 + 1/d), and a ledger that doesn't is worth a look.
+    The law's probabilities are import-time integer literals (10⁶-scaled,
+    shared verbatim with the oracle — runtime log never runs), and the
+    first digit comes from CAST(cents AS STRING) — integer-to-string is
+    portable where double formatting is not.
+
+    Output: one row per digit 1-9 with observed count, expected count
+    (half-up of n·p_d), and the per-digit relative deviation — kept
+    per-digit so no cross-digit float sum ever forms (the
+    ts_forecast_backtest discipline).  Scale: one map-side-combined
+    9-group aggregate; the global n is a 1-row broadcast.
+    """
+    from .._util import half_up
+
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        )
+    ).filter(F.col("cents") > 0)
+    d = o.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in _BENFORD_S]), F.col("digit")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("p_s", p)
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.expr(
+                "cast((2 * n * p_s + 1000000) DIV 2000000 as bigint)"
+            ).alias("n_expected"),
+            half_up(
+                (F.col("n_obs") * 1_000_000).cast("double")
+                / (F.col("n") * F.col("p_s")).cast("double")
+            ).alias("obs_over_exp"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_benford": agg_benford,
     "agg_gini": agg_gini,
     "agg_rolling_wau": agg_rolling_wau,
     "agg_weighted_median": agg_weighted_median,
@@ -786,6 +845,30 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_benford": """
+        WITH c AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        d AS (
+            SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit
+            FROM c WHERE cents > 0
+        ),
+        g AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY digit
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        SELECT g.digit, g.n_obs,
+               CAST((2 * t.n * ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])[g.digit] + 1000000)
+                    // 2000000 AS BIGINT) AS n_expected,
+               CAST(floor(CAST(g.n_obs * 1000000 AS DOUBLE)
+                          / CAST(t.n * ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])[g.digit]
+                                 AS DOUBLE) * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS obs_over_exp
+        FROM g CROSS JOIN tot t
+    """,
     "agg_gini": """
         WITH per AS (
             SELECT o_custkey,

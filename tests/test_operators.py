@@ -3533,3 +3533,33 @@ def test_agg_gini_matches_bruteforce(spark, sf_dir):
     assert got["n_customers"] == n and got["total_cents"] == sx
     assert got["gini"] == math.floor(g * 1_000_000 + 0.5) / 1_000_000
     assert 0.0 <= got["gini"] < 1.0
+
+
+def test_agg_benford_digit_census(spark, sf_dir):
+    """Observed digit counts must match a driver-side census of the
+    cents-scaled totals; expected counts sum to ~n and use the frozen
+    Benford literals."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import (
+        _BENFORD_S,
+        agg_benford,
+    )
+
+    digits = collections.Counter()
+    for r in table(spark, sf_dir, "orders").select("o_totalprice").collect():
+        cents = math.floor(r["o_totalprice"] * 100 + 0.5)
+        if cents > 0:
+            digits[int(str(cents)[0])] += 1
+    n = sum(digits.values())
+    rows = {r["digit"]: r for r in agg_benford(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    for d, g in rows.items():
+        assert g["n_obs"] == digits[d]
+        p = _BENFORD_S[d - 1]
+        assert g["n_expected"] == (2 * n * p + 1_000_000) // 2_000_000
+    assert sum(g["n_obs"] for g in rows.values()) == n
+    exp_total = sum(g["n_expected"] for g in rows.values())
+    assert abs(exp_total - n) <= 9  # per-digit rounding slack
