@@ -353,7 +353,33 @@ def fn_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_mask_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial display masking — the PII-surface trio's third member
+    (text_pii_scrub destroys, privacy_pseudonymize re-keys, this one
+    REDACTS FOR DISPLAY): keep a recognizable suffix, star the rest.
+    Customer names keep their last 4 characters behind a fixed-width
+    prefix; the account balance keeps only its integer-digit COUNT
+    (magnitude without the value — cents string length, portable
+    integer-to-string).  Deterministic pure string ops, identical in
+    both dialects; map-only at any scale.
+    """
+    c = table(spark, sf_dir, "customer")
+    name_mask = F.concat(
+        F.lit("****"), F.substring(F.col("c_name"), -4, 4)
+    )
+    digits = F.length(
+        F.expr("cast(cast(floor(abs(c_acctbal)) as bigint) as string)")
+    )
+    return c.select(
+        "c_custkey",
+        name_mask.alias("name_masked"),
+        (F.length("c_name") > 4).alias("was_masked"),
+        digits.cast("int").alias("balance_magnitude_digits"),
+    )
+
+
 QUERIES = {
+    "fn_mask_partial": fn_mask_partial,
     "fn_try_safety": fn_try_safety,
     "fn_collation": fn_collation,
     "fn_generator_outer": fn_generator_outer,
@@ -373,6 +399,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_mask_partial": """
+        SELECT c_custkey,
+               '****' || CASE WHEN length(c_name) >= 4
+                              THEN substring(c_name, length(c_name) - 3, 4)
+                              ELSE c_name END AS name_masked,
+               (length(c_name) > 4) AS was_masked,
+               CAST(length(CAST(CAST(floor(abs(c_acctbal)) AS BIGINT)
+                                AS VARCHAR)) AS INTEGER)
+                   AS balance_magnitude_digits
+        FROM customer
+    """,
     "fn_try_safety": """
         SELECT o_orderkey,
                CAST(NULL AS DOUBLE) AS div0_null,

@@ -3563,3 +3563,30 @@ def test_agg_benford_digit_census(spark, sf_dir):
     assert sum(g["n_obs"] for g in rows.values()) == n
     exp_total = sum(g["n_expected"] for g in rows.values())
     assert abs(exp_total - n) <= 9  # per-digit rounding slack
+
+
+def test_fn_mask_partial_redaction(spark, sf_dir):
+    """No full name may survive; the suffix must match the original's
+    last 4 chars and the magnitude digit count the true balance."""
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.functions.scalar import fn_mask_partial
+
+    src = {
+        r["c_custkey"]: (r["c_name"], r["c_acctbal"])
+        for r in table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .collect()
+    }
+    rows = fn_mask_partial(spark, sf_dir).collect()
+    assert len(rows) == len(src)
+    for r in rows:
+        name, bal = src[r["c_custkey"]]
+        assert r["name_masked"] == "****" + name[-4:]
+        assert r["was_masked"] == (len(name) > 4)
+        if len(name) > 4:
+            assert name not in r["name_masked"]
+        assert r["balance_magnitude_digits"] == len(
+            str(int(math.floor(abs(bal))))
+        )
