@@ -188,6 +188,8 @@ HEADLINE = [
     "dedup_soft_weights",
     "agg_rolling_wau",
     "agg_gini",
+    "agg_benford",
+    "fn_mask_partial",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
