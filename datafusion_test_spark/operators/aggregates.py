@@ -812,7 +812,51 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration — the smallest number of top customers whose
+    spend reaches 80% of revenue (the "does the 80/20 rule hold here"
+    headline next to agg_gini's full-curve statistic).  Integer-exact:
+    customers rank DESCENDING by cents spend via the two-phase prefix
+    (rank and exclusive prefix sum, never a global window), and the
+    crossing row is the first with 5·(pre+cents) ≥ 4·total — a pure
+    int64 predicate; the reported percentage is one half-up divide.
+
+    Scale: per-customer totals map-side combine; the crossing test is a
+    per-row predicate over the ranked relation with a 1-row argmin.
+    """
+    from .._util import half_up, two_phase_prefix
+
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents")
+    )
+    # descending spend order == ascending (-cents, custkey)
+    per = per.withColumn("neg", -F.col("cents"))
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranked, totals = two_phase_prefix(
+        per, par, ["neg", "o_custkey"], sum_cols=("cents",), rank_as="r"
+    )
+    j = ranked.crossJoin(F.broadcast(totals))
+    crossing = j.filter(
+        5 * (F.col("pre_cents") + F.col("cents")) >= 4 * F.col("tot_cents")
+    )
+    k = crossing.agg(F.min("r").alias("k"))
+    return (
+        k.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("tot_rows").cast("long").alias("n_customers"),
+            F.col("k").cast("long").alias("k_top_customers"),
+            half_up(F.col("k") / F.col("tot_rows").cast("double")).alias(
+                "pct_customers_for_80pct"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "agg_pareto": agg_pareto,
     "agg_benford": agg_benford,
     "agg_gini": agg_gini,
     "agg_rolling_wau": agg_rolling_wau,
@@ -845,6 +889,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_pareto": """
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   CAST(row_number() OVER (ORDER BY -cents, o_custkey)
+                        AS BIGINT) AS r,
+                   CAST(COALESCE(SUM(cents) OVER (
+                       ORDER BY -cents, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS pre
+            FROM per
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS tot FROM per)
+        SELECT t.n AS n_customers,
+               CAST(min(r.r) AS BIGINT) AS k_top_customers,
+               CAST(floor(CAST(min(r.r) AS DOUBLE) / t.n * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS pct_customers_for_80pct
+        FROM ranked r CROSS JOIN t
+        WHERE 5 * (r.pre + r.cents) >= 4 * t.tot
+        GROUP BY t.n
+    """,
     "agg_benford": """
         WITH c AS (
             SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

@@ -3590,3 +3590,39 @@ def test_fn_mask_partial_redaction(spark, sf_dir):
         assert r["balance_magnitude_digits"] == len(
             str(int(math.floor(abs(bal))))
         )
+
+
+def test_agg_pareto_crossing(spark, sf_dir):
+    """The crossing rank replayed driver-side must match: top-k spend
+    reaches 80% of revenue and top-(k-1) does not."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import agg_pareto
+
+    spend = collections.Counter()
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        spend[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100 + 0.5)
+    xs = sorted(spend.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(v for _, v in xs)
+    cum = 0
+    k = None
+    for i, (_, v) in enumerate(xs, start=1):
+        cum += v
+        if 5 * cum >= 4 * tot:
+            k = i
+            break
+    got = agg_pareto(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == len(xs)
+    assert got["k_top_customers"] == k
+    assert got["pct_customers_for_80pct"] == math.floor(
+        k / len(xs) * 10000 + 0.5
+    ) / 10000
+    top_k = sum(v for _, v in xs[:k])
+    top_k1 = sum(v for _, v in xs[: k - 1])
+    assert 5 * top_k >= 4 * tot and 5 * top_k1 < 4 * tot
