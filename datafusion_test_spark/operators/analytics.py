@@ -1072,7 +1072,42 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth per event type — the ubiquitous period-over-
+    period metric row: daily counts, the previous day's count (lag over
+    the OBSERVED day sequence), the absolute delta, and the growth ratio
+    as one half-up divide of exact integers (NULL on the first observed
+    day and when the prior day had zero rows — the ANSI-safe phrasing).
+
+    Scale: one (type, day) map-side-combined aggregate (≤ 366·|types|
+    rows/year), then a lag window over those aggregate rows only.
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    t = g.withColumn("prev_n", F.lag("n").over(w))
+    return t.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("prev_n").cast("long").alias("prev_n"),
+        (F.col("n") - F.col("prev_n")).cast("long").alias("delta"),
+        F.when(
+            F.col("prev_n") > 0,
+            half_up(
+                (F.col("n") - F.col("prev_n"))
+                / F.col("prev_n").cast("double")
+            ),
+        ).alias("growth"),
+    )
+
+
 QUERIES = {
+    "ts_period_growth": ts_period_growth,
     "ts_forecast_backtest": ts_forecast_backtest,
     "feature_standardize": feature_standardize,
     "join_interval_relations": join_interval_relations,
@@ -1148,6 +1183,24 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "ts_period_growth": """
+        WITH g AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, n,
+               CAST(lag(n) OVER w AS BIGINT) AS prev_n,
+               CAST(n - lag(n) OVER w AS BIGINT) AS delta,
+               CASE WHEN lag(n) OVER w > 0 THEN
+                   CAST(floor(CAST(n - lag(n) OVER w AS DOUBLE)
+                              / lag(n) OVER w * 10000 + 0.5)
+                        AS DOUBLE) / 10000
+               END AS growth
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
     "ts_forecast_backtest": f"""
         WITH b AS (
             SELECT event_type,

@@ -3626,3 +3626,50 @@ def test_agg_pareto_crossing(spark, sf_dir):
     top_k = sum(v for _, v in xs[:k])
     top_k1 = sum(v for _, v in xs[: k - 1])
     assert 5 * top_k >= 4 * tot and 5 * top_k1 < 4 * tot
+
+
+def test_ts_period_growth_matches_bruteforce(spark, sf_dir):
+    """Daily counts, lags and growth replayed driver-side must match;
+    first observed day per type carries NULLs."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import ts_period_growth
+    from pyspark.sql import functions as F
+
+    counts = collections.Counter()
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .collect()
+    ):
+        counts[(r["event_type"], r["day"])] += 1
+    series = collections.defaultdict(list)
+    for (et, day), n in counts.items():
+        series[et].append((day, n))
+    exp = {}
+    for et, rows in series.items():
+        rows.sort()
+        prev = None
+        for day, n in rows:
+            if prev is None:
+                exp[(et, day)] = (n, None, None, None)
+            else:
+                growth = (
+                    math.floor((n - prev) / prev * 10000 + 0.5) / 10000
+                    if prev > 0
+                    else None
+                )
+                exp[(et, day)] = (n, prev, n - prev, growth)
+            prev = n
+    got = {
+        (r["event_type"], r["day"]): (
+            r["n"],
+            r["prev_n"],
+            r["delta"],
+            r["growth"],
+        )
+        for r in ts_period_growth(spark, sf_dir).collect()
+    }
+    assert got == exp
