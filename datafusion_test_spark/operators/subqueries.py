@@ -254,7 +254,48 @@ def sub_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sub_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null landmine, pinned cross-engine: when the subquery
+    list contains even one NULL, `x NOT IN (list)` is never TRUE
+    (three-valued logic — x <> NULL is UNKNOWN), so the query silently
+    returns ZERO rows; NOT EXISTS states the intended anti-join.  Both
+    phrasings run over the SAME data (one NULL injected into the list
+    via NULLIF) and the result row carries both counts plus the landmine
+    flag — the regression test every SQL migration should keep.
+
+    Plan note: Spark compiles NOT IN to a null-aware anti join (its
+    single most expensive join flavor at scale — another reason NOT
+    EXISTS wins); NOT EXISTS is a plain LeftAnti.
+    """
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        WITH keys AS (
+            SELECT NULLIF(o_custkey,
+                          (SELECT MIN(o_custkey) FROM orders)) AS k
+            FROM orders WHERE o_totalprice > 100000
+        )
+        SELECT
+            (SELECT COUNT(*) FROM customer) AS n_customers,
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+            (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM keys
+                               WHERE keys.k = c.c_custkey))
+                AS n_not_exists,
+            ((SELECT COUNT(*) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM keys)) = 0
+             AND
+             (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM keys
+                                WHERE keys.k = c.c_custkey)) > 0)
+                AS null_landmine_demonstrated
+        """
+    )
+
+
 QUERIES = {
+    "sub_not_in_nulls": sub_not_in_nulls,
     "sub_quantified": sub_quantified,
     "sub_in_disjunct": sub_in_disjunct,
     "sub_scalar": sub_scalar,
@@ -270,6 +311,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sub_not_in_nulls": """
+        WITH keys AS (
+            SELECT NULLIF(o_custkey,
+                          (SELECT MIN(o_custkey) FROM orders)) AS k
+            FROM orders WHERE o_totalprice > 100000
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM keys
+                               WHERE keys.k = c.c_custkey))
+                AS n_not_exists,
+            ((SELECT COUNT(*) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM keys)) = 0
+             AND
+             (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM keys
+                                WHERE keys.k = c.c_custkey)) > 0)
+                AS null_landmine_demonstrated
+    """,
     # the NATIVE quantified forms — DuckDB parses ALL/ANY directly, so
     # the oracle proves the min/max rewrite IS the quantified semantics
     "sub_quantified": """

@@ -3673,3 +3673,14 @@ def test_ts_period_growth_matches_bruteforce(spark, sf_dir):
         for r in ts_period_growth(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_sub_not_in_nulls_landmine(spark, sf_dir):
+    """NOT IN over a list containing NULL must return zero rows while
+    NOT EXISTS returns the true anti-set (non-empty on this data)."""
+    from datafusion_test_spark.operators.subqueries import sub_not_in_nulls
+
+    r = sub_not_in_nulls(spark, sf_dir).collect()[0]
+    assert r["n_not_in"] == 0
+    assert 0 < r["n_not_exists"] <= r["n_customers"]
+    assert r["null_landmine_demonstrated"]
