@@ -190,6 +190,9 @@ HEADLINE = [
     "agg_gini",
     "agg_benford",
     "fn_mask_partial",
+    "agg_pareto",
+    "ts_period_growth",
+    "sub_not_in_nulls",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
