@@ -1106,7 +1106,47 @@ def ts_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior — for every
+    (from_state, to_state) pair of consecutive events in a user's
+    timeline, the transition count and the row-normalized probability
+    (one half-up divide of exact counts).  The behavioral model behind
+    next-action prediction and funnel leak analysis; seq_pattern_detect
+    matches ONE declared pattern, this estimates the whole chain.
+
+    Scale: lag over the user-keyed timeline (one exchange, bounded per
+    user), then a map-side-combined groupBy over ≤ |states|² cells; the
+    per-from-state totals are a window over those ≤ 25 rows.
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_state"),
+            F.col("event_type").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_state")
+    t = pairs.withColumn("row_total", F.sum("n").over(wt))
+    return t.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        F.col("row_total").cast("long").alias("row_total"),
+        half_up(F.col("n") / F.col("row_total").cast("double")).alias(
+            "p"
+        ),
+    )
+
+
 QUERIES = {
+    "seq_markov_transitions": seq_markov_transitions,
     "ts_period_growth": ts_period_growth,
     "ts_forecast_backtest": ts_forecast_backtest,
     "feature_standardize": feature_standardize,
@@ -1183,6 +1223,26 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "seq_markov_transitions": """
+        WITH p AS (
+            SELECT lag(event_type) OVER w AS from_state,
+                   event_type AS to_state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+            SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE from_state IS NOT NULL
+            GROUP BY from_state, to_state
+        )
+        SELECT from_state, to_state, n,
+               CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+                   AS row_total,
+               CAST(floor(CAST(n AS DOUBLE)
+                          / SUM(n) OVER (PARTITION BY from_state)
+                          * 10000 + 0.5) AS DOUBLE) / 10000 AS p
+        FROM g
+    """,
     "ts_period_growth": """
         WITH g AS (
             SELECT event_type,

@@ -3684,3 +3684,43 @@ def test_sub_not_in_nulls_landmine(spark, sf_dir):
     assert r["n_not_in"] == 0
     assert 0 < r["n_not_exists"] <= r["n_customers"]
     assert r["null_landmine_demonstrated"]
+
+
+def test_seq_markov_transitions_stochastic_rows(spark, sf_dir):
+    """Counts replayed driver-side must match; each from-state's
+    probabilities sum to ~1 and transitions total events minus users."""
+    import collections
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        seq_markov_transitions,
+    )
+
+    per_user = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pairs = collections.Counter()
+    n_events = 0
+    for rows in per_user.values():
+        rows.sort()
+        n_events += len(rows)
+        for a, b in zip(rows, rows[1:]):
+            pairs[(a[2], b[2])] += 1
+    got = {
+        (r["from_state"], r["to_state"]): r
+        for r in seq_markov_transitions(spark, sf_dir).collect()
+    }
+    assert {k: v["n"] for k, v in got.items()} == dict(pairs)
+    assert sum(pairs.values()) == n_events - len(per_user)
+    by_from = collections.defaultdict(float)
+    for (f, _), r in got.items():
+        by_from[f] += r["p"]
+        assert r["row_total"] == sum(
+            n for (ff, _), n in pairs.items() if ff == f
+        )
+    for f, tot in by_from.items():
+        assert abs(tot - 1.0) < 0.001
