@@ -1145,7 +1145,76 @@ def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit — exact P5/P95 caps per event type and how
+    much each tail would be clipped: the outlier treatment every feature
+    pipeline applies before scaling (feature_standardize's robust
+    sibling).  Thresholds are EXACT order statistics (the value at rank
+    ⌈0.05·n⌉ / ⌈0.95·n⌉ over (value, event_id) — always a real data
+    value, the weighted-median discipline), computed with a per-type
+    rank window bounded by the group's rows; verdicts are integer rank
+    comparisons, and the clipped-mass figures are decimal-carried.
+
+    Output per type: n, the two cents-scaled caps, tail counts, and the
+    share of value mass the caps would clip (half-up).
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = e.select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_s", "event_id")
+    r = t.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    # ceil(q*n) as integer arithmetic: (q_num*n + q_den - 1) DIV q_den
+    lo_rk = F.expr("(5 * n + 99) DIV 100")
+    hi_rk = F.expr("(95 * n + 99) DIV 100")
+    caps = r.filter(
+        (F.col("rk") == lo_rk) | (F.col("rk") == hi_rk)
+    ).groupBy("event_type").agg(
+        F.min("v_s").alias("p05_s"), F.max("v_s").alias("p95_s")
+    )
+    j = t.join(caps, "event_type")
+    g = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("p05_s").alias("p05_s"),
+        F.first("p95_s").alias("p95_s"),
+        F.sum(
+            F.when(F.col("v_s") < F.col("p05_s"), 1).otherwise(0)
+        ).alias("n_below"),
+        F.sum(
+            F.when(F.col("v_s") > F.col("p95_s"), 1).otherwise(0)
+        ).alias("n_above"),
+        F.sum(
+            F.when(
+                F.col("v_s") > F.col("p95_s"),
+                F.col("v_s") - F.col("p95_s"),
+            ).otherwise(0)
+        ).alias("clip_mass_s"),
+        F.sum("v_s").alias("total_s"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("p05_s").cast("long").alias("p05_s"),
+        F.col("p95_s").cast("long").alias("p95_s"),
+        F.col("n_below").cast("long").alias("n_below"),
+        F.col("n_above").cast("long").alias("n_above"),
+        F.when(
+            F.col("total_s") > 0,
+            half_up(
+                F.col("clip_mass_s") / F.col("total_s").cast("double"), 6
+            ),
+        ).alias("clipped_share"),
+    )
+
+
 QUERIES = {
+    "feature_winsorize": feature_winsorize,
     "seq_markov_transitions": seq_markov_transitions,
     "ts_period_growth": ts_period_growth,
     "ts_forecast_backtest": ts_forecast_backtest,
@@ -1223,6 +1292,46 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "feature_winsorize": """
+        WITH t AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT *,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY v_s, event_id
+                   ) AS BIGINT) AS rk,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM t
+        ),
+        caps AS (
+            SELECT event_type,
+                   CAST(min(v_s) AS BIGINT) AS p05_s,
+                   CAST(max(v_s) AS BIGINT) AS p95_s
+            FROM r
+            WHERE rk = (5 * n + 99) // 100 OR rk = (95 * n + 99) // 100
+            GROUP BY event_type
+        )
+        SELECT t.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               any_value(c.p05_s) AS p05_s,
+               any_value(c.p95_s) AS p95_s,
+               CAST(SUM(CASE WHEN t.v_s < c.p05_s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN t.v_s > c.p95_s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               CASE WHEN SUM(t.v_s) > 0 THEN
+                   CAST(floor(CAST(SUM(CASE WHEN t.v_s > c.p95_s
+                                   THEN t.v_s - c.p95_s ELSE 0 END)
+                              AS DOUBLE) / SUM(t.v_s)
+                              * 1000000 + 0.5) AS DOUBLE) / 1000000
+               END AS clipped_share
+        FROM t JOIN caps c USING (event_type)
+        GROUP BY t.event_type
+    """,
     "seq_markov_transitions": """
         WITH p AS (
             SELECT lag(event_type) OVER w AS from_state,

@@ -3724,3 +3724,43 @@ def test_seq_markov_transitions_stochastic_rows(spark, sf_dir):
         )
     for f, tot in by_from.items():
         assert abs(tot - 1.0) < 0.001
+
+
+def test_feature_winsorize_matches_bruteforce(spark, sf_dir):
+    """Caps must be the exact ceil-rank order statistics and tail counts
+    must match a driver-side census."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import feature_winsorize
+    from pyspark.sql import functions as F
+
+    per = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+        .collect()
+    ):
+        per[r["event_type"]].append(
+            (math.floor(r["value"] * 10000 + 0.5), r["event_id"])
+        )
+    got = {r["event_type"]: r for r in feature_winsorize(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for et, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        lo = vs[(5 * n + 99) // 100 - 1][0]
+        hi = vs[(95 * n + 99) // 100 - 1][0]
+        g = got[et]
+        assert g["n"] == n
+        assert g["p05_s"] == lo and g["p95_s"] == hi
+        assert g["n_below"] == sum(1 for v, _ in vs if v < lo)
+        assert g["n_above"] == sum(1 for v, _ in vs if v > hi)
+        assert g["p05_s"] <= g["p95_s"]
+        clip = sum(v - hi for v, _ in vs if v > hi)
+        tot = sum(v for v, _ in vs)
+        assert g["clipped_share"] == math.floor(
+            clip / tot * 1_000_000 + 0.5
+        ) / 1_000_000
