@@ -1213,7 +1213,42 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ABSENCE_US = 2 * 86_400_000_000  # silent for > 2 days => alarm
+
+
+def ts_absence_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection (dead-man switch) — the alarm for what DIDN'T
+    happen: per user, the last event time, how long they have been
+    silent relative to the stream frontier (the global max ts), and the
+    alarm bit for > 2 days of silence.  ts_debounce suppresses bursts;
+    this flags the opposite failure.  All comparisons in exact
+    microseconds; the frontier is a 1-row broadcast.
+
+    Scale: one map-side-combined per-user max; in production the
+    frontier comes from the watermark, and the alarm set is the
+    anti-join feeding the pager — same plan.
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    frontier = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    j = per.crossJoin(F.broadcast(frontier))
+    silent = F.col("max_us") - F.col("last_us")
+    return j.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        silent.cast("long").alias("silent_us"),
+        half_up(silent / F.lit(86_400_000_000.0)).alias("silent_days"),
+        (silent > _ABSENCE_US).alias("alarm"),
+    )
+
+
 QUERIES = {
+    "ts_absence_alarm": ts_absence_alarm,
     "feature_winsorize": feature_winsorize,
     "seq_markov_transitions": seq_markov_transitions,
     "ts_period_growth": ts_period_growth,
@@ -1292,6 +1327,21 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "ts_absence_alarm": """
+        WITH per AS (
+            SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        f AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us FROM events)
+        SELECT p.user_id, p.n_events,
+               CAST(f.max_us - p.last_us AS BIGINT) AS silent_us,
+               CAST(floor(CAST(f.max_us - p.last_us AS DOUBLE)
+                          / 86400000000.0 * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS silent_days,
+               (f.max_us - p.last_us > 172800000000) AS alarm
+        FROM per p CROSS JOIN f
+    """,
     "feature_winsorize": """
         WITH t AS (
             SELECT event_type, event_id,

@@ -3764,3 +3764,30 @@ def test_feature_winsorize_matches_bruteforce(spark, sf_dir):
         assert g["clipped_share"] == math.floor(
             clip / tot * 1_000_000 + 0.5
         ) / 1_000_000
+
+
+def test_ts_absence_alarm_frontier(spark, sf_dir):
+    """Silence must be measured against the true stream frontier; the
+    most recent user has silence 0; alarms match the 2-day rule."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        _ABSENCE_US,
+        ts_absence_alarm,
+    )
+    from pyspark.sql import functions as F
+
+    per = {
+        r["user_id"]: r["last"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.unix_micros("ts")).alias("last"))
+        .collect()
+    }
+    frontier = max(per.values())
+    rows = ts_absence_alarm(spark, sf_dir).collect()
+    assert len(rows) == len(per)
+    assert any(r["silent_us"] == 0 for r in rows)
+    for r in rows:
+        exp = frontier - per[r["user_id"]]
+        assert r["silent_us"] == exp
+        assert r["alarm"] == (exp > _ABSENCE_US)
