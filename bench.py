@@ -193,6 +193,9 @@ HEADLINE = [
     "agg_pareto",
     "ts_period_growth",
     "sub_not_in_nulls",
+    "seq_markov_transitions",
+    "feature_winsorize",
+    "ts_absence_alarm",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
