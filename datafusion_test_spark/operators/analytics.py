@@ -1247,7 +1247,59 @@ def ts_absence_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actuarial life table of user retention — the discrete survival
+    analysis behind churn curves: per lifetime day k, how many users
+    were still AT RISK (lifetime ≥ k), how many churned exactly at k
+    (uncensored, lifetime == k), how many were censored there (still
+    active at the stream frontier — their true lifetime is unknown),
+    and the discrete hazard d_k/n_k as one half-up divide.  The KM
+    survival curve is the running product of (1 − hazard) — left
+    per-step here so every figure stays a single exact divide (no
+    cross-step float product enters the hash contract).
+
+    Lifetime = whole days between a user's first and last event;
+    censored = still active within 2 days of the frontier
+    (ts_absence_alarm's rule).  Scale: one per-user aggregate, a
+    ≤ max-lifetime-row bucket table, and a suffix count via one small
+    window — nothing beyond the bounded day domain.
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    frontier = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    day = 86_400_000_000
+    u = per.crossJoin(F.broadcast(frontier)).select(
+        F.expr(f"(last_us - first_us) DIV {day}").alias("k"),
+        (F.col("max_us") - F.col("last_us") < 2 * day).alias("censored"),
+    )
+    g = u.groupBy("k").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("c"),
+    )
+    # n_at_risk(k) = users with lifetime >= k = suffix sum over the
+    # bounded day-bucket rows (<= max lifetime in days)
+    w = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = g.withColumn("n_at_risk", F.sum(F.col("d") + F.col("c")).over(w))
+    return t.select(
+        F.col("k").cast("long").alias("lifetime_day"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        half_up(F.col("d") / F.col("n_at_risk").cast("double"), 6).alias(
+            "hazard"
+        ),
+    )
+
+
 QUERIES = {
+    "agg_life_table": agg_life_table,
     "ts_absence_alarm": ts_absence_alarm,
     "feature_winsorize": feature_winsorize,
     "seq_markov_transitions": seq_markov_transitions,
@@ -1327,6 +1379,42 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "agg_life_table": """
+        WITH per AS (
+            SELECT user_id,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+            FROM events GROUP BY user_id
+        ),
+        f AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+              FROM events),
+        u AS (
+            SELECT (p.last_us - p.first_us) // 86400000000 AS k,
+                   (f.max_us - p.last_us < 172800000000) AS censored
+            FROM per p CROSS JOIN f
+        ),
+        g AS (
+            SELECT k,
+                   CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM u GROUP BY k
+        ),
+        t AS (
+            SELECT *,
+                   CAST(SUM(d + c) OVER (
+                       ORDER BY k DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_at_risk
+            FROM g
+        )
+        SELECT CAST(k AS BIGINT) AS lifetime_day, n_at_risk,
+               d AS n_churned, c AS n_censored,
+               CAST(floor(CAST(d AS DOUBLE) / n_at_risk * 1000000 + 0.5)
+                    AS DOUBLE) / 1000000 AS hazard
+        FROM t
+    """,
     "ts_absence_alarm": """
         WITH per AS (
             SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,

@@ -3791,3 +3791,24 @@ def test_ts_absence_alarm_frontier(spark, sf_dir):
         exp = frontier - per[r["user_id"]]
         assert r["silent_us"] == exp
         assert r["alarm"] == (exp > _ABSENCE_US)
+
+
+def test_agg_life_table_consistency(spark, sf_dir):
+    """Risk sets must telescope (n_at_risk(k) = n_at_risk(k+1) + d + c at
+    k), the largest k's risk set equals its own d+c, and the smallest
+    k's risk set equals the total user count."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import agg_life_table
+
+    rows = sorted(
+        agg_life_table(spark, sf_dir).collect(),
+        key=lambda r: r["lifetime_day"],
+    )
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows[0]["n_at_risk"] == n_users
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_at_risk"] == b["n_at_risk"] + a["n_churned"] + a["n_censored"]
+    last = rows[-1]
+    assert last["n_at_risk"] == last["n_churned"] + last["n_censored"]
+    for r in rows:
+        assert 0.0 <= r["hazard"] <= 1.0
