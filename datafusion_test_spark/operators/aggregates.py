@@ -855,7 +855,57 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment —
+    HHI = Σ shareᵢ² over each customer's share of the segment's spend,
+    the antitrust-grade concentration statistic next to agg_gini's
+    inequality curve and agg_pareto's crossing point.  Spend is
+    DOLLAR-scaled int64 (squares of cents would overflow); the
+    squared-sum accumulates as DECIMAL(38,0) over exact int64 squares,
+    and HHI is ONE double expression (sum_sq / total²) stated
+    identically in both engines, half-up to 6.
+
+    Scale: per-(segment, customer) totals map-side combine; the segment
+    reduce carries 3 cells; top_share is a max over the same relation.
+    """
+    from .._util import half_up
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice) as bigint)")
+            ).alias("dollars")
+        )
+    )
+    g = per.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("dollars").alias("tot"),
+        F.sum(
+            (F.col("dollars") * F.col("dollars")).cast("decimal(38,0)")
+        ).alias("sum_sq"),
+        F.max("dollars").alias("max_dollars"),
+    )
+    hhi = F.col("sum_sq").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot").cast("double")
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("n_custs").cast("long").alias("n_custs"),
+        F.col("tot").cast("long").alias("total_dollars"),
+        F.when((F.col("tot") > 0), half_up(hhi, 6)).alias("hhi"),
+        F.when(
+            F.col("tot") > 0,
+            half_up(F.col("max_dollars") / F.col("tot").cast("double"), 6),
+        ).alias("top_share"),
+    )
+
+
 QUERIES = {
+    "agg_hhi": agg_hhi,
     "agg_pareto": agg_pareto,
     "agg_benford": agg_benford,
     "agg_gini": agg_gini,
@@ -889,6 +939,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_hhi": """
+        WITH per AS (
+            SELECT c.c_mktsegment, o.o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice) AS BIGINT))
+                        AS BIGINT) AS dollars
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ),
+        g AS (
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(dollars) AS BIGINT) AS tot,
+                   SUM(CAST(dollars * dollars AS DECIMAL(38,0))) AS sum_sq,
+                   CAST(max(dollars) AS BIGINT) AS max_dollars
+            FROM per GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n_custs, tot AS total_dollars,
+               CASE WHEN tot > 0 THEN
+                   CAST(floor(CAST(sum_sq AS DOUBLE)
+                              / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                              * 1000000 + 0.5) AS DOUBLE) / 1000000
+               END AS hhi,
+               CASE WHEN tot > 0 THEN
+                   CAST(floor(CAST(max_dollars AS DOUBLE)
+                              / CAST(tot AS DOUBLE)
+                              * 1000000 + 0.5) AS DOUBLE) / 1000000
+               END AS top_share
+        FROM g
+    """,
     "agg_pareto": """
         WITH per AS (
             SELECT o_custkey,

@@ -3812,3 +3812,40 @@ def test_agg_life_table_consistency(spark, sf_dir):
     assert last["n_at_risk"] == last["n_churned"] + last["n_censored"]
     for r in rows:
         assert 0.0 <= r["hazard"] <= 1.0
+
+
+def test_agg_hhi_bounds_and_bruteforce(spark, sf_dir):
+    """HHI replayed driver-side must match and respect its analytic
+    bounds 1/n <= HHI <= top_share at rounding precision."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import agg_hhi
+    from pyspark.sql import functions as F
+
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    spend = collections.defaultdict(lambda: collections.Counter())
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        seg = seg_of.get(r["o_custkey"])
+        if seg is not None:
+            spend[seg][r["o_custkey"]] += math.floor(r["o_totalprice"])
+    got = {r["c_mktsegment"]: r for r in agg_hhi(spark, sf_dir).collect()}
+    assert set(got) == set(spend)
+    for seg, cc in spend.items():
+        tot = sum(cc.values())
+        hhi = sum(v * v for v in cc.values()) / (tot * tot)
+        g = got[seg]
+        assert g["n_custs"] == len(cc) and g["total_dollars"] == tot
+        assert g["hhi"] == math.floor(hhi * 1_000_000 + 0.5) / 1_000_000
+        assert g["hhi"] >= 1 / len(cc) - 1e-6
+        assert g["hhi"] <= g["top_share"] + 1e-6
