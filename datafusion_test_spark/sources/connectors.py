@@ -490,7 +490,55 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled statistics estimation — ANALYZE at 100 TB runs on a
+    sample, not the table: a DETERMINISTIC 1/16 md5-bucket sample of
+    lineitem (bucket 0 of the key hash — reproducible across engines
+    and retries, unlike TABLESAMPLE's RNG) estimates row count and
+    decimal-carried quantity mass, scaled ×16, next to the exact
+    figures and the integer-scaled relative error of the row estimate
+    (half-up, so the accuracy claim itself is hash-checked).
+
+    Scale: the sample predicate pushes to the scan (md5 of the key is
+    map-side), so the sampled pass reads 1/16 of the data — exactly the
+    economics that make sampled ANALYZE viable.
+    """
+    from .._util import half_up
+
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.expr(
+        "(instr('0123456789abcdef',"
+        " substring(md5(concat(cast(l_orderkey as string), '-',"
+        " cast(l_linenumber as string))), 1, 1)) - 1)"
+    )
+    t = li.select(
+        F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)").alias(
+            "q_s"
+        ),
+        bucket.alias("b"),
+    )
+    g = t.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("q_s").alias("q_exact_s"),
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias("n_sample"),
+        F.coalesce(
+            F.sum(F.when(F.col("b") == 0, F.col("q_s"))), F.lit(0)
+        ).alias("q_sample_s"),
+    )
+    return g.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_sample") * 16).cast("long").alias("n_estimated"),
+        F.col("q_exact_s").cast("long").alias("q_exact_s"),
+        (F.col("q_sample_s") * 16).cast("long").alias("q_estimated_s"),
+        half_up(
+            F.abs(F.col("n_sample") * 16 - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+        ).alias("row_est_rel_err"),
+    )
+
+
 QUERIES = {
+    "catalog_stats_sampled": catalog_stats_sampled,
     "scan_binary_files": scan_binary_files,
     "write_partitioned": write_partitioned,
     "merge_upsert": merge_upsert,
@@ -518,6 +566,33 @@ _TT_V2_SUM = sql_dsum(
 )
 
 ORACLE = {
+    "catalog_stats_sampled": """
+        WITH t AS (
+            SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_s,
+                   (strpos('0123456789abcdef',
+                        substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                      || CAST(l_linenumber AS VARCHAR)),
+                                  1, 1)) - 1) AS b
+            FROM lineitem
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(SUM(q_s) AS BIGINT) AS q_exact_s,
+                   CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sample,
+                   CAST(COALESCE(SUM(CASE WHEN b = 0 THEN q_s END), 0)
+                        AS BIGINT) AS q_sample_s
+            FROM t
+        )
+        SELECT n_exact,
+               CAST(n_sample * 16 AS BIGINT) AS n_estimated,
+               q_exact_s,
+               CAST(q_sample_s * 16 AS BIGINT) AS q_estimated_s,
+               CAST(floor(CAST(abs(n_sample * 16 - n_exact) AS DOUBLE)
+                          / n_exact * 10000 + 0.5) AS DOUBLE) / 10000
+                   AS row_est_rel_err
+        FROM g
+    """,
     # the deterministic fixture rule restated over the source view:
     # text is ASCII in this corpus, but octet_length states the byte
     # contract explicitly either way

@@ -136,3 +136,20 @@ def test_scan_binary_files_roundtrip(spark, sf_dir):
         assert r["payload"] == src[r["doc_id"]]
         n = len(src[r["doc_id"]].encode("utf-8"))
         assert r["n_bytes_meta"] == r["n_bytes_content"] == n
+
+
+def test_catalog_stats_sampled_estimate(spark, sf_dir):
+    """The deterministic 1/16 sample estimate must be reproducible and
+    within a loose tolerance of the exact row count (the md5 bucket is
+    uniform-ish; 3x the binomial sigma gives a stable bound)."""
+    import math
+
+    from datafusion_test_spark.sources.connectors import catalog_stats_sampled
+
+    r1 = catalog_stats_sampled(spark, sf_dir).collect()[0]
+    r2 = catalog_stats_sampled(spark, sf_dir).collect()[0]
+    assert r1 == r2  # deterministic sample
+    n = r1["n_exact"]
+    sigma = math.sqrt(n * (1 / 16) * (15 / 16)) * 16
+    assert abs(r1["n_estimated"] - n) <= 4 * sigma
+    assert r1["row_est_rel_err"] < 0.25
