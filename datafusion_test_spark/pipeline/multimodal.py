@@ -338,7 +338,59 @@ def mm_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (name, rw, rh, tie_order, 144/(rw*rh)) — D = 144 is the lcm of the
+# ratio denominators, so every score is an exact integer
+_ASPECTS = [
+    ("square_1_1", 1, 1, 0, 144),
+    ("landscape_4_3", 4, 3, 1, 12),
+    ("portrait_3_4", 3, 4, 2, 12),
+    ("wide_16_9", 16, 9, 3, 1),
+    ("tall_9_16", 9, 16, 4, 1),
+]
+
+
+def mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing — the multimodal batching step that groups
+    images of similar shape so a batch shares one resize target (the
+    SDXL-style bucketed-resolution recipe).  Dimensions are synthetic
+    columnar integers (the codec-less container's stand-in, like
+    mm_decode_stub's fake decode, but expressed portably so the bucket
+    assignment is FULL-hash verifiable); the nearest of five standard
+    aspects is an exact integer argmin — |w·rh − h·rw| rescaled by
+    144/(rw·rh) puts all five scores over one common denominator, so no
+    float or log ever picks a bucket.
+
+    Scale: pure projection + a bounded 5-way argmin per row; the
+    bucket-level batch counts downstream are one map-side aggregate.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (16 + (F.col("n_chars") * 131) % 240).alias("w")
+    h = (16 + (F.col("doc_id") * 37) % 240).alias("h")
+    t = d.select("doc_id", w, h)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.abs(F.col("w") * rh - F.col("h") * rw) * scale
+                ).alias("score"),
+                F.lit(order).alias("ord"),
+                F.lit(name).alias("bucket"),
+            )
+            for name, rw, rh, order, scale in _ASPECTS
+        ]
+    )
+    best = F.array_min(scored)
+    return t.select(
+        "doc_id",
+        "w",
+        "h",
+        best["bucket"].alias("aspect_bucket"),
+        best["score"].cast("long").alias("score_144"),
+    )
+
+
 QUERIES = {
+    "mm_aspect_bucket": mm_aspect_bucket,
     "mm_dataset_manifest": mm_dataset_manifest,
     "mm_clip_filter": mm_clip_filter,
     "multimodal_cols": multimodal_cols,
@@ -365,6 +417,31 @@ def _clip_oracle() -> str:
 
 
 ORACLE = {
+    "mm_aspect_bucket": """
+        WITH t AS (
+            SELECT doc_id,
+                   16 + (n_chars * 131) % 240 AS w,
+                   16 + (doc_id * 37) % 240 AS h
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, w, h, a.bucket, a.ord,
+                   abs(w * a.rh - h * a.rw) * a.scale AS score
+            FROM t, (VALUES
+                ('square_1_1', 1, 1, 0, 144),
+                ('landscape_4_3', 4, 3, 1, 12),
+                ('portrait_3_4', 3, 4, 2, 12),
+                ('wide_16_9', 16, 9, 3, 1),
+                ('tall_9_16', 9, 16, 4, 1)
+            ) AS a(bucket, rw, rh, ord, scale)
+        )
+        SELECT doc_id, w, h, bucket AS aspect_bucket,
+               CAST(score AS BIGINT) AS score_144
+        FROM s
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score, ord
+        ) = 1
+    """,
     "mm_dataset_manifest": """
         WITH ids AS (
             SELECT doc_id AS sample_id FROM documents

@@ -3849,3 +3849,32 @@ def test_agg_hhi_bounds_and_bruteforce(spark, sf_dir):
         assert g["hhi"] == math.floor(hhi * 1_000_000 + 0.5) / 1_000_000
         assert g["hhi"] >= 1 / len(cc) - 1e-6
         assert g["hhi"] <= g["top_share"] + 1e-6
+
+
+def test_mm_aspect_bucket_nearest_ratio(spark, sf_dir):
+    """Each sample's bucket must be the true integer-argmin over the five
+    standard aspects (common-denominator scores, first-listed tie win)."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.multimodal import (
+        _ASPECTS,
+        mm_aspect_bucket,
+    )
+
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    rows = mm_aspect_bucket(spark, sf_dir).collect()
+    assert len(rows) == len(chars)
+    for r in rows:
+        w = 16 + (chars[r["doc_id"]] * 131) % 240
+        h = 16 + (r["doc_id"] * 37) % 240
+        assert (r["w"], r["h"]) == (w, h)
+        scored = sorted(
+            (abs(w * rh - h * rw) * scale, order, name)
+            for name, rw, rh, order, scale in _ASPECTS
+        )
+        assert r["aspect_bucket"] == scored[0][2]
+        assert r["score_144"] == scored[0][0]
