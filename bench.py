@@ -196,6 +196,10 @@ HEADLINE = [
     "seq_markov_transitions",
     "feature_winsorize",
     "ts_absence_alarm",
+    "agg_life_table",
+    "agg_hhi",
+    "catalog_stats_sampled",
+    "mm_aspect_bucket",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
