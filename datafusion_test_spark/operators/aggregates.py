@@ -904,7 +904,49 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day — each day's events divided by
+    whether the user first appeared THAT day (acquisition) or earlier
+    (retention): the growth-accounting row under every DAU chart (and
+    the per-day decomposition agg_rolling_wau's window rolls up).  The
+    first-seen day is one min-aggregate (corpus_vocab_growth's
+    first-occurrence discipline); shares are single half-up divides.
+
+    Scale: per-user first day map-side combines; the event stream joins
+    it on the user key (broadcast at bounded user counts, shuffle
+    otherwise) and reduces to ≤ 366 day rows.
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = e.join(first, "user_id")
+    g = j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("n_new"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+        ).alias("n_new_users"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return g.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_new").cast("long").alias("n_new_user_events"),
+        F.col("n_new_users").cast("long").alias("n_new_users"),
+        F.col("n_users").cast("long").alias("n_users"),
+        half_up(F.col("n_new") / F.col("n_events").cast("double")).alias(
+            "new_share"
+        ),
+    )
+
+
 QUERIES = {
+    "agg_new_vs_returning": agg_new_vs_returning,
     "agg_hhi": agg_hhi,
     "agg_pareto": agg_pareto,
     "agg_benford": agg_benford,
@@ -939,6 +981,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_new_vs_returning": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id
+        )
+        SELECT e.day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_user_events,
+               CAST(count(DISTINCT CASE WHEN e.day = f.first_day
+                          THEN e.user_id END) AS BIGINT) AS n_new_users,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               CAST(floor(CAST(SUM(CASE WHEN e.day = f.first_day
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                          / count(*) * 10000 + 0.5) AS DOUBLE) / 10000
+                   AS new_share
+        FROM e JOIN f USING (user_id)
+        GROUP BY e.day
+    """,
     "agg_hhi": """
         WITH per AS (
             SELECT c.c_mktsegment, o.o_custkey,

@@ -3878,3 +3878,27 @@ def test_mm_aspect_bucket_nearest_ratio(spark, sf_dir):
         )
         assert r["aspect_bucket"] == scored[0][2]
         assert r["score_144"] == scored[0][0]
+
+
+def test_agg_new_vs_returning_conservation(spark, sf_dir):
+    """New-user totals across days must equal the user count, events must
+    total the stream, and the first observed day must be 100% new."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import (
+        agg_new_vs_returning,
+    )
+
+    e = table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    rows = sorted(
+        agg_new_vs_returning(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert sum(r["n_new_users"] for r in rows) == n_users
+    first = rows[0]
+    assert first["new_share"] == 1.0
+    assert first["n_new_user_events"] == first["n_events"]
+    for r in rows:
+        assert 0.0 <= r["new_share"] <= 1.0
+        assert r["n_new_users"] <= r["n_users"]
