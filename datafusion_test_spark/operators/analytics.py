@@ -1298,7 +1298,75 @@ def agg_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7-day lookback
+
+
+def join_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — every purchase splits one unit
+    of credit equally across the SAME user's views in the preceding 7
+    days, and each view accumulates credit over all purchases it
+    assisted.  The marketing-science companion to join_asof (last-touch)
+    and funnel_conversion (path shape): per-touch fractional credit.
+
+    Each assignment's credit is the half-up integer of 10⁴/n_views for
+    that purchase (eval_mrr's reciprocal carrier), so per-view totals
+    are exact integer sums — no float accumulates across purchases.
+    Purchases with NO preceding view keep their credit as
+    'unattributed' (reported in the companion row with view_id NULL).
+
+    Scale: the view↔purchase pairing joins on the user key with a
+    µs-window predicate — bounded by one user's 7-day activity; at
+    100 TB the time-bin bucketing of join_range bounds the pair fan-out
+    per bin.
+    """
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    pairs = p.join(v, "user_id").filter(
+        (F.col("v_us") < F.col("p_us"))
+        & (F.col("v_us") >= F.col("p_us") - _ATTR_WINDOW_US)
+    )
+    per_p = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views")
+    )
+    credited = (
+        pairs.join(per_p, "purchase_id")
+        .withColumn(
+            "credit_s", F.expr("(2 * 10000 + n_views) DIV (2 * n_views)")
+        )
+        .groupBy("view_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assists"),
+            F.sum("credit_s").alias("credit_s"),
+        )
+        .select(
+            F.col("view_id"),
+            F.col("n_assists").cast("long").alias("n_assists"),
+            F.col("credit_s").cast("long").alias("credit_s"),
+        )
+    )
+    unattributed = (
+        p.join(pairs.select("purchase_id").distinct(), "purchase_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(None).cast("long").alias("view_id"),
+            F.col("n").cast("long").alias("n_assists"),
+            (F.col("n") * 10000).cast("long").alias("credit_s"),
+        )
+    )
+    return credited.unionByName(unattributed)
+
+
 QUERIES = {
+    "join_attribution_linear": join_attribution_linear,
     "agg_life_table": agg_life_table,
     "ts_absence_alarm": ts_absence_alarm,
     "feature_winsorize": feature_winsorize,
@@ -1379,6 +1447,42 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "join_attribution_linear": """
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT p.purchase_id, v.view_id
+            FROM p JOIN v ON p.user_id = v.user_id
+             AND v.v_us < p.p_us
+             AND v.v_us >= p.p_us - 604800000000
+        ),
+        per_p AS (
+            SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_views
+            FROM pairs GROUP BY purchase_id
+        ),
+        credited AS (
+            SELECT pr.view_id,
+                   CAST(count(*) AS BIGINT) AS n_assists,
+                   CAST(SUM((2 * 10000 + pp.n_views)
+                            // (2 * pp.n_views)) AS BIGINT) AS credit_s
+            FROM pairs pr JOIN per_p pp USING (purchase_id)
+            GROUP BY pr.view_id
+        ),
+        unattributed AS (
+            SELECT CAST(NULL AS BIGINT) AS view_id,
+                   CAST(count(*) AS BIGINT) AS n_assists,
+                   CAST(count(*) * 10000 AS BIGINT) AS credit_s
+            FROM p
+            WHERE purchase_id NOT IN (SELECT purchase_id FROM pairs)
+        )
+        SELECT * FROM credited UNION ALL SELECT * FROM unattributed
+    """,
     "agg_life_table": """
         WITH per AS (
             SELECT user_id,

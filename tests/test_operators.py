@@ -3902,3 +3902,27 @@ def test_agg_new_vs_returning_conservation(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["new_share"] <= 1.0
         assert r["n_new_users"] <= r["n_users"]
+
+
+def test_join_attribution_linear_credit_conservation(spark, sf_dir):
+    """Total credit (attributed + unattributed) must equal 10^4 times the
+    purchase count, within per-purchase half-up rounding slack."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        join_attribution_linear,
+    )
+    from pyspark.sql import functions as F
+
+    n_purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    rows = join_attribution_linear(spark, sf_dir).collect()
+    total = sum(r["credit_s"] for r in rows)
+    # each attributed purchase contributes n_views half-up reciprocals
+    # summing to 10^4 ± n_views/2; bound loosely by total assists
+    assists = sum(r["n_assists"] for r in rows if r["view_id"] is not None)
+    assert abs(total - n_purchases * 10_000) <= assists
+    unattr = [r for r in rows if r["view_id"] is None]
+    assert len(unattr) == 1
