@@ -945,7 +945,55 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — purchase value accumulated by cohort age: users
+    grouped by their first-seen day (the cohort), purchase mass bucketed
+    by days since that first day, and the running cumulative per cohort.
+    agg_retention_cohort counts who RETURNS; this prices what they are
+    WORTH over time — the payback-period table under every acquisition
+    budget.  Value mass is cents-scaled int64 (sums exact), the
+    cumulative runs over each cohort's ≤ observed-days rows.
+
+    Scale: first-day per user map-side combines, the fact stream joins
+    it on the user key, and the curve table is |cohorts|·|ages| rows —
+    bounded by the calendar, never the stream.
+    """
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    )
+    from pyspark.sql import Window
+
+    j = p.join(first, "user_id").withColumn(
+        "age_days",
+        F.expr("(unix_micros(day) - unix_micros(cohort_day))"
+               " DIV 86400000000"),
+    )
+    g = j.groupBy("cohort_day", "age_days").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v_s").alias("value_s"),
+    )
+    w = Window.partitionBy("cohort_day").orderBy("age_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.withColumn("cum_value_s", F.sum("value_s").over(w)).select(
+        "cohort_day",
+        F.col("age_days").cast("long").alias("age_days"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+        F.col("value_s").cast("long").alias("value_s"),
+        F.col("cum_value_s").cast("long").alias("cum_value_s"),
+    )
+
+
 QUERIES = {
+    "agg_cohort_ltv": agg_cohort_ltv,
     "agg_new_vs_returning": agg_new_vs_returning,
     "agg_hhi": agg_hhi,
     "agg_pareto": agg_pareto,
@@ -981,6 +1029,41 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_cohort_ltv": """
+        WITH f AS (
+            SELECT user_id,
+                   CAST(min(date_trunc('day', ts)) AS TIMESTAMP)
+                       AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        p AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        j AS (
+            SELECT f.cohort_day,
+                   (epoch_us(p.day) - epoch_us(f.cohort_day))
+                       // 86400000000 AS age_days,
+                   p.v_s
+            FROM p JOIN f USING (user_id)
+        ),
+        g AS (
+            SELECT cohort_day, age_days,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(v_s) AS BIGINT) AS value_s
+            FROM j GROUP BY cohort_day, age_days
+        )
+        SELECT cohort_day, CAST(age_days AS BIGINT) AS age_days,
+               n_purchases, value_s,
+               CAST(SUM(value_s) OVER (
+                   PARTITION BY cohort_day ORDER BY age_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_value_s
+        FROM g
+    """,
     "agg_new_vs_returning": """
         WITH e AS (
             SELECT user_id,

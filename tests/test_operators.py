@@ -3926,3 +3926,37 @@ def test_join_attribution_linear_credit_conservation(spark, sf_dir):
     assert abs(total - n_purchases * 10_000) <= assists
     unattr = [r for r in rows if r["view_id"] is None]
     assert len(unattr) == 1
+
+
+def test_agg_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    """Per cohort the cumulative must be the exact prefix sum of value
+    mass, and total mass must equal the purchase value census."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import agg_cohort_ltv
+    from pyspark.sql import functions as F
+
+    total = sum(
+        math.floor(r["value"] * 10000 + 0.5)
+        for r in table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select("value")
+        .collect()
+    )
+    per_cohort = collections.defaultdict(list)
+    for r in agg_cohort_ltv(spark, sf_dir).collect():
+        per_cohort[r["cohort_day"]].append(r)
+    grand = 0
+    for rows in per_cohort.values():
+        rows.sort(key=lambda r: r["age_days"])
+        cum = 0
+        for r in rows:
+            assert r["age_days"] >= 0
+            cum += r["value_s"]
+            assert r["cum_value_s"] == cum
+        grand += cum
+    assert grand == total
