@@ -992,7 +992,52 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — parts bucketed by cumulative
+    revenue contribution (A: first 80% of revenue, B: next 15%, C: the
+    tail), the supply-chain standard built on agg_pareto's crossing
+    machinery but emitting the per-item label the planner consumes.
+    Revenue is cents-scaled int64; the class verdicts are integer
+    cross-multiplications on the INCLUSIVE cumulative (20·cum vs
+    16·total, 20·cum vs 19·total), and ranks come from the two-phase
+    prefix — no global window.
+
+    Scale: per-part revenue map-side combines; classification is a
+    per-row predicate over the ranked relation.
+    """
+    from .._util import two_phase_prefix
+
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "cast(floor(l_extendedprice * (1 - l_discount) * 100"
+                " + 0.5) as bigint)"
+            )
+        ).alias("cents")
+    )
+    per = per.withColumn("neg", -F.col("cents"))
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    ranked, totals = two_phase_prefix(
+        per, par, ["neg", "l_partkey"], sum_cols=("cents",), rank_as="r"
+    )
+    j = ranked.crossJoin(F.broadcast(totals))
+    cum = F.col("pre_cents") + F.col("cents")
+    cls = (
+        F.when(20 * cum <= 16 * F.col("tot_cents"), "A")
+        .when(20 * cum <= 19 * F.col("tot_cents"), "B")
+        .otherwise("C")
+    )
+    return j.select(
+        "l_partkey",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.col("r").cast("long").alias("revenue_rank"),
+        cls.alias("abc_class"),
+    )
+
+
 QUERIES = {
+    "agg_abc_class": agg_abc_class,
     "agg_cohort_ltv": agg_cohort_ltv,
     "agg_new_vs_returning": agg_new_vs_returning,
     "agg_hhi": agg_hhi,
@@ -1029,6 +1074,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_abc_class": """
+        WITH per AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, cents,
+                   CAST(row_number() OVER (ORDER BY -cents, l_partkey)
+                        AS BIGINT) AS r,
+                   CAST(SUM(cents) OVER (
+                       ORDER BY -cents, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM per
+        ),
+        t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM per)
+        SELECT l_partkey, cents AS revenue_cents, r AS revenue_rank,
+               CASE WHEN 20 * cum <= 16 * t.tot THEN 'A'
+                    WHEN 20 * cum <= 19 * t.tot THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked CROSS JOIN t
+    """,
     "agg_cohort_ltv": """
         WITH f AS (
             SELECT user_id,

@@ -3960,3 +3960,28 @@ def test_agg_cohort_ltv_monotone_cumulative(spark, sf_dir):
             assert r["cum_value_s"] == cum
         grand += cum
     assert grand == total
+
+
+def test_agg_abc_class_partition(spark, sf_dir):
+    """Classes must partition parts by the inclusive cumulative rule
+    replayed driver-side; A-class revenue share is <= 80% + one item."""
+    from datafusion_test_spark.operators.aggregates import agg_abc_class
+
+    rows = sorted(
+        agg_abc_class(spark, sf_dir).collect(),
+        key=lambda r: r["revenue_rank"],
+    )
+    tot = sum(r["revenue_cents"] for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r["revenue_cents"]
+        if 20 * cum <= 16 * tot:
+            exp = "A"
+        elif 20 * cum <= 19 * tot:
+            exp = "B"
+        else:
+            exp = "C"
+        assert r["abc_class"] == exp
+    classes = [r["abc_class"] for r in rows]
+    assert classes == sorted(classes)  # A* then B* then C* in rank order
+    assert "C" in classes
