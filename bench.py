@@ -200,6 +200,10 @@ HEADLINE = [
     "agg_hhi",
     "catalog_stats_sampled",
     "mm_aspect_bucket",
+    "agg_new_vs_returning",
+    "join_attribution_linear",
+    "agg_cohort_ltv",
+    "agg_abc_class",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
