@@ -1365,7 +1365,74 @@ def join_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return credited.unionByName(unattributed)
 
 
+def feature_rfm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring — the CRM workhorse: each user's Recency
+    (µs since last event, lower is better), Frequency (event count) and
+    Monetary (cents value mass) mapped to 1-5 quintiles by EXACT
+    equal-frequency rank (feature_bucketize's integer formula
+    ((rank−1)·5) DIV n over the two-phase prefix — three rank passes,
+    never a global window), concatenated into the familiar '555'-style
+    segment code.
+
+    Quintile orientation: 5 = best (most recent / most frequent / most
+    valuable); ranks tie-break on user_id so the buckets are total-order
+    deterministic.  Scale: one per-user aggregate then three linear
+    two-phase rank passes over |users| rows.
+    """
+    from .._util import two_phase_prefix
+
+    e = table(spark, sf_dir, "events")
+    frontier = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.coalesce(
+                F.sum(
+                    F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
+                ),
+                F.lit(0),
+            ).alias("money_s"),
+        )
+        .crossJoin(F.broadcast(frontier))
+        .withColumn("recency_us", F.col("max_us") - F.col("last_us"))
+    )
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    # 5 = best: rank recency DESCENDING (stalest first), freq/money
+    # ascending — the top quintile of each rank order scores 5
+    r1, _ = two_phase_prefix(
+        per, par, ["recency_us", "user_id"], rank_as="r_rec"
+    )
+    r2, _ = two_phase_prefix(
+        r1, par, ["freq", "user_id"], rank_as="r_freq"
+    )
+    r3, totals = two_phase_prefix(
+        r2, par, ["money_s", "user_id"], rank_as="r_money"
+    )
+    j = r3.crossJoin(F.broadcast(totals))
+    q = lambda r: F.expr(f"(({r} - 1) * 5) DIV tot_rows + 1")
+    # recency ranked ascending on recency_us puts FRESH users first —
+    # invert so 5 = freshest
+    rec_q = F.expr("6 - (((r_rec - 1) * 5) DIV tot_rows + 1)")
+    return j.select(
+        "user_id",
+        F.col("recency_us").cast("long").alias("recency_us"),
+        F.col("freq").cast("long").alias("frequency"),
+        F.col("money_s").cast("long").alias("monetary_s"),
+        rec_q.cast("int").alias("r_score"),
+        q("r_freq").cast("int").alias("f_score"),
+        q("r_money").cast("int").alias("m_score"),
+        F.concat(
+            rec_q.cast("string"),
+            q("r_freq").cast("string"),
+            q("r_money").cast("string"),
+        ).alias("rfm"),
+    )
+
+
 QUERIES = {
+    "feature_rfm_score": feature_rfm_score,
     "join_attribution_linear": join_attribution_linear,
     "agg_life_table": agg_life_table,
     "ts_absence_alarm": ts_absence_alarm,
@@ -1447,6 +1514,45 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "feature_rfm_score": """
+        WITH f AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        per AS (
+            SELECT user_id,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(COALESCE(SUM(CAST(floor(value * 10000 + 0.5)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS money_s
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT p.*,
+                   CAST(f.max_us - p.last_us AS BIGINT) AS recency_us
+            FROM per p CROSS JOIN f
+        ),
+        ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (ORDER BY recency_us, user_id)
+                        AS BIGINT) AS r_rec,
+                   CAST(row_number() OVER (ORDER BY freq, user_id)
+                        AS BIGINT) AS r_freq,
+                   CAST(row_number() OVER (ORDER BY money_s, user_id)
+                        AS BIGINT) AS r_money,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM r
+        )
+        SELECT user_id, recency_us, freq AS frequency,
+               money_s AS monetary_s,
+               CAST(6 - (((r_rec - 1) * 5) // n + 1) AS INTEGER)
+                   AS r_score,
+               CAST(((r_freq - 1) * 5) // n + 1 AS INTEGER) AS f_score,
+               CAST(((r_money - 1) * 5) // n + 1 AS INTEGER) AS m_score,
+               CAST(6 - (((r_rec - 1) * 5) // n + 1) AS VARCHAR)
+                   || CAST(((r_freq - 1) * 5) // n + 1 AS VARCHAR)
+                   || CAST(((r_money - 1) * 5) // n + 1 AS VARCHAR)
+                   AS rfm
+        FROM ranked
+    """,
     "join_attribution_linear": """
         WITH v AS (
             SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us

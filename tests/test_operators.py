@@ -3985,3 +3985,25 @@ def test_agg_abc_class_partition(spark, sf_dir):
     classes = [r["abc_class"] for r in rows]
     assert classes == sorted(classes)  # A* then B* then C* in rank order
     assert "C" in classes
+
+
+def test_feature_rfm_score_quintiles(spark, sf_dir):
+    """Each dimension's quintiles must be balanced (sizes differ by at
+    most 1 under the integer formula), scores lie in 1..5, and the best
+    frequency user scores f=5."""
+    import collections
+
+    from datafusion_test_spark.operators.analytics import feature_rfm_score
+
+    rows = feature_rfm_score(spark, sf_dir).collect()
+    n = len(rows)
+    for dim in ("r_score", "f_score", "m_score"):
+        c = collections.Counter(r[dim] for r in rows)
+        assert set(c) <= {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1 + (n % 5 > 0)
+    best_freq = max(rows, key=lambda r: (r["frequency"], r["user_id"]))
+    assert best_freq["f_score"] == 5
+    freshest = min(rows, key=lambda r: (r["recency_us"], r["user_id"]))
+    assert freshest["r_score"] == 5
+    for r in rows:
+        assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
