@@ -1036,7 +1036,73 @@ def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size — how much of each event type's value
+    variance the hour-of-day explains: η² = SS_between / SS_total over
+    the 24 hour groups, the statistical companion ts_seasonal_index's profile
+    needs before anyone trusts it (a seasonal index over noise is
+    decoration).  Every sum reduces to exact cents-scaled integers
+    (n_h, S_h, Q_h per cell); SS terms are ONE double expression over
+    them stated identically in both engines (eval_ab_ztest's
+    discipline), η² half-up to 6.
+
+    Scale: one (type, hour) map-side-combined aggregate, then a ≤24-row
+    per-type reduce — the scan is touched once.
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    ).groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("v_s").alias("s_h"),
+        F.sum(F.col("v_s") * F.col("v_s")).alias("q_h"),
+    )
+    # Σ s_h²/n_h must NOT be a float sum (reduce-order-dependent); carry
+    # it as exact integers instead: per cell the quotient b_h = s_h² DIV
+    # n_h plus the 10⁶-scaled half-up remainder c_h — both int64, summed
+    # exactly (b via a DECIMAL(38,0) accumulator).  Carrier: s_h² < 2⁶³
+    # holds to ~3·10⁹ cents-mass per cell; past that pre-scale to
+    # dollars (agg_gini's fallback).
+    cells = cells.withColumn(
+        "b_h", F.expr("(s_h * s_h) DIV n_h")
+    ).withColumn(
+        "c_h",
+        F.expr("(2 * 1000000 * ((s_h * s_h) % n_h) + n_h) DIV (2 * n_h)"),
+    )
+    t = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_h").alias("n"),
+        F.sum("s_h").alias("s"),
+        F.sum("q_h").alias("q"),
+        F.sum(F.col("b_h").cast("decimal(38,0)")).alias("b"),
+        F.sum("c_h").alias("c"),
+    )
+    sum_s2_over_n = (
+        F.col("b").cast("double")
+        + F.col("c").cast("double") / F.lit(1.0e6)
+    )
+    ss_total = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("n").cast("double")
+    ss_between = sum_s2_over_n - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("n").cast("double")
+    return t.select(
+        "event_type",
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(ss_total > 0, half_up(ss_between / ss_total, 6)).alias(
+            "eta_sq"
+        ),
+    )
+
+
 QUERIES = {
+    "agg_anova_eta": agg_anova_eta,
     "agg_abc_class": agg_abc_class,
     "agg_cohort_ltv": agg_cohort_ltv,
     "agg_new_vs_returning": agg_new_vs_returning,
@@ -1074,6 +1140,46 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_anova_eta": """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(date_part('hour', ts) AS INTEGER) AS hr,
+                   CAST(count(*) AS BIGINT) AS n_h,
+                   CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s_h,
+                   CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                            * CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS q_h
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, hr
+        ),
+        t AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(SUM(n_h) AS BIGINT) AS n,
+                   CAST(SUM(s_h) AS BIGINT) AS s,
+                   CAST(SUM(q_h) AS BIGINT) AS q,
+                   SUM(CAST((s_h * s_h) // n_h AS DECIMAL(38,0))) AS b,
+                   CAST(SUM((2 * 1000000 * ((s_h * s_h) % n_h) + n_h)
+                            // (2 * n_h)) AS BIGINT) AS c
+            FROM cells GROUP BY event_type
+        )
+        SELECT event_type, CAST(k AS INTEGER) AS n_groups,
+               n AS n_rows,
+               CASE WHEN CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE) > 0 THEN
+                   CAST(floor((CAST(b AS DOUBLE)
+                                + CAST(c AS DOUBLE) / 1000000.0
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                              / (CAST(q AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                              * 1000000 + 0.5) AS DOUBLE) / 1000000
+               END AS eta_sq
+        FROM t
+    """,
     "agg_abc_class": """
         WITH per AS (
             SELECT l_partkey,

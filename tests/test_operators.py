@@ -4007,3 +4007,46 @@ def test_feature_rfm_score_quintiles(spark, sf_dir):
     assert freshest["r_score"] == 5
     for r in rows:
         assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+def test_agg_anova_eta_bounds_and_bruteforce(spark, sf_dir):
+    """Eta-squared must sit in [0, 1] and match a driver-side replica
+    built from the same integer carriers."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.aggregates import agg_anova_eta
+    from pyspark.sql import functions as F
+
+    cells = collections.defaultdict(
+        lambda: collections.defaultdict(lambda: [0, 0, 0])
+    )
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.hour("ts").alias("hr"), "value")
+        .collect()
+    ):
+        v = math.floor(r["value"] * 10000 + 0.5)
+        c = cells[r["event_type"]][r["hr"]]
+        c[0] += 1
+        c[1] += v
+        c[2] += v * v
+    got = {r["event_type"]: r for r in agg_anova_eta(spark, sf_dir).collect()}
+    for et, hrs in cells.items():
+        n = sum(c[0] for c in hrs.values())
+        s = sum(c[1] for c in hrs.values())
+        q = sum(c[2] for c in hrs.values())
+        b = sum((c[1] * c[1]) // c[0] for c in hrs.values())
+        cc = sum(
+            (2 * 1_000_000 * ((c[1] * c[1]) % c[0]) + c[0]) // (2 * c[0])
+            for c in hrs.values()
+        )
+        ss_tot = q - s * s / n
+        ss_btw = (b + cc / 1e6) - s * s / n
+        g = got[et]
+        assert g["n_groups"] == len(hrs) and g["n_rows"] == n
+        exp = math.floor(ss_btw / ss_tot * 1_000_000 + 0.5) / 1_000_000
+        assert g["eta_sq"] == exp
+        assert -1e-6 <= g["eta_sq"] <= 1.0
