@@ -1431,7 +1431,53 @@ def feature_rfm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PEAK_PROM_S = 200_000  # >= 20.0 above BOTH neighbors (cents scale)
+
+
+def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a prominence floor — points strictly
+    above both neighbors by at least 20.0 in each series' (ts, event_id)
+    order: the spike-picker feeding anomaly review queues (the discrete
+    cousin of win_control_chart's statistical gate — this one is purely
+    structural, no distribution assumed).  All comparisons on
+    cents-scaled int64; endpoints have one neighbor only and never
+    qualify.
+
+    Scale: one lag + one lead over the series-keyed exchange; output is
+    the (sparse) peak set.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("v_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s2 = t.withColumn("prev_s", F.lag("v_s").over(w)).withColumn(
+        "next_s", F.lead("v_s").over(w)
+    )
+    prom = F.least(
+        F.col("v_s") - F.col("prev_s"), F.col("v_s") - F.col("next_s")
+    )
+    return (
+        s2.filter(
+            F.col("prev_s").isNotNull()
+            & F.col("next_s").isNotNull()
+            & (prom >= _PEAK_PROM_S)
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            prom.cast("long").alias("prominence_s"),
+        )
+    )
+
+
 QUERIES = {
+    "ts_peaks": ts_peaks,
     "feature_rfm_score": feature_rfm_score,
     "join_attribution_linear": join_attribution_linear,
     "agg_life_table": agg_life_table,
@@ -1514,6 +1560,24 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "ts_peaks": """
+        WITH t AS (
+            SELECT event_type, event_id, ts, value,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
+            FROM events WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT *, lag(v_s) OVER w AS prev_s, lead(v_s) OVER w AS next_s
+            FROM t
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_type, event_id, value,
+               CAST(LEAST(v_s - prev_s, v_s - next_s) AS BIGINT)
+                   AS prominence_s
+        FROM s
+        WHERE prev_s IS NOT NULL AND next_s IS NOT NULL
+          AND LEAST(v_s - prev_s, v_s - next_s) >= 200000
+    """,
     "feature_rfm_score": """
         WITH f AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
         per AS (

@@ -4050,3 +4050,42 @@ def test_agg_anova_eta_bounds_and_bruteforce(spark, sf_dir):
         exp = math.floor(ss_btw / ss_tot * 1_000_000 + 0.5) / 1_000_000
         assert g["eta_sq"] == exp
         assert -1e-6 <= g["eta_sq"] <= 1.0
+
+
+def test_ts_peaks_matches_bruteforce(spark, sf_dir):
+    """Peaks replayed driver-side must match exactly; every reported
+    peak must be strictly above both neighbors by the prominence floor."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        _PEAK_PROM_S,
+        ts_peaks,
+    )
+    from pyspark.sql import functions as F
+
+    series = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+        .collect()
+    ):
+        series[r["event_type"]].append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 10000 + 0.5))
+        )
+    exp = {}
+    for et, rows in series.items():
+        rows.sort()
+        for i in range(1, len(rows) - 1):
+            prom = min(
+                rows[i][2] - rows[i - 1][2], rows[i][2] - rows[i + 1][2]
+            )
+            if prom >= _PEAK_PROM_S:
+                exp[rows[i][1]] = prom
+    got = {
+        r["event_id"]: r["prominence_s"]
+        for r in ts_peaks(spark, sf_dir).collect()
+    }
+    assert got == exp and got
