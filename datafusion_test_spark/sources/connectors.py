@@ -537,7 +537,47 @@ def catalog_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-newline CSV round-trip — the parser edge every real CSV
+    feed hits: fields containing embedded newlines must survive
+    write-and-re-read intact, which forces multiLine=true on the read
+    (the default line-splittable reader would shear rows).  Fixture:
+    documents with every 7th space replaced by a newline, written with
+    quoting, re-read, and summarized per lang so a single sheared row
+    breaks the hash (counts AND exact char mass including the newline
+    bytes).
+
+    Scale note: multiLine=true costs parallelism — files are no longer
+    line-splittable, so ingest parallelism drops to file count.  That
+    trade is the operator's lesson; land multiline feeds to parquet
+    immediately (module docstring's rule).
+    """
+    out = os.path.join(scratch_dir("dfts_csvml_"), "docs_multiline")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){6}\S+) ", "$1\n"
+        ).alias("mtext"),
+    )
+    d.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    rt = spark.read.schema("doc_id bigint, lang string, mtext string").option(
+        "header", True
+    ).option("multiLine", True).csv(out)
+    return rt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("mtext")).alias("chars"),
+        F.sum(
+            F.length("mtext")
+            - F.length(F.regexp_replace("mtext", "\n", ""))
+        ).alias("n_newlines"),
+    )
+
+
 QUERIES = {
+    "scan_csv_multiline": scan_csv_multiline,
     "catalog_stats_sampled": catalog_stats_sampled,
     "scan_binary_files": scan_binary_files,
     "write_partitioned": write_partitioned,
@@ -566,6 +606,22 @@ _TT_V2_SUM = sql_dsum(
 )
 
 ORACLE = {
+    # the same every-7th-space newline injection restated over the view —
+    # a sheared row (multiLine off) would break counts and char mass
+    "scan_csv_multiline": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   regexp_replace(text, '((?:\S+ ){6}\S+) ',
+                                  '\\1' || chr(10), 'g') AS mtext
+            FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(mtext)) AS BIGINT) AS chars,
+               CAST(SUM(length(mtext)
+                        - length(replace(mtext, chr(10), ''))) AS BIGINT)
+                   AS n_newlines
+        FROM d GROUP BY lang
+    """,
     "catalog_stats_sampled": """
         WITH t AS (
             SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_s,

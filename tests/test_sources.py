@@ -153,3 +153,38 @@ def test_catalog_stats_sampled_estimate(spark, sf_dir):
     sigma = math.sqrt(n * (1 / 16) * (15 / 16)) * 16
     assert abs(r1["n_estimated"] - n) <= 4 * sigma
     assert r1["row_est_rel_err"] < 0.25
+
+
+def test_scan_csv_multiline_roundtrip(spark, sf_dir):
+    """The quoted-newline CSV must survive the round-trip: doc counts
+    match the corpus, newline counts are positive, and char mass equals
+    the pre-write transform's mass."""
+    from datafusion_test_spark.io import table as t
+    from datafusion_test_spark.sources.connectors import scan_csv_multiline
+    from pyspark.sql import functions as F
+
+    src = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.regexp_replace(
+                F.col("text"), r"((?:\S+ ){6}\S+) ", "$1\n"
+            ).alias("mtext"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("mtext")).alias("chars"),
+        )
+        .collect()
+    )
+    exp = {r["lang"]: (r["n"], r["chars"]) for r in src}
+    got = {
+        r["lang"]: (r["n_docs"], r["chars"], r["n_newlines"])
+        for r in scan_csv_multiline(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for lang, (n, chars) in exp.items():
+        gn, gc, gnl = got[lang]
+        assert (gn, gc) == (n, chars)
+        assert gnl > 0
