@@ -204,6 +204,10 @@ HEADLINE = [
     "join_attribution_linear",
     "agg_cohort_ltv",
     "agg_abc_class",
+    "feature_rfm_score",
+    "agg_anova_eta",
+    "ts_peaks",
+    "scan_csv_multiline",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
