@@ -1476,7 +1476,57 @@ def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_TOPK = 20
+
+
+def seq_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavior paths — the Sankey-diagram feed: every
+    consecutive (a → b → c) event-type triple in a user's timeline,
+    counted corpus-wide, top-20 with each path's share of all triples
+    (half-up).  seq_markov_transitions models one step; this censuses
+    the short paths product teams actually read.
+
+    Scale: two lead windows over the user-keyed exchange (bounded per
+    user), one map-side-combined groupBy over ≤ |states|³ cells, and a
+    TakeOrderedAndProject top-k — the total triple count rides the same
+    aggregate (window over the ≤125 cells).
+    """
+    from .._util import half_up
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("b", F.lead("event_type", 1).over(w))
+        .withColumn("c", F.lead("event_type", 2).over(w))
+        .filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    )
+    g = t.groupBy(
+        F.col("event_type").alias("step1"),
+        F.col("b").alias("step2"),
+        F.col("c").alias("step3"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy()
+    g2 = g.withColumn("total", F.sum("n").over(wt))
+    wk = Window.orderBy(F.desc("n"), "step1", "step2", "step3")
+    return (
+        g2.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _PATH_TOPK)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "step1",
+            "step2",
+            "step3",
+            F.col("n").cast("long").alias("n"),
+            half_up(F.col("n") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "seq_path_census": seq_path_census,
     "ts_peaks": ts_peaks,
     "feature_rfm_score": feature_rfm_score,
     "join_attribution_linear": join_attribution_linear,
@@ -1560,6 +1610,29 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "seq_path_census": """
+        WITH t AS (
+            SELECT event_type AS step1,
+                   lead(event_type, 1) OVER w AS step2,
+                   lead(event_type, 2) OVER w AS step3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+            SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+            GROUP BY step1, step2, step3
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n DESC, step1, step2, step3
+               ) AS INTEGER) AS rk,
+               step1, step2, step3, n,
+               CAST(floor(CAST(n AS DOUBLE) / total * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS share
+        FROM g CROSS JOIN tot
+        QUALIFY rk <= 20
+    """,
     "ts_peaks": """
         WITH t AS (
             SELECT event_type, event_id, ts, value,

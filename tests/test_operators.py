@@ -4089,3 +4089,38 @@ def test_ts_peaks_matches_bruteforce(spark, sf_dir):
         for r in ts_peaks(spark, sf_dir).collect()
     }
     assert got == exp and got
+
+
+def test_seq_path_census_matches_bruteforce(spark, sf_dir):
+    """Top-20 paths replayed driver-side must match with the declared
+    tie-breaks; shares derive from the total triple count."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import seq_path_census
+
+    per = collections.defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        per[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    triples = collections.Counter()
+    for rows in per.values():
+        rows.sort()
+        types = [t for _, _, t in rows]
+        for i in range(len(types) - 2):
+            triples[(types[i], types[i + 1], types[i + 2])] += 1
+    total = sum(triples.values())
+    exp = sorted(
+        ((-n, a, b, c) for (a, b, c), n in triples.items())
+    )[:20]
+    got = sorted(
+        seq_path_census(spark, sf_dir).collect(), key=lambda r: r["rk"]
+    )
+    assert len(got) == 20
+    for g, (negn, a, b, c) in zip(got, exp):
+        assert (g["step1"], g["step2"], g["step3"], g["n"]) == (a, b, c, -negn)
+        assert g["share"] == math.floor(-negn / total * 10000 + 0.5) / 10000
