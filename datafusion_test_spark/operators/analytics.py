@@ -1525,7 +1525,78 @@ def seq_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIFT_MIN_SUPPORT = 2
+_LIFT_TOPK = 50
+
+
+def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets — support, confidence and
+    lift for co-purchased part pairs (the market-basket metrics behind
+    'frequently bought together'; graph_common_neighbors scores the
+    neighborhood overlap, this prices the RULE).  All three metrics are
+    single half-up divides of exact integers: support n_ab/N,
+    confidence n_ab/n_a, lift n_ab·N/(n_a·n_b) — cross-multiplied
+    int64 products (carrier: n_ab·N < 2⁶³ to ~3·10⁹ baskets).
+
+    Scale: pairs generate per basket (Σ basket² — bounded by basket
+    size, graph_common_neighbors' discipline); part supports map-side
+    combine and join back on the pair's two keys; top-50 by (lift,
+    pair) with total-order tie-breaks.
+    """
+    from .._util import half_up
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_baskets = li.select("o").distinct().count()
+    supp = li.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+    )
+    j = (
+        pairs.join(supp.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa")
+        .join(supp.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb")
+    )
+    lift = half_up(
+        (F.col("n_ab") * F.lit(n_baskets)).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    wk = Window.orderBy(
+        F.desc(
+            F.expr(f"(n_ab * {n_baskets} * 10000) DIV (n_a * n_b)")
+        ),
+        "pa",
+        "pb",
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _LIFT_TOPK)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "pa",
+            "pb",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            half_up(F.col("n_ab") / F.lit(float(n_baskets))).alias(
+                "support"
+            ),
+            half_up(F.col("n_ab") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            lift.alias("lift"),
+        )
+    )
+
+
 QUERIES = {
+    "join_basket_lift": join_basket_lift,
     "seq_path_census": seq_path_census,
     "ts_peaks": ts_peaks,
     "feature_rfm_score": feature_rfm_score,
@@ -1610,6 +1681,41 @@ _STD_Z = (
 )
 
 ORACLE = {
+    "join_basket_lift": """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM li),
+        supp AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p
+        ),
+        pairs AS (
+            SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+            HAVING count(*) >= 2
+        ),
+        j AS (
+            SELECT pr.pa, pr.pb, pr.n_ab,
+                   sa.n_p AS n_a, sb.n_p AS n_b, nb.n
+            FROM pairs pr
+            JOIN supp sa ON sa.p = pr.pa
+            JOIN supp sb ON sb.p = pr.pb
+            CROSS JOIN nb
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY (n_ab * n * 10000) // (n_a * n_b) DESC, pa, pb
+               ) AS INTEGER) AS rk,
+               pa, pb, n_ab, n_a, n_b,
+               CAST(floor(CAST(n_ab AS DOUBLE) / n * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS support,
+               CAST(floor(CAST(n_ab AS DOUBLE) / n_a * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS confidence,
+               CAST(floor(CAST(n_ab * n AS DOUBLE) / (n_a * n_b)
+                          * 10000 + 0.5) AS DOUBLE) / 10000 AS lift
+        FROM j
+        QUALIFY rk <= 50
+    """,
     "seq_path_census": """
         WITH t AS (
             SELECT event_type AS step1,

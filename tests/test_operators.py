@@ -4124,3 +4124,44 @@ def test_seq_path_census_matches_bruteforce(spark, sf_dir):
     for g, (negn, a, b, c) in zip(got, exp):
         assert (g["step1"], g["step2"], g["step3"], g["n"]) == (a, b, c, -negn)
         assert g["share"] == math.floor(-negn / total * 10000 + 0.5) / 10000
+
+
+def test_join_basket_lift_metrics(spark, sf_dir):
+    """Support/confidence/lift replayed driver-side for every reported
+    pair; confidence >= support always; ranks follow the integer key."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import join_basket_lift
+
+    li = {
+        (r["l_orderkey"], r["l_partkey"])
+        for r in table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    baskets = collections.defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    n = len(baskets)
+    supp = collections.Counter(p for _, p in li)
+    pair_n = collections.Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_n[(a, b)] += 1
+    rows = join_basket_lift(spark, sf_dir).collect()
+    for r in rows:
+        key = (r["pa"], r["pb"])
+        assert r["n_ab"] == pair_n[key] >= 2
+        assert r["n_a"] == supp[r["pa"]] and r["n_b"] == supp[r["pb"]]
+        assert r["support"] == math.floor(r["n_ab"] / n * 10000 + 0.5) / 10000
+        assert r["confidence"] == math.floor(
+            r["n_ab"] / r["n_a"] * 10000 + 0.5
+        ) / 10000
+        assert r["lift"] == math.floor(
+            r["n_ab"] * n / (r["n_a"] * r["n_b"]) * 10000 + 0.5
+        ) / 10000
+        assert r["confidence"] >= r["support"] - 1e-9
