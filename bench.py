@@ -208,6 +208,8 @@ HEADLINE = [
     "agg_anova_eta",
     "ts_peaks",
     "scan_csv_multiline",
+    "seq_path_census",
+    "join_basket_lift",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
