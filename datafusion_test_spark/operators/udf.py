@@ -216,7 +216,56 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_grouped_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment model training via grouped applyInPandas — the
+    fit-a-model-per-group pattern (per-store forecasters, per-segment
+    scorers) exercised with a model whose answer is INDEPENDENTLY
+    checkable: closed-form OLS of value on hour-of-day per event type,
+    which must agree with the ANSI regr_* aggregates (the oracle is
+    agg_regression's SQL).  round(,4) absorbs the accumulation-order
+    ulps between pandas, Spark and DuckDB (agg_regression's
+    discipline).
+
+    Scale: one shuffle on the group key; each pandas call sees one
+    group's rows — bounded by segment size, the contract every grouped
+    trainer relies on.  A real deployment swaps the closed form for
+    model.fit(); the plumbing (schema, grouping, Arrow batches) is
+    identical.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = float(len(pdf))
+        sx = float(pdf["x"].sum())
+        sy = float(pdf["y"].sum())
+        sxx = float((pdf["x"] * pdf["x"]).sum())
+        sxy = float((pdf["x"] * pdf["y"]).sum())
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_points": [int(n)],
+                "slope": [round(slope, 4)],
+                "intercept": [round(intercept, 4)],
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, n_points bigint, slope double, intercept double",
+    )
+
+
 QUERIES = {
+    "udf_grouped_train": udf_grouped_train,
     "udf_cogrouped": udf_cogrouped,
     "udf_python": udf_python,
     "udf_pandas": udf_pandas,
@@ -234,6 +283,18 @@ _DISC_SQL = """
 """
 
 ORACLE = {
+    # the grouped-pandas fit must equal the ANSI regression aggregates
+    "udf_grouped_train": """
+        SELECT event_type,
+               CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT)
+                   AS n_points,
+               round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4)
+                   AS slope,
+               round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4)
+                   AS intercept
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    """,
     "udf_cogrouped": """
         WITH c AS (
             SELECT user_id, count(*) AS n_clicks, min(ts) AS first_click

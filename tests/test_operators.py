@@ -4165,3 +4165,36 @@ def test_join_basket_lift_metrics(spark, sf_dir):
             r["n_ab"] * n / (r["n_a"] * r["n_b"]) * 10000 + 0.5
         ) / 10000
         assert r["confidence"] >= r["support"] - 1e-9
+
+
+def test_udf_grouped_train_matches_regr(spark, sf_dir):
+    """The grouped-pandas OLS must agree with the ANSI regr_* aggregates
+    on the same slice (shared formula, round-4 tolerance)."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.udf import udf_grouped_train
+    from pyspark.sql import functions as F
+
+    regr = {
+        r["event_type"]: (r["n"], r["slope"], r["intercept"])
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("double").alias("x"),
+            F.col("value").alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("regr_count(y, x)").cast("long").alias("n"),
+            F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        )
+        .collect()
+    }
+    got = {r["event_type"]: r for r in udf_grouped_train(spark, sf_dir).collect()}
+    assert set(got) == set(regr)
+    for et, (n, slope, intercept) in regr.items():
+        g = got[et]
+        assert g["n_points"] == n
+        assert abs(g["slope"] - slope) <= 1e-4
+        assert abs(g["intercept"] - intercept) <= 1e-4
