@@ -378,7 +378,58 @@ def fn_mask_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_allocate_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny-exact proportional allocation (largest-remainder method) —
+    the billing primitive: split each order's total cents across its
+    line items proportional to quantity such that the parts sum back to
+    the total EXACTLY (naive rounding leaks pennies).  base_i =
+    total·qᵢ DIV Q, then the leftover R = total − Σbase pennies go to
+    the R largest remainders (ties by line number) — every step integer,
+    so conservation is provable, not approximate.
+
+    Scale: all windows partition by the order key and are bounded by a
+    basket's line count; the allocation is the same per-group
+    largest-remainder any invoice system runs, here at shuffle scale.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(floor(l_quantity) as bigint)").alias("qty"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "total_c"
+        ),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).drop("o_orderkey")
+    wq = Window.partitionBy("l_orderkey")
+    t = j.withColumn("q_tot", F.sum("qty").over(wq)).withColumn(
+        "base", F.expr("(total_c * qty) DIV q_tot")
+    ).withColumn("rem", F.expr("(total_c * qty) % q_tot"))
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rem"), F.asc("l_linenumber")
+    )
+    t = t.withColumn("rr", F.row_number().over(wr)).withColumn(
+        "leftover", F.col("total_c") - F.sum("base").over(wq)
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty").cast("long").alias("qty"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )
+
+
 QUERIES = {
+    "fn_allocate_proportional": fn_allocate_proportional,
     "fn_mask_partial": fn_mask_partial,
     "fn_try_safety": fn_try_safety,
     "fn_collation": fn_collation,
@@ -399,6 +450,45 @@ QUERIES = {
 }
 
 ORACLE = {
+    "fn_allocate_proportional": """
+        WITH li AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_quantity) AS BIGINT) AS qty
+            FROM lineitem
+        ),
+        o AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS total_c
+            FROM orders
+        ),
+        t AS (
+            SELECT li.*, o.total_c,
+                   CAST(SUM(qty) OVER (PARTITION BY l_orderkey) AS BIGINT)
+                       AS q_tot
+            FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+        ),
+        b AS (
+            SELECT *,
+                   (total_c * qty) // q_tot AS base,
+                   (total_c * qty) % q_tot AS rem
+            FROM t
+        ),
+        r AS (
+            SELECT *,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY rem DESC, l_linenumber
+                   ) AS BIGINT) AS rr,
+                   total_c - CAST(SUM(base) OVER (PARTITION BY l_orderkey)
+                                  AS BIGINT) AS leftover
+            FROM b
+        )
+        SELECT l_orderkey, l_linenumber, qty,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_cents
+        FROM r
+    """,
     "fn_mask_partial": """
         SELECT c_custkey,
                '****' || CASE WHEN length(c_name) >= 4

@@ -4198,3 +4198,32 @@ def test_udf_grouped_train_matches_regr(spark, sf_dir):
         assert g["n_points"] == n
         assert abs(g["slope"] - slope) <= 1e-4
         assert abs(g["intercept"] - intercept) <= 1e-4
+
+
+def test_fn_allocate_proportional_conserves_pennies(spark, sf_dir):
+    """Per order the allocations must sum EXACTLY to the order's cents,
+    and each allocation differs from the unrounded share by < 1 cent."""
+    import collections
+    import math
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.functions.scalar import (
+        fn_allocate_proportional,
+    )
+
+    totals = {
+        r["o_orderkey"]: math.floor(r["o_totalprice"] * 100 + 0.5)
+        for r in table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    per = collections.defaultdict(list)
+    for r in fn_allocate_proportional(spark, sf_dir).collect():
+        per[r["l_orderkey"]].append(r)
+    for ok_, rows in per.items():
+        total = totals[ok_]
+        assert sum(r["alloc_cents"] for r in rows) == total
+        q_tot = sum(r["qty"] for r in rows)
+        for r in rows:
+            ideal = total * r["qty"] / q_tot
+            assert abs(r["alloc_cents"] - ideal) < 1.0
