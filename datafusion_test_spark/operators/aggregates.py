@@ -1101,7 +1101,58 @@ def agg_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WILSON_Z2_E6 = 3_841_459  # z² for z = 1.959964 (95%), scaled 10⁶
+
+
+def agg_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking by Wilson lower confidence bound — the
+    sort-items-by-rating primitive that beats raw averages (an item
+    with 1/1 positives must NOT outrank 95/100): per part, the return
+    rate's 95% Wilson lower bound from exact (k returns, n lines)
+    integers, ranked descending.  z² is a frozen 10⁶-scaled literal
+    (the discount-table discipline); the bound is one shared double
+    tree over the two integers — sqrt is IEEE-pinned, so both engines
+    agree bitwise; half-up to 6.
+
+    Scale: one map-side-combined per-part aggregate, then a top-k cut
+    by (bound, part) total order.
+    """
+    from .._util import half_up
+
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("k"),
+    ).filter(F.col("n") >= 3)
+    z2 = F.lit(_WILSON_Z2_E6 / 1.0e6)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    bound = (
+        p
+        + z2 / (2.0 * n)
+        - F.sqrt(z2) * F.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)
+    ) / (1.0 + z2 / n)
+    from pyspark.sql import Window
+
+    t = g.withColumn("wilson_low", half_up(bound, 6))
+    wk = Window.orderBy(F.desc("wilson_low"), "l_partkey")
+    return (
+        t.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 50)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "l_partkey",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_returns"),
+            "wilson_low",
+        )
+    )
+
+
 QUERIES = {
+    "agg_wilson_rank": agg_wilson_rank,
     "agg_anova_eta": agg_anova_eta,
     "agg_abc_class": agg_abc_class,
     "agg_cohort_ltv": agg_cohort_ltv,
@@ -1140,6 +1191,40 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_wilson_rank": """
+        WITH g AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(*) >= 3
+        ),
+        b AS (
+            SELECT *,
+                   ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                     + 3.841459 / (2.0 * CAST(n AS DOUBLE))
+                     - sqrt(3.841459)
+                       * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (1.0 - CAST(k AS DOUBLE)
+                                        / CAST(n AS DOUBLE))
+                               + 3.841459 / (4.0 * CAST(n AS DOUBLE)))
+                              / CAST(n AS DOUBLE)))
+                    / (1.0 + 3.841459 / CAST(n AS DOUBLE))) AS raw
+            FROM g
+        ),
+        w AS (
+            SELECT l_partkey, n, k,
+                   CAST(floor(raw * 1000000 + 0.5) AS DOUBLE) / 1000000
+                       AS wilson_low
+            FROM b
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY wilson_low DESC, l_partkey
+               ) AS INTEGER) AS rk,
+               l_partkey, n, k AS k_returns, wilson_low
+        FROM w
+        QUALIFY rk <= 50
+    """,
     "agg_anova_eta": """
         WITH cells AS (
             SELECT event_type,

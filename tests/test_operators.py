@@ -4227,3 +4227,38 @@ def test_fn_allocate_proportional_conserves_pennies(spark, sf_dir):
         for r in rows:
             ideal = total * r["qty"] / q_tot
             assert abs(r["alloc_cents"] - ideal) < 1.0
+
+
+def test_agg_wilson_rank_ordering_properties(spark, sf_dir):
+    """The Wilson bound must be below the raw rate, shrink with small n
+    (an all-return 3-liner must rank below a mostly-return 20-liner with
+    the same raw rate), and match a driver-side replica."""
+    import math
+
+    from datafusion_test_spark.operators.aggregates import (
+        _WILSON_Z2_E6,
+        agg_wilson_rank,
+    )
+
+    z2 = _WILSON_Z2_E6 / 1.0e6
+
+    def wilson(k, n):
+        p = k / n
+        raw = (
+            p + z2 / (2 * n) - math.sqrt(z2) * math.sqrt(
+                (p * (1 - p) + z2 / (4 * n)) / n
+            )
+        ) / (1 + z2 / n)
+        return math.floor(raw * 1_000_000 + 0.5) / 1_000_000
+
+    rows = agg_wilson_rank(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r["wilson_low"] == wilson(r["k_returns"], r["n"])
+        assert r["wilson_low"] <= r["k_returns"] / r["n"] + 1e-9
+        if prev is not None:
+            assert (prev["wilson_low"], ) >= (r["wilson_low"], )
+        prev = r
+    # small-sample shrinkage sanity on the formula itself
+    assert wilson(3, 3) < wilson(19, 20)
