@@ -210,6 +210,9 @@ HEADLINE = [
     "scan_csv_multiline",
     "seq_path_census",
     "join_basket_lift",
+    "udf_grouped_train",
+    "fn_allocate_proportional",
+    "agg_wilson_rank",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
