@@ -263,7 +263,84 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing, executed for real — the foreachBatch
+    split every production ingest runs: each micro-batch divides into
+    VALID rows (value present and non-negative) appended to the main
+    sink and INVALID rows appended to the DLQ with a reason column, so
+    nothing is dropped and nothing poisons the main table.  Both writes
+    are distributed; the callback only orchestrates.
+
+    The result re-reads BOTH sinks and verifies the routing ledger:
+    main + dlq = source exactly, zero invalid rows in main, and per-
+    reason DLQ counts — all derivable from the validity rule, which is
+    what the oracle states.
+    """
+    tune(spark)
+    from .._util import scratch_dir
+
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    root = scratch_dir("dfts_dlq_")
+    main, dlq = os.path.join(root, "main"), os.path.join(root, "dlq")
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.select("event_id", "event_type", "value")
+        valid = b.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        invalid = b.filter(
+            F.col("value").isNull() | (F.col("value") < 0)
+        ).withColumn(
+            "reason",
+            F.when(F.col("value").isNull(), "null_value").otherwise(
+                "negative_value"
+            ),
+        )
+        valid.write.mode("append").parquet(main)
+        invalid.write.mode("append").parquet(dlq)
+
+    ckpt = tempfile.mkdtemp(prefix="dfts_dlq_ckpt_")
+    q = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    m = spark.read.parquet(main)
+    d = spark.read.parquet(dlq)
+    n_src = table(spark, sf_dir, "events").count()
+    n_main = m.count()
+    n_bad_in_main = m.filter(
+        F.col("value").isNull() | (F.col("value") < 0)
+    ).count()
+    # static reason rows so clean corpora (sf0.1 has no invalid rows)
+    # still emit the ledger with zero counts instead of an empty frame
+    reasons = spark.createDataFrame(
+        [("null_value",), ("negative_value",)], "reason string"
+    )
+    dd = d.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    j = reasons.join(dd, "reason", "left")
+    return j.select(
+        "reason",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_dlq"),
+        F.lit(n_main).alias("n_main"),
+        F.lit(n_main + d.count() == n_src).alias("nothing_lost"),
+        F.lit(n_bad_in_main == 0).alias("main_clean"),
+    )
+
+
 QUERIES = {
+    "stream_dlq_routing": stream_dlq_routing,
     "stream_foreach_batch": stream_foreach_batch,
     "stream_stateful_run": stream_stateful_run,
     "stream_idempotent_sink": stream_idempotent_sink,
@@ -271,6 +348,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the routing ledger restated from the validity rule
+    "stream_dlq_routing": """
+        WITH reasons AS (
+            SELECT 'null_value' AS reason
+            UNION ALL SELECT 'negative_value'
+        ),
+        inv AS (
+            SELECT CASE WHEN value IS NULL THEN 'null_value'
+                        ELSE 'negative_value' END AS reason,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NULL OR value < 0
+            GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_main FROM events
+            WHERE value IS NOT NULL AND value >= 0
+        )
+        SELECT r.reason,
+               CAST(COALESCE(i.n, 0) AS BIGINT) AS n_dlq,
+               m.n_main, TRUE AS nothing_lost, TRUE AS main_clean
+        FROM reasons r LEFT JOIN inv i USING (reason) CROSS JOIN m
+    """,
     "stream_foreach_batch": """
         SELECT COUNT(*) AS n_events, TRUE AS sink_complete, TRUE AS batched
         FROM events

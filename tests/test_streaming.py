@@ -470,3 +470,22 @@ def test_streaming_topk_counts_plus_foreachbatch_rank_equals_batch(
         tuple(r) for r in rank_windowed_counts(streamed_counts).collect()
     }
     assert batch == streamed
+
+
+def test_stream_dlq_routing_ledger(spark, sf_dir):
+    """Main + DLQ must partition the source exactly; no invalid row may
+    reach the main sink; reasons cover nulls and negatives."""
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.streaming.sinks import stream_dlq_routing
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    n_null = e.filter(F.col("value").isNull()).count()
+    n_neg = e.filter(F.col("value") < 0).count()
+    rows = {r["reason"]: r for r in stream_dlq_routing(spark, sf_dir).collect()}
+    assert rows["null_value"]["n_dlq"] == n_null
+    if n_neg:
+        assert rows["negative_value"]["n_dlq"] == n_neg
+    any_row = next(iter(rows.values()))
+    assert any_row["nothing_lost"] and any_row["main_clean"]
+    assert any_row["n_main"] == e.count() - n_null - n_neg
