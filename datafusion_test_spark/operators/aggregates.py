@@ -1137,10 +1137,12 @@ def agg_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = g.withColumn("wilson_low", half_up(bound, 6))
+    # top-k via TakeOrderedAndProject (no global window); rk derived
+    # AFTER the cut, over the ≤50 surviving rows only
+    cut = t.orderBy(F.desc("wilson_low"), "l_partkey").limit(50)
     wk = Window.orderBy(F.desc("wilson_low"), "l_partkey")
     return (
-        t.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= 50)
+        cut.withColumn("rk", F.row_number().over(wk))
         .select(
             F.col("rk").cast("int").alias("rk"),
             "l_partkey",

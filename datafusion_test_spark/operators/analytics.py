@@ -1567,16 +1567,14 @@ def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_ab") * F.lit(n_baskets)).cast("double")
         / (F.col("n_a") * F.col("n_b")).cast("double")
     )
-    wk = Window.orderBy(
-        F.desc(
-            F.expr(f"(n_ab * {n_baskets} * 10000) DIV (n_a * n_b)")
-        ),
-        "pa",
-        "pb",
-    )
+    # top-k via TakeOrderedAndProject (no global window); rk derived
+    # AFTER the cut, over the ≤_LIFT_TOPK surviving rows only
+    lift_key = F.expr(f"(n_ab * {n_baskets} * 10000) DIV (n_a * n_b)")
+    j = j.withColumn("_lift_key", lift_key)
+    cut = j.orderBy(F.desc("_lift_key"), "pa", "pb").limit(_LIFT_TOPK)
+    wk = Window.orderBy(F.desc("_lift_key"), "pa", "pb")
     return (
-        j.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _LIFT_TOPK)
+        cut.withColumn("rk", F.row_number().over(wk))
         .select(
             F.col("rk").cast("int").alias("rk"),
             "pa",

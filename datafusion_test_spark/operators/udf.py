@@ -247,14 +247,19 @@ def udf_grouped_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx = float((pdf["x"] * pdf["x"]).sum())
         sxy = float((pdf["x"] * pdf["y"]).sum())
         den = n * sxx - sx * sx
-        slope = (n * sxy - sx * sy) / den
-        intercept = (sy - slope * sx) / n
+        if n < 2.0 or den == 0.0:
+            # regr_slope/_intercept are NULL for <2 points or constant x
+            slope = intercept = None
+        else:
+            s = (n * sxy - sx * sy) / den
+            slope = round(s, 4)
+            intercept = round((sy - s * sx) / n, 4)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_points": [int(n)],
-                "slope": [round(slope, 4)],
-                "intercept": [round(intercept, 4)],
+                "slope": [slope],
+                "intercept": [intercept],
             }
         )
 

@@ -1108,7 +1108,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _SWEEP_PCTS:
         hit = 100 * F.col("n_common") >= t * union
         aggs.append(
-            F.sum(F.when(hit, 1).otherwise(0)).alias(f"p{t}")
+            # coalesce: empty pair relation sums to NULL, oracle says 0
+            F.coalesce(
+                F.sum(F.when(hit, 1).otherwise(0)), F.lit(0)
+            ).alias(f"p{t}")
         )
         aggs.append(
             F.count_distinct(F.when(hit, F.col("doc_b"))).alias(f"d{t}")
