@@ -5,7 +5,12 @@ DuckDB over the same sf dir, then compares row count, column names, and an
 order-insensitive value comparison (columns sorted by name, rows sorted,
 values normalized).  Usage:
 
-    python tools/check_oracles.py [sf_dir] [name ...]
+    python tools/check_oracles.py [--exec-only] [sf_dir] [name ...]
+
+``--exec-only`` skips the DuckDB comparison and just EXECUTES every Spark
+query to completion at the given sf dir — the standing sf0.1 sweep gate
+(r4 caught an int64 variance-product overflow and a self-cogroup
+analyzer mis-binding this way; both invisible at sf0.01).
 """
 
 from __future__ import annotations
@@ -86,6 +91,8 @@ def cells_equal(a, b):
 
 def main():
     args = [a for a in sys.argv[1:]]
+    exec_only = "--exec-only" in args
+    args = [a for a in args if a != "--exec-only"]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args)
 
@@ -95,6 +102,30 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    if exec_only:
+        qs = entrymod.queries()
+        failures, passed = [], 0
+        for name, fn in sorted(qs.items()):
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            try:
+                # collect, not count: count() lets Catalyst prune computed
+                # columns, hiding exactly the overflow/ANSI-error classes
+                # this sweep exists to catch
+                n = len(fn(spark, sf_dir).collect())
+            except Exception:
+                failures.append(name)
+                print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+                continue
+            passed += 1
+            print(f"exec  {name}: {n} rows ({time.time()-t0:.1f}s)")
+        print(
+            f"\n{passed} executed, {len(failures)} failed"
+            + (f": {failures}" if failures else "")
+        )
+        sys.exit(1 if failures else 0)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
