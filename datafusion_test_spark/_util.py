@@ -33,8 +33,18 @@ def dsum(col: Column, alias: str) -> Column:
 
 
 def r4(col: Column, alias: str) -> Column:
-    """round(expr, 4) with alias — for avg/stddev-class aggregates."""
-    return F.round(col, 4).alias(alias)
+    """HALF-UP round to 4 with alias — for avg/stddev-class aggregates.
+
+    Half-up (not engine round): derived means and integer ratios DO land
+    exactly on .xxxx5 (dyadic denominators: n/32·10⁴ = k.5), where Spark
+    rounds up and DuckDB half-even.  Every oracle twin of an r4 column
+    states the same floor(x·10⁴ + 0.5) formula (see :func:`sql_r4`)."""
+    return half_up(col, 4).alias(alias)
+
+
+def sql_r4(expr: str, alias: str) -> str:
+    """Oracle-side twin of :func:`r4`."""
+    return f"{sql_half_up(expr, 4)} AS {alias}"
 
 
 def sql_dsum(expr: str, alias: str) -> str:

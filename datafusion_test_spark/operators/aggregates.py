@@ -1616,7 +1616,8 @@ ORACLE = {
     "agg_global": f"""
         SELECT COUNT(*) AS n_rows,
                {sql_dsum('l_quantity', 'sum_qty')},
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               CAST(floor(AVG(l_extendedprice) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_price,
                MIN(l_shipdate) AS min_ship,
                MAX(l_shipdate) AS max_ship
         FROM lineitem
@@ -1627,9 +1628,12 @@ ORACLE = {
                {sql_dsum('l_extendedprice', 'sum_base_price')},
                {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
                {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(floor(AVG(l_quantity) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_qty,
+               CAST(floor(AVG(l_extendedprice) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_price,
+               CAST(floor(AVG(l_discount) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1710,15 +1714,21 @@ ORACLE = {
     """,
     "agg_stats": """
         SELECT l_returnflag,
-               ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
-               ROUND(VAR_SAMP(l_discount), 4) AS var_disc,
-               ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-               ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty
+               CAST(floor(STDDEV_SAMP(l_quantity) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS sd_qty,
+               CAST(floor(VAR_SAMP(l_discount) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS var_disc,
+               CAST(floor(CORR(l_quantity, l_extendedprice) * 10000 + 0.5)
+                   AS DOUBLE) / 10000 AS corr_qty_price,
+               CAST(floor(QUANTILE_CONT(l_quantity, 0.5) * 10000 + 0.5)
+                   AS DOUBLE) / 10000 AS median_qty
         FROM lineitem GROUP BY l_returnflag
     """,
     "agg_approx_quantile": """
-        SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
-               ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS exact_p95,
+        SELECT CAST(floor(QUANTILE_CONT(l_extendedprice, 0.5) * 10000 + 0.5)
+                   AS DOUBLE) / 10000 AS exact_p50,
+               CAST(floor(QUANTILE_CONT(l_extendedprice, 0.95) * 10000 + 0.5)
+                   AS DOUBLE) / 10000 AS exact_p95,
                TRUE AS p50_ok,
                TRUE AS p95_ok
         FROM lineitem

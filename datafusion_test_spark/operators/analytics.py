@@ -2189,10 +2189,12 @@ ORACLE = {
         SELECT event_type,
                CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT)
                    AS n_points,
-               round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4) AS slope,
-               round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4)
-                   AS intercept,
-               round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 4) AS r2
+               CAST(floor(regr_slope(value, CAST(hour(ts) AS DOUBLE))
+                   * 10000 + 0.5) AS DOUBLE) / 10000 AS slope,
+               CAST(floor(regr_intercept(value, CAST(hour(ts) AS DOUBLE))
+                   * 10000 + 0.5) AS DOUBLE) / 10000 AS intercept,
+               CAST(floor(regr_r2(value, CAST(hour(ts) AS DOUBLE))
+                   * 10000 + 0.5) AS DOUBLE) / 10000 AS r2
         FROM events GROUP BY event_type
     """,
     "anomaly_mad": f"""
@@ -2211,8 +2213,10 @@ ORACLE = {
         )
         SELECT d.event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(any_value(d.med), 4) AS med,
-               round(any_value(ma.mad), 4) AS mad,
+               CAST(floor(any_value(d.med) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS med,
+               CAST(floor(any_value(ma.mad) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS mad,
                CAST(count(*) FILTER (WHERE d.adev > {_MAD_K!r} * ma.mad)
                     AS BIGINT) AS n_outliers
         FROM dev d JOIN mad ma USING (event_type)

@@ -269,9 +269,12 @@ ORACLE = {
                {sql_dsum('l_extendedprice', 'sum_base_price')},
                {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
                {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(floor(AVG(l_quantity) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_qty,
+               CAST(floor(AVG(l_extendedprice) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_price,
+               CAST(floor(AVG(l_discount) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02'

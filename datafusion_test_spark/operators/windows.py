@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC
+from .._util import DEC, half_up
 from ..io import table
 
 # Deterministic per-customer order timeline.
@@ -68,7 +68,9 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.avg("o_totalprice").over(frame), 4).alias("moving_avg"),
+        # half-up: small-frame mean of 2dp money — the sum is exact in
+        # double, so /n CAN land exactly on .xxxx5
+        half_up(F.avg("o_totalprice").over(frame)).alias("moving_avg"),
     )
 
 
@@ -737,10 +739,10 @@ ORACLE = {
     """,
     "win_moving_avg": f"""
         SELECT o_orderkey, o_custkey,
-               ROUND(AVG(o_totalprice) OVER (
+               CAST(floor(AVG(o_totalprice) OVER (
                    PARTITION BY o_custkey {_ORDER}
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
-               ), 4) AS moving_avg
+               ) * 10000 + 0.5) AS DOUBLE) / 10000 AS moving_avg
         FROM orders
     """,
     "win_range_frame": """

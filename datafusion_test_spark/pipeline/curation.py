@@ -161,6 +161,8 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully map-side until the per-language audit aggregate: no shuffle is
     spent on the resample itself at 100 TB.
     """
+    from .._util import half_up
+
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     draw = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     whole = F.lit(None)
@@ -185,8 +187,9 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_in",
         F.coalesce("n_out", F.lit(0)).alias("n_out"),
-        F.round(
-            F.coalesce("n_out", F.lit(0)) / F.col("n_in").cast("double"), 4
+        # half-up: integer ratio, ties exactly at .xxxx5
+        half_up(
+            F.coalesce("n_out", F.lit(0)) / F.col("n_in").cast("double")
         ).alias("achieved_rate"),
     )
 
@@ -573,8 +576,8 @@ ORACLE = {
         n_out AS (SELECT lang, COUNT(*) AS n_out FROM resampled GROUP BY lang)
         SELECT n_in.lang, n_in.n_in,
                COALESCE(n_out.n_out, 0) AS n_out,
-               ROUND(COALESCE(n_out.n_out, 0) / CAST(n_in.n_in AS DOUBLE), 4)
-                   AS achieved_rate
+               CAST(floor(COALESCE(n_out.n_out, 0) / CAST(n_in.n_in AS DOUBLE)
+                   * 10000 + 0.5) AS DOUBLE) / 10000 AS achieved_rate
         FROM n_in LEFT JOIN n_out ON n_in.lang = n_out.lang
     """,
     "dedup_url": """

@@ -227,14 +227,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup signal).  The oracle applies the identical cap, so the result is
     hash-exact at every scale factor.
     """
+    from .._util import half_up
+
     pairs = _shingle_pairs(spark, sf_dir)
     return (
         pairs.withColumn(
             "jaccard",
-            F.round(
+            # half-up: n/union is an integer ratio, which DOES tie at
+            # .xxxx5 (dyadic unions), and the 0.6 gate sits on the
+            # rounded value — engine round would diverge on exact ties
+            half_up(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                4,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
             ),
         )
         .filter(F.col("jaccard") >= 0.6)
@@ -341,12 +347,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least(F.col("n_a"), F.col("n_b")).cast("double")
         ).alias("containment"),
         (
-            F.round(
+            half_up(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
                     "double"
-                ),
-                4,
+                )
             )
             >= 0.6
         ).alias("jaccard_also"),
@@ -885,6 +890,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orient from low- to high-degree) which bounds work by graph
     arboricity rather than max degree — same two joins.
     """
+    from .._util import half_up as _half_up
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     w = Window.partitionBy("text")
     exact = (
@@ -932,9 +939,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_wedges",
             F.when(
                 F.col("n_wedges") > 0,
-                F.round(
-                    3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"),
-                    4,
+                # half-up: integer ratio, ties exactly at .xxxx5
+                _half_up(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double")
                 ),
             ).alias("closure"),
         )
@@ -1284,9 +1291,11 @@ _JACCARD_CTES = f"""sh AS (
         ),
         jpairs AS (
             SELECT doc_a, doc_b,
-                   ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) AS jaccard
+                   CAST(floor(n_common / CAST(n_a + n_b - n_common AS DOUBLE)
+                        * 10000 + 0.5) AS DOUBLE) / 10000 AS jaccard
             FROM cpairs
-            WHERE ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4) >= 0.6
+            WHERE CAST(floor(n_common / CAST(n_a + n_b - n_common AS DOUBLE)
+                        * 10000 + 0.5) AS DOUBLE) / 10000 >= 0.6
         )"""
 
 _SWEEP_BRANCH = """
@@ -1336,9 +1345,9 @@ ORACLE = {
                (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
                    AS n_wedges,
                CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
-                    THEN round(3.0 * n_triangles /
+                    THEN CAST(floor(3.0 * n_triangles /
                          CAST((SELECT SUM(d * (d - 1) // 2) FROM deg)
-                              AS DOUBLE), 4)
+                              AS DOUBLE) * 10000 + 0.5) AS DOUBLE) / 10000
                END AS closure
         FROM tri
     """.format(_JACCARD_CTES=_JACCARD_CTES),
@@ -1355,7 +1364,8 @@ ORACLE = {
         SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
                CAST(floor(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b)
                           * 10000 + 0.5) AS DOUBLE) / 10000 AS containment,
-               (ROUND(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 4)
+               (CAST(floor(n_common / CAST(n_a + n_b - n_common AS DOUBLE)
+                     * 10000 + 0.5) AS DOUBLE) / 10000
                 >= 0.6) AS jaccard_also
         FROM cpairs
         WHERE {_CONTAIN_DEN} * n_common >= {_CONTAIN_NUM} * LEAST(n_a, n_b)

@@ -30,6 +30,8 @@ _MIN_QUALITY = 0.5
 def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel summary per detected language: documents surviving
     dedup + quality gate, with corpus token totals."""
+    from .._util import half_up
+
     d = table(spark, sf_dir, "documents")
 
     # 1. exact dedup — deterministic keeper: the min doc_id per text
@@ -51,7 +53,7 @@ def pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         kept.filter(F.col("n_chars") > 0)
         .withColumn("n_words", n_words)
-        .filter(F.round(quality, 4) >= F.lit(_MIN_QUALITY))
+        .filter(half_up(quality) >= F.lit(_MIN_QUALITY))
     )
 
     # 3. language ID — text.langid_exprs, the same expressions text_langid
@@ -349,9 +351,11 @@ ORACLE = {
                    CAST(len(string_split(text, ' ')) AS INT) AS n_words
             FROM deduped
             WHERE n_chars > 0
-              AND ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
-                        + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                                / CAST(n_chars AS DOUBLE), 1.0) * 0.5, 4)
+              AND CAST(floor(
+                      (least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                       + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                               / CAST(n_chars AS DOUBLE), 1.0) * 0.5)
+                      * 10000 + 0.5) AS DOUBLE) / 10000
                   >= {_MIN_QUALITY}
         ),
         scored AS (

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, sql_half_up as _sql_half_up
+from .._util import DEC, half_up, sql_half_up as _sql_half_up
 from ..io import table
 
 # Quality thresholds, chosen to discriminate on the synthetic corpus
@@ -130,7 +130,8 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "min_doc",
             "max_doc",
-            F.round(F.col("n_docs") / F.lit(float(tot)), 4).alias("frac"),
+            # half-up: integer ratio, ties exactly at .xxxx5
+            half_up(F.col("n_docs") / F.lit(float(tot))).alias("frac"),
         )
     )
 
@@ -223,8 +224,8 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "freq",
         "vocab_id",
-        F.round(
-            F.lit(1.0) - F.col("n_covered") / F.col("n_total").cast("double"), 4
+        half_up(
+            F.lit(1.0) - F.col("n_covered") / F.col("n_total").cast("double")
         ).alias("oov_rate"),
     )
 
@@ -399,7 +400,7 @@ def drift_ks(spark: SparkSession, sf_dir: str, par: int | None = None) -> DataFr
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         F.col("d").cast("long").alias("d_num"),
-        F.round(
+        half_up(
             F.col("d") / (F.col("na") * F.col("nb")).cast("double"), 6
         ).alias("ks_stat"),
     )
@@ -718,7 +719,7 @@ ORACLE = {
                (count(*) >= {_LDIV_L} AND 2 * max(n) <= SUM(n)) AS released
         FROM per GROUP BY lang
     """,
-    "drift_ks": """
+    "drift_ks": f"""
         WITH u AS (
             SELECT value,
                    CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
@@ -744,8 +745,7 @@ ORACLE = {
         )
         SELECT t.na AS n_a, t.nb AS n_b,
                CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_num,
-               round(CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE)
-                     / (t.na * t.nb), 6) AS ks_stat
+               {_SQL_KS_RATIO} AS ks_stat
         FROM c, t GROUP BY t.na, t.nb
     """,
     "drift_timeline": f"""
@@ -888,8 +888,9 @@ ORACLE = {
             FROM words QUALIFY vocab_id <= {_VOCAB_K}
         )
         SELECT word, freq, vocab_id,
-               round(1.0 - (SELECT SUM(freq) FROM v)
-                         / (SELECT CAST(SUM(freq) AS DOUBLE) FROM words), 4)
+               CAST(floor((1.0 - (SELECT SUM(freq) FROM v)
+                         / (SELECT CAST(SUM(freq) AS DOUBLE) FROM words))
+                     * 10000 + 0.5) AS DOUBLE) / 10000
                    AS oov_rate
         FROM v
     """,
@@ -957,8 +958,9 @@ ORACLE = {
         )
         SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc,
                max(doc_id) AS max_doc,
-               round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents),
-                     4) AS frac
+               CAST(floor(count(*)
+                     / (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                     * 10000 + 0.5) AS DOUBLE) / 10000 AS frac
         FROM s GROUP BY split
     """,
     "agg_heavy_hitters": """

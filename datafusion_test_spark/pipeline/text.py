@@ -66,22 +66,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The n_chars > 0 guard keeps empty documents aligned across dialects
     (Spark's non-ANSI divide → NULL vs DuckDB's IEEE divide → nan/inf).
     """
+    from .._util import half_up
+
     d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     w = F.split(F.col("text"), " ")
     n_words = F.size(w)
     alpha_chars = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     mean_wlen = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    # half-up: all three are integer ratios, the class that ties exactly
+    # at .xxxx5 (dyadic denominators) where engine round() diverges
     return (
         d.select(
             "doc_id",
             "lang",
             n_words.alias("n_words"),
-            F.round(mean_wlen, 4).alias("mean_word_len"),
-            F.round(alpha_chars / F.col("n_chars").cast("double"), 4).alias("alpha_ratio"),
-            F.round(
+            half_up(mean_wlen).alias("mean_word_len"),
+            half_up(alpha_chars / F.col("n_chars").cast("double")).alias(
+                "alpha_ratio"
+            ),
+            half_up(
                 F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
-                + F.least(alpha_chars / F.col("n_chars").cast("double"), F.lit(1.0)) * 0.5,
-                4,
+                + F.least(alpha_chars / F.col("n_chars").cast("double"), F.lit(1.0)) * 0.5
             ).alias("quality"),
         )
     )
@@ -338,7 +343,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("doc_id", "rk", "term", "tf", "df", F.round("score", 4).alias("score"))
+        .select(
+            "doc_id",
+            "rk",
+            "term",
+            "tf",
+            "df",
+            # half-up: tf·(n+1)/(df+1) is an integer ratio, tie-prone
+            half_up(F.col("score")).alias("score"),
+        )
     )
 
 
@@ -464,7 +477,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "rk",
             "n_terms_hit",
-            F.round("score_raw", 4).alias("score"),
+            # half-up: decimal(18,6) sum of exact rationals, tie-prone
+            half_up(F.col("score_raw")).alias("score"),
         )
     )
 
@@ -1043,7 +1057,8 @@ ORACLE = {
                CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id)
                     AS INTEGER) AS rk,
                n_terms_hit,
-               round(CAST(score_dec AS DOUBLE), 4) AS score
+               CAST(floor(CAST(score_dec AS DOUBLE) * 10000 + 0.5)
+                    AS DOUBLE) / 10000 AS score
         FROM s ORDER BY score_dec DESC, doc_id LIMIT {_BM25_TOPK}
     """,
     "text_ngram_lm": """
@@ -1063,9 +1078,10 @@ ORACLE = {
         )
         SELECT bi.doc_id,
                COUNT(*) AS n_bigrams,
-               ROUND(CAST(SUM(CAST(
+               CAST(floor(CAST(SUM(CAST(
                    CAST(c1.c1 AS DOUBLE) / CAST(c12.c12 AS DOUBLE)
-                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   * 10000 + 0.5) AS DOUBLE) / 10000
                    AS avg_surprise
         FROM bi
         JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
@@ -1091,7 +1107,8 @@ ORACLE = {
                        AS score
             FROM tf JOIN dfrel ON tf.term = dfrel.term CROSS JOIN nd
         )
-        SELECT doc_id, rk, term, tf, df, ROUND(score, 4) AS score
+        SELECT doc_id, rk, term, tf, df,
+               CAST(floor(score * 10000 + 0.5) AS DOUBLE) / 10000 AS score
         FROM (
             SELECT *, CAST(ROW_NUMBER() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, term
@@ -1135,7 +1152,8 @@ ORACLE = {
                COUNT(DISTINCT source) AS n_sources,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars,
-               ROUND(AVG(n_chars), 4) AS avg_chars
+               CAST(floor(AVG(n_chars) * 10000 + 0.5) AS DOUBLE)
+                   / 10000 AS avg_chars
         FROM documents
     """,
     "text_sample_stratified": """
@@ -1152,7 +1170,8 @@ ORACLE = {
         SELECT lang,
                COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+               CAST(floor(AVG(len(string_split(text, ' '))) * 10000 + 0.5)
+                   AS DOUBLE) / 10000 AS avg_tokens,
                CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
                COUNT(DISTINCT source) AS n_sources
         FROM documents GROUP BY lang
@@ -1167,13 +1186,16 @@ ORACLE = {
     "text_quality": """
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-               ROUND(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS mean_word_len,
-               ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                     / CAST(n_chars AS DOUBLE), 4) AS alpha_ratio,
-               ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+               CAST(floor(CAST(n_chars - (len(string_split(text, ' ')) - 1)
+                     AS DOUBLE) / len(string_split(text, ' '))
+                     * 10000 + 0.5) AS DOUBLE) / 10000 AS mean_word_len,
+               CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / CAST(n_chars AS DOUBLE)
+                     * 10000 + 0.5) AS DOUBLE) / 10000 AS alpha_ratio,
+               CAST(floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
                      + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                             / CAST(n_chars AS DOUBLE), 1.0) * 0.5, 4) AS quality
+                             / CAST(n_chars AS DOUBLE), 1.0) * 0.5)
+                     * 10000 + 0.5) AS DOUBLE) / 10000 AS quality
         FROM documents
         WHERE n_chars > 0
     """,

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from itertools import count as _count
 
+from .._util import half_up
 from ..io import table
 from ..session import tune
 
@@ -126,7 +127,9 @@ def stream_stateful_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted = spark.table(qname)
     return emitted.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
+        # half-up: decimal(18,6)-class sums end at .xxxx50 often enough
+        # that the engines' round() tie rules diverge
+        half_up(F.max_by("total_value", "n_events")).alias("total_value"),
     )
 
 
@@ -378,7 +381,8 @@ ORACLE = {
     # ~1e-12 ulps; round(4) absorbs it on both sides.
     "stream_stateful_run": """
         SELECT user_id, COUNT(*) AS n_events,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+               CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   * 10000 + 0.5) AS DOUBLE) / 10000
                    AS total_value
         FROM events GROUP BY user_id
     """,
