@@ -92,12 +92,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rsd 0.02 with a 3-sigma 0.06 tolerance: rsd is a standard deviation,
     # so asserting within 1 sigma would flake (the default 0.05 sketch
     # measured 6.7% off at sf0.01)
+    # try_divide: an empty relation (a pruned partition at scale) has
+    # exact = 0; ANSI `/` would raise where the oracle's claim is a
+    # vacuous TRUE (caught by the degenerate-corpus gate, round 5)
     return o.agg(
         F.countDistinct("o_custkey").alias("exact_custs"),
-        (
-            F.abs(F.approx_count_distinct("o_custkey", 0.02) - F.countDistinct("o_custkey"))
-            / F.countDistinct("o_custkey")
-            <= F.lit(0.06)
+        F.coalesce(
+            F.try_divide(
+                F.abs(
+                    F.approx_count_distinct("o_custkey", 0.02)
+                    - F.countDistinct("o_custkey")
+                ),
+                F.countDistinct("o_custkey"),
+            )
+            <= F.lit(0.06),
+            F.lit(True),
         ).alias("within_tol"),
     )
 
@@ -259,13 +268,18 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         r4(F.expr("percentile(l_extendedprice, 0.5)"), "exact_p50"),
         r4(F.expr("percentile(l_extendedprice, 0.95)"), "exact_p95"),
-        (
+        # coalesce(…, TRUE): on an empty relation every percentile is NULL
+        # and the bracket test is NULL — the oracle's claim is a vacuous
+        # TRUE (degenerate-corpus gate, round 5)
+        F.coalesce(
             (ap50 >= F.expr("percentile(l_extendedprice, 0.49)"))
-            & (ap50 <= F.expr("percentile(l_extendedprice, 0.51)"))
+            & (ap50 <= F.expr("percentile(l_extendedprice, 0.51)")),
+            F.lit(True),
         ).alias("p50_ok"),
-        (
+        F.coalesce(
             (ap95 >= F.expr("percentile(l_extendedprice, 0.94)"))
-            & (ap95 <= F.expr("percentile(l_extendedprice, 0.96)"))
+            & (ap95 <= F.expr("percentile(l_extendedprice, 0.96)")),
+            F.lit(True),
         ).alias("p95_ok"),
     )
 
@@ -300,16 +314,26 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey", lgk)).alias("d_est"),
     )
     tol = F.lit(0.05)
+    # try_divide + coalesce(TRUE): exact_custs = 0 on an empty relation —
+    # ANSI `/` would raise where the oracle's claim is a vacuous TRUE
     return base.crossJoin(merged).select(
         "exact_custs",
         "n_partials",
-        (
-            F.abs(F.col("m_est") - F.col("exact_custs")) / F.col("exact_custs")
-            <= tol
+        F.coalesce(
+            F.try_divide(
+                F.abs(F.col("m_est") - F.col("exact_custs")),
+                F.col("exact_custs"),
+            )
+            <= tol,
+            F.lit(True),
         ).alias("merged_within_tol"),
-        (
-            F.abs(F.col("d_est") - F.col("exact_custs")) / F.col("exact_custs")
-            <= tol
+        F.coalesce(
+            F.try_divide(
+                F.abs(F.col("d_est") - F.col("exact_custs")),
+                F.col("exact_custs"),
+            )
+            <= tol,
+            F.lit(True),
         ).alias("direct_within_tol"),
     )
 
@@ -511,13 +535,19 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("hi"),
         )
     )
+    # try_divide: a constant-valued relation (hi == lo — one row, or one
+    # distinct price in a pruned partition) must not raise under ANSI; the
+    # NULL it yields is skipped by least(), landing the row in the top
+    # bucket exactly as the oracle's NaN does on DuckDB (least ignores
+    # NaN/NULL on both engines — degenerate-corpus gate, round 5)
     b = li.crossJoin(bounds).select(
         F.least(
             F.lit(19),
             F.floor(
-                (F.col("l_extendedprice") - F.col("lo"))
-                * 20.0
-                / (F.col("hi") - F.col("lo"))
+                F.try_divide(
+                    (F.col("l_extendedprice") - F.col("lo")) * 20.0,
+                    F.col("hi") - F.col("lo"),
+                )
             ),
         )
         .cast("int")
@@ -843,8 +873,13 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         5 * (F.col("pre_cents") + F.col("cents")) >= 4 * F.col("tot_cents")
     )
     k = crossing.agg(F.min("r").alias("k"))
+    # .filter(k not null): an empty orders relation has no crossing row —
+    # the oracle's GROUP BY over the empty crossing emits no row, so the
+    # Spark side must drop its all-NULL aggregate row to match
+    # (degenerate-corpus gate, round 5); at any nonempty scale k exists
     return (
         k.crossJoin(F.broadcast(totals))
+        .filter(F.col("k").isNotNull())
         .select(
             F.col("tot_rows").cast("long").alias("n_customers"),
             F.col("k").cast("long").alias("k_top_customers"),

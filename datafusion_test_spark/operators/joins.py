@@ -202,7 +202,9 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    fact = spark.read.parquet(out)
+    # explicit schema: an empty source writes no partition dirs and a
+    # schema-less read raises (degenerate-corpus gate, round 5)
+    fact = spark.read.schema(o.schema).parquet(out)
     dim = spark.createDataFrame(
         [("F", "closed"), ("O", "open"), ("P", "partial")],
         "k string, status_name string",
@@ -213,13 +215,21 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             fact["o_orderstatus"] == dim["k"],
         )
         .filter(F.col("status_name") == "closed")
-        .groupBy("status_name")
+        # global agg + literal status, not groupBy(status_name): the filter
+        # pins a single group, and the oracle (SELECT 'closed', count(*)...)
+        # emits its zero row even over an empty pruned partition — groupBy
+        # would emit none (degenerate-corpus gate, round 5)
+        .groupBy()
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice"), "total_price"),
         )
+        .select(F.lit("closed").alias("status_name"), "n_orders", "total_price")
     )
-    pruned = "dynamicpruning" in plan_string(j).lower()
+    # vacuous on an empty layout (no partition dirs → Catalyst folds the
+    # empty scan away and no DPP subquery can appear; oracle emits TRUE)
+    has_parts = any(f.startswith("o_orderstatus=") for f in os.listdir(out))
+    pruned = not has_parts or "dynamicpruning" in plan_string(j).lower()
     return j.withColumn("dpp_applied", F.lit(pruned))
 
 

@@ -306,9 +306,19 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(small).coalesce(4).write.mode("overwrite").parquet(big)
 
     def nfiles(path: str) -> int:
-        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        # count DATA files only: a fully-empty write still leaves one
+        # schema-only parquet (0 row groups), which is not a layout file —
+        # the oracle's least(64, n_rows) counts 0 there (degenerate gate)
+        import pyarrow.parquet as pq
 
-    rt = spark.read.parquet(big)
+        return sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+            and pq.ParquetFile(os.path.join(path, f)).metadata.num_rows > 0
+        )
+
+    rt = spark.read.schema(d.schema).parquet(big)
     # Layout-claim columns are derived so the oracle holds at ANY scale
     # (ADVICE r3): Spark writes no file for an empty partition, so the
     # fragmented copy has min(64, n_rows) files, and coalesce(4) bounds the
@@ -401,17 +411,19 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
     )
+    # coalesce: SUM(CASE...) over an empty table is NULL; the oracle's
+    # conditional counts are 0 (degenerate-corpus gate, round 5)
     base = o.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
-            "n_nonpos_price"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_nonpos_price"),
     )
     ev = e.agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
-            "n_null_value"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_null_value"),
     )
     return (
         base.crossJoin(F.broadcast(ev))

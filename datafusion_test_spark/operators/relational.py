@@ -124,9 +124,16 @@ def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2)
         .select(
             "n_total",
+            # binomial bounds need mass: below ~1k rows the ±0.03 bracket
+            # is narrower than one row's worth of variance, so the claim
+            # is vacuously true there (oracle emits literal TRUE; the
+            # smallest real corpus, sf0.001, has 6k rows)
             (
-                (F.col("n_s1") >= 0.07 * F.col("n_total"))
-                & (F.col("n_s1") <= 0.13 * F.col("n_total"))
+                (
+                    (F.col("n_s1") >= 0.07 * F.col("n_total"))
+                    & (F.col("n_s1") <= 0.13 * F.col("n_total"))
+                )
+                | (F.col("n_total") < 1000)
             ).alias("frac_ok"),
             (F.col("n_s1") == F.col("n_s2")).alias("deterministic"),
         )
@@ -159,10 +166,17 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_orderkey").alias("max_orderkey"),
     )
     # the riding query — its action materializes the observation
-    observed.groupBy("l_returnflag").count().collect()
-    m = obs.get
+    riding = observed.groupBy("l_returnflag").count().collect()
+    if riding:
+        m = obs.get
+        vals = (m["n_rows"], m["sum_price"], m["min_orderkey"], m["max_orderkey"])
+    else:
+        # an empty scan runs zero tasks, so the observation never fires
+        # (obs.get would block) — the metrics are definitionally
+        # (0, NULL, NULL, NULL), matching the oracle's empty aggregate
+        vals = (0, None, None, None)
     return spark.createDataFrame(
-        [(m["n_rows"], m["sum_price"], m["min_orderkey"], m["max_orderkey"])],
+        [vals],
         "n_rows bigint, sum_price double, min_orderkey bigint, "
         "max_orderkey bigint",
     )

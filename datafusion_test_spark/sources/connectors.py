@@ -118,9 +118,12 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.groupBy().agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.count("doc_id").alias("n_good"),
-        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
-            "n_corrupt"
-        ),
+        # coalesce: SUM over an empty file is NULL; the oracle's
+        # conditional count is 0 (degenerate-corpus gate, round 5)
+        F.coalesce(
+            F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_corrupt"),
         F.sum("n_chars").alias("chars_sum"),
     )
 
@@ -210,12 +213,15 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(out)
     )
-    areas, n_files = [], 0
+    areas, n_files, total_rows = [], 0, 0
     for f in sorted(os.listdir(out)):
         if not f.endswith(".parquet"):
             continue
-        n_files += 1
         md = pq.ParquetFile(os.path.join(out, f)).metadata
+        total_rows += md.num_rows
+        if md.num_rows == 0:
+            continue  # schema-only file from an empty range partition
+        n_files += 1
         names = md.schema.names
         ix, iy = names.index("zx"), names.index("zy")
         sx = [md.row_group(g).column(ix).statistics for g in range(md.num_row_groups)]
@@ -224,10 +230,15 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_span = max(s.max for s in sy) - min(s.min for s in sy) + 1
         areas.append(x_span * y_span)
     # every file covers a contiguous z range => a bounded 2-D rectangle;
-    # locality holds when every file's area is under half the full domain
+    # locality holds when every file's area is under half the full domain.
+    # Both claims are vacuously true at <= 1 total row (a 1-row corpus
+    # cannot split into 2 files; its 1x1 "area" is the whole z-locality
+    # there is) — the oracle emits literal TRUE; degenerate gate, round 5
     domain = 256 * 31
-    locality = bool(areas) and all(a * 2 <= domain for a in areas)
-    rt = spark.read.parquet(out)
+    locality = total_rows <= 1 or (
+        bool(areas) and all(a * 2 <= domain for a in areas)
+    )
+    rt = spark.read.schema(z.schema).parquet(out)
     return (
         rt.groupBy(F.expr("CAST((zval * 4) DIV 65536 AS INT)").alias("z_quartile"))
         .agg(
@@ -236,7 +247,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
             F.sum("zval").alias("z_sum"),
         )
-        .withColumn("files_ok", F.lit(2 <= n_files <= 8))
+        .withColumn("files_ok", F.lit(2 <= n_files <= 8 or total_rows <= 1))
         .withColumn("two_dim_locality", F.lit(locality))
     )
 
@@ -299,7 +310,9 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(scratch_dir("dfts_part_"), "orders_part")
     o = table(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    rt = spark.read.parquet(out)
+    # explicit schema: an empty source writes no partition dirs, and a
+    # schema-less read of the bare _SUCCESS dir raises (degenerate gate)
+    rt = spark.read.schema(o.schema).parquet(out)
     # partition column comes back as the last column; restore source order
     return rt.select(*o.columns)
 
@@ -430,18 +443,37 @@ def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         md = pq.ParquetFile(os.path.join(out, f)).metadata
         idx = md.schema.names.index("n_chars")
-        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
-        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+        # schema-only files (an empty source partition at scale) carry no
+        # row groups / no stats — skip them, they prune trivially
+        stats = [
+            st
+            for rg in range(md.num_row_groups)
+            if (st := md.row_group(rg).column(idx).statistics) is not None
+        ]
+        if stats:
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
     ranges.sort()
     n_files = len(ranges)
     disjoint = all(ranges[i][1] < ranges[i + 1][0] for i in range(n_files - 1))
-    lo = min(r[0] for r in ranges)
+    lo = min((r[0] for r in ranges), default=None)
     files_hit = sum(1 for r in ranges if r[0] <= lo <= r[1])
-    rt = spark.read.parquet(out)
+    # explicit schema: a fully-empty write leaves no readable footers
+    rt = spark.read.schema(d.schema).parquet(out)
     n_rows = rt.count()
-    n_min_rows = rt.filter(F.col("n_chars") == lo).count()
+    n_min_rows = 0 if lo is None else rt.filter(F.col("n_chars") == lo).count()
+    # claims are vacuously true at n_rows <= 1 (a 1-row corpus cannot
+    # split into 2 files, and its single file is always "hit") — the
+    # oracle emits literal TRUE; degenerate-corpus gate, round 5
     return spark.createDataFrame(
-        [(n_rows, n_min_rows, disjoint, 2 <= n_files <= 4, files_hit < n_files)],
+        [
+            (
+                n_rows,
+                n_min_rows,
+                disjoint,
+                2 <= n_files <= 4 or n_rows <= 1,
+                files_hit < n_files or n_rows <= 1,
+            )
+        ],
         "n_rows bigint, n_min_rows bigint, ranges_disjoint boolean, "
         "files_ok boolean, pruning_effective boolean",
     )

@@ -1,0 +1,82 @@
+"""Degenerate-corpus regression pins (round 5).
+
+At 100 TB an EMPTY relation is a normal runtime state — a pruned
+partition, a filtered date range, a cold tenant — and a 1-row relation
+exercises every n<2 denominator.  The round-5 degenerate-input gate
+(tools/make_degenerate.py + tools/check_oracles.py over empty/tiny
+corpora) found 22 empty-input and 8 tiny-input parity breaks; this test
+pins the crash-class fixes so they cannot regress:
+
+* ANSI DIVIDE_BY_ZERO in claim ratios (agg_approx_distinct,
+  agg_hll_merge) and bucket widths (agg_histogram with hi == lo);
+* schema-less re-reads of self-written empty layouts
+  (write_partitioned, join_partition_pruned);
+* empty-sequence min()/max() over parquet footers (layout_zonemap,
+  layout_zorder, layout_compaction);
+* zero-partial driver merges (embed_pca) and never-firing observations
+  (observe_metrics);
+* the ANN family's "no corpus -> no query vector -> no result row"
+  contract (sim_ivf / sim_ivfpq / embed_pq / embed_pq_residual /
+  sim_ann_lsh / sim_index_persist return 0 rows; their oracles carry
+  the same guard).
+
+Only the Spark side runs here (fast); full both-engine parity over all
+334 entries is the check_oracles degenerate sweep, run at round close.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_test_spark.registry import queries as registry_queries
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from make_degenerate import build as build_corpora
+
+    root = str(tmp_path_factory.mktemp("degenerate"))
+    build_corpora("/root/testdata/sf0.001", root)
+    return root
+
+
+# entries that crashed (not merely mismatched) before the round-5 fixes
+CRASHERS = [
+    "agg_approx_distinct",
+    "agg_hll_merge",
+    "agg_histogram",
+    "write_partitioned",
+    "join_partition_pruned",
+    "layout_zonemap",
+    "layout_zorder",
+    "observe_metrics",
+    "embed_pca",
+    "sim_index_persist",
+]
+
+# ANN entries whose empty-corpus contract is "no query vector -> 0 rows"
+ANN_EMPTY_ZERO = [
+    "sim_ivf",
+    "sim_ivfpq",
+    "embed_pq",
+    "embed_pq_residual",
+    "sim_ann_lsh",
+    "sim_index_persist",
+]
+
+
+@pytest.mark.parametrize("name", CRASHERS)
+def test_no_crash_on_empty_and_tiny(spark, corpora, name):
+    queries = registry_queries()
+    for mode in ("empty", "tiny"):
+        # must execute to completion; row counts/values are pinned by the
+        # check_oracles degenerate sweep, not here
+        queries[name](spark, f"{corpora}/{mode}").collect()
+
+
+@pytest.mark.parametrize("name", ANN_EMPTY_ZERO)
+def test_ann_empty_corpus_yields_no_rows(spark, corpora, name):
+    queries = registry_queries()
+    assert queries[name](spark, f"{corpora}/empty").collect() == []
