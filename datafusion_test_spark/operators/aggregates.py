@@ -608,13 +608,13 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     cm = cells.groupBy("c.h", "c.bkt").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
+    # top-10 via TakeOrderedAndProject — a global window + rk filter here
+    # would single-partition-sort ALL users (the r5 window audit)
     top = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .drop("rk")
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
     )
     probes = top.select(
         "user_id",

@@ -1508,10 +1508,13 @@ def seq_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     wt = Window.partitionBy()
     g2 = g.withColumn("total", F.sum("n").over(wt))
+    # path census is domain-bounded (|event_type|^3 rows) so the global
+    # window was safe, but limit-then-rank is the uniform discipline
     wk = Window.orderBy(F.desc("n"), "step1", "step2", "step3")
     return (
-        g2.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _PATH_TOPK)
+        g2.orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(_PATH_TOPK)
+        .withColumn("rk", F.row_number().over(wk))
         .select(
             F.col("rk").cast("int").alias("rk"),
             "step1",

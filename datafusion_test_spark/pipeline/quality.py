@@ -212,10 +212,15 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # cut FIRST via TakeOrderedAndProject, derive vocab_id over the <= K
+    # survivors — a global window over the full vocabulary would
+    # single-partition-sort a relation that grows with the corpus
+    # (Heaps' law; the r5 window audit)
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
     vocab = (
-        words.withColumn("vocab_id", F.row_number().over(w))
-        .filter(F.col("vocab_id") <= _VOCAB_K)
+        words.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_VOCAB_K)
+        .withColumn("vocab_id", F.row_number().over(w))
     )
     totals = words.agg(F.sum("freq").alias("n_total"))
     covered = vocab.agg(F.sum("freq").alias("n_covered"))
