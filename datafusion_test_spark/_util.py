@@ -193,3 +193,20 @@ def sql_half_up(expr: str, digits: int = 4) -> str:
     """Oracle-side twin of :func:`half_up`."""
     scale = 10 ** digits
     return f"CAST(floor(({expr}) * {scale} + 0.5) AS DOUBLE) / {scale}"
+
+
+def safe_corr(x, y) -> Column:
+    """Pearson correlation that is NULL on zero variance, like every other
+    SQL engine's ``corr``.
+
+    Spark 4's builtin ``corr`` RAISES DIVIDE_BY_ZERO under ANSI mode when
+    either column is constant (found by the round-5 zero-variance corpus
+    gate; an ``If`` guard does not help — the aggregate's result
+    projection divides regardless).  ``covar_samp / (sx·sy)`` is the same
+    statistic over the same central-moment buffers, with the division
+    made NULL-safe; any last-ulp ordering difference is absorbed by the
+    repo's round-to-4 output convention.
+    """
+    return F.try_divide(
+        F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+    )

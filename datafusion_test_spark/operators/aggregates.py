@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .._util import dsum, r4, sql_dsum
+from .._util import dsum, r4, safe_corr, sql_dsum
 from ..io import table
 
 
@@ -189,14 +189,23 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin aggregates: each customer's biggest/smallest order.
 
-    Tie-safety: per-customer o_totalprice values are distinct in the
-    testdata (verified); on tied data max_by/arg_max would be
-    nondeterministic in both engines.
+    Tie-safety (round-5 zero-variance gate): bare max_by/arg_max are
+    nondeterministic on tied prices in BOTH engines, so the ordering
+    value is a composite — (price, -orderkey) for max, (price, orderkey)
+    for min — making ties resolve to the SMALLEST orderkey everywhere.
+    Spark's max_by takes the struct directly; the oracle uses the
+    lexicographic struct-max twin ``-(max({p, nk: -key}).nk)``.
     """
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max_by(
+            "o_orderkey",
+            F.struct(F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")),
+        ).alias("biggest_order"),
+        F.min_by(
+            "o_orderkey",
+            F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")),
+        ).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
 
@@ -247,7 +256,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         r4(F.stddev_samp("l_quantity"), "sd_qty"),
         r4(F.var_samp("l_discount"), "var_disc"),
-        r4(F.corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
+        # safe_corr: builtin corr raises ANSI div-0 on a constant column
+        r4(safe_corr("l_quantity", "l_extendedprice"), "corr_qty_price"),
         r4(F.expr("percentile(l_quantity, 0.5)"), "median_qty"),
     )
 
@@ -436,7 +446,8 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            aggs.append(F.round(F.corr(a, b), 4).alias(f"{a}__{b}"))
+            # safe_corr: builtin corr raises ANSI div-0 on a constant column
+            aggs.append(F.round(safe_corr(a, b), 4).alias(f"{a}__{b}"))
     wide = li.groupBy().agg(*aggs)
     pairs = None
     for i, a in enumerate(cols):
@@ -1712,8 +1723,10 @@ ORACLE = {
     """,
     "agg_minmax_by": """
         SELECT o_custkey,
-               arg_max(o_orderkey, o_totalprice) AS biggest_order,
-               arg_min(o_orderkey, o_totalprice) AS smallest_order,
+               CAST(-((max({'p': o_totalprice, 'nk': -o_orderkey})).nk)
+                    AS BIGINT) AS biggest_order,
+               CAST((min({'p': o_totalprice, 'k': o_orderkey})).k
+                    AS BIGINT) AS smallest_order,
                MAX(o_totalprice) AS max_price
         FROM orders GROUP BY o_custkey
     """,

@@ -337,17 +337,25 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(1)
     )
-    counts = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total"))).crossJoin(
-        F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_probed")))
+    counts = (
+        F.broadcast(e.agg(F.count(F.lit(1)).alias("n_total")))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_probed"))))
+        .crossJoin(
+            F.broadcast(assign.agg(F.countDistinct("cid").alias("n_cells")))
+        )
     )
-    # probed_subset is vacuous at <= 2 vectors: nprobe=2 legitimately
-    # covers a corpus that occupies <= 2 cells (degenerate gate, round 5)
+    # probed_subset is vacuous when the corpus occupies <= nprobe=2 cells
+    # (identical/near-identical vectors collapse into one centroid, and a
+    # <= 2-vector corpus cannot spread further) — probing legitimately
+    # covers everything there (zero-variance gate, round 5)
     return top1.crossJoin(counts).select(
         F.col("qid").alias("query_id"),
         (F.col("vec_id") == F.col("qid")).alias("self_is_top"),
         F.round("cos", 4).alias("top_cos"),
         (
-            (F.col("n_probed") < F.col("n_total")) | (F.col("n_total") <= 2)
+            (F.col("n_probed") < F.col("n_total"))
+            | (F.col("n_total") <= 2)
+            | (F.col("n_cells") <= 2)
         ).alias("probed_subset"),
     )
 
@@ -995,6 +1003,9 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(base.agg(F.count(F.lit(1)).alias("n_vectors")))
         .withColumn("n_total", F.col("n_vectors") + 1)
         .crossJoin(F.broadcast(adc.agg(F.count(F.lit(1)).alias("n_probed"))))
+        .crossJoin(
+            F.broadcast(assign.agg(F.countDistinct("cid").alias("n_cells")))
+        )
     )
     return (
         top1.crossJoin(qid_b)
@@ -1008,10 +1019,13 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("twin_adc") == F.col("self_adc")).alias(
                 "twin_survives_with_equal_adc"
             ),
-            # vacuous at <= 2 vectors (base + twin): nprobe=2 covers a
-            # corpus that occupies <= 2 cells (degenerate gate, round 5)
+            # vacuous when the corpus occupies <= nprobe=2 cells — an
+            # identical-vector corpus collapses into one centroid, and a
+            # <= 2-vector corpus cannot spread further (round-5 gates)
             (
-                (F.col("n_probed") < F.col("n_total")) | (F.col("n_total") <= 2)
+                (F.col("n_probed") < F.col("n_total"))
+                | (F.col("n_total") <= 2)
+                | (F.col("n_cells") <= 2)
             ).alias("probed_subset"),
         )
     )

@@ -214,6 +214,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     areas, n_files, total_rows = [], 0, 0
+    gx, gy = [], []  # global (min, max) pairs per file, both dimensions
     for f in sorted(os.listdir(out)):
         if not f.endswith(".parquet"):
             continue
@@ -229,15 +230,22 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         x_span = max(s.max for s in sx) - min(s.min for s in sx) + 1
         y_span = max(s.max for s in sy) - min(s.min for s in sy) + 1
         areas.append(x_span * y_span)
+        gx.append((min(s.min for s in sx), max(s.max for s in sx)))
+        gy.append((min(s.min for s in sy), max(s.max for s in sy)))
     # every file covers a contiguous z range => a bounded 2-D rectangle;
     # locality holds when every file's area is under half the full domain.
     # Both claims are vacuously true at <= 1 total row (a 1-row corpus
     # cannot split into 2 files; its 1x1 "area" is the whole z-locality
     # there is) — the oracle emits literal TRUE; degenerate gate, round 5
     domain = 256 * 31
-    locality = total_rows <= 1 or (
-        bool(areas) and all(a * 2 <= domain for a in areas)
+    # constant z key (one distinct (zx, zy) point): range partitioning
+    # lands everything in one file, which is the whole locality there is
+    const_key = bool(gx) and (
+        min(g[0] for g in gx) == max(g[1] for g in gx)
+        and min(g[0] for g in gy) == max(g[1] for g in gy)
     )
+    vacuous = total_rows <= 1 or const_key
+    locality = vacuous or (bool(areas) and all(a * 2 <= domain for a in areas))
     rt = spark.read.schema(z.schema).parquet(out)
     return (
         rt.groupBy(F.expr("CAST((zval * 4) DIV 65536 AS INT)").alias("z_quartile"))
@@ -247,7 +255,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
             F.sum("zval").alias("z_sum"),
         )
-        .withColumn("files_ok", F.lit(2 <= n_files <= 8 or total_rows <= 1))
+        .withColumn("files_ok", F.lit(2 <= n_files <= 8 or vacuous))
         .withColumn("two_dim_locality", F.lit(locality))
     )
 
@@ -268,17 +276,22 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    spark.sql("DROP TABLE IF EXISTS dfts_stats_orders")
+    # pid-scoped name: the MANAGED table lives in the shared
+    # spark-warehouse dir, so concurrent sweep processes would race on a
+    # fixed name (observed: three parallel degenerate sweeps cross-read
+    # each other's ANALYZE output)
+    tbl = f"dfts_stats_orders_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     # the in-memory catalog is per-session: a previous session's managed-
     # table directory survives its DROP, so clear the location too
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, "dfts_stats_orders"), ignore_errors=True)
-    o.write.mode("overwrite").saveAsTable("dfts_stats_orders")
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    o.write.mode("overwrite").saveAsTable(tbl)
     spark.sql(
-        "ANALYZE TABLE dfts_stats_orders COMPUTE STATISTICS FOR COLUMNS o_custkey"
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey"
     )
     stats_rows = None
-    for r in spark.sql("DESCRIBE TABLE EXTENDED dfts_stats_orders").collect():
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
         if r["col_name"] == "Statistics":
             # e.g. "123456 bytes, 15000 rows"
             parts = r["data_type"].split(",")
@@ -288,7 +301,7 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     stats_rows = int(p.split()[0])
     ndv = None
     for r in spark.sql(
-        "DESCRIBE EXTENDED dfts_stats_orders o_custkey"
+        f"DESCRIBE EXTENDED {tbl} o_custkey"
     ).collect():
         if r["info_name"] == "distinct_count":
             ndv = int(r["info_value"])
@@ -456,22 +469,26 @@ def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = len(ranges)
     disjoint = all(ranges[i][1] < ranges[i + 1][0] for i in range(n_files - 1))
     lo = min((r[0] for r in ranges), default=None)
+    hi = max((r[1] for r in ranges), default=None)
     files_hit = sum(1 for r in ranges if r[0] <= lo <= r[1])
     # explicit schema: a fully-empty write leaves no readable footers
     rt = spark.read.schema(d.schema).parquet(out)
     n_rows = rt.count()
     n_min_rows = 0 if lo is None else rt.filter(F.col("n_chars") == lo).count()
     # claims are vacuously true at n_rows <= 1 (a 1-row corpus cannot
-    # split into 2 files, and its single file is always "hit") — the
-    # oracle emits literal TRUE; degenerate-corpus gate, round 5
+    # split into 2 files) and on a CONSTANT cluster key (lo == hi: range
+    # partitioning lands everything in one partition and a point query
+    # legitimately hits it) — the oracle emits literal TRUE;
+    # degenerate-corpus gate, round 5
+    vacuous = n_rows <= 1 or (lo is not None and lo == hi)
     return spark.createDataFrame(
         [
             (
                 n_rows,
                 n_min_rows,
                 disjoint,
-                2 <= n_files <= 4 or n_rows <= 1,
-                files_hit < n_files or n_rows <= 1,
+                2 <= n_files <= 4 or vacuous,
+                files_hit < n_files or vacuous,
             )
         ],
         "n_rows bigint, n_min_rows bigint, ranges_disjoint boolean, "

@@ -80,3 +80,32 @@ def test_no_crash_on_empty_and_tiny(spark, corpora, name):
 def test_ann_empty_corpus_yields_no_rows(spark, corpora, name):
     queries = registry_queries()
     assert queries[name](spark, f"{corpora}/empty").collect() == []
+
+
+# entries that crashed or broke parity on the zero-variance corpus
+# (every value column constant, keys unique) before the round-5 fixes
+CONST_SENSITIVE = [
+    "agg_stats",        # builtin corr raises ANSI div-0 on zero variance
+    "agg_corr_matrix",  # same, across every measure pair
+    "agg_minmax_by",    # max_by/min_by nondeterministic under ties
+    "layout_zonemap",   # constant cluster key -> one file, claims vacuous
+    "layout_zorder",
+    "sim_ivf",          # identical vectors -> one occupied IVF cell
+    "sim_ivfpq",
+]
+
+
+@pytest.mark.parametrize("name", CONST_SENSITIVE)
+def test_no_crash_on_zero_variance(spark, corpora, name):
+    queries = registry_queries()
+    queries[name](spark, f"{corpora}/const").collect()
+
+
+def test_minmax_by_tie_break_deterministic(spark, corpora):
+    """All prices equal -> both argmax and argmin must resolve to the
+    SMALLEST o_orderkey per the composite tie-break, on every run."""
+    queries = registry_queries()
+    rows = queries["agg_minmax_by"](spark, f"{corpora}/const").collect()
+    assert len(rows) == 1
+    assert rows[0]["biggest_order"] == 0
+    assert rows[0]["smallest_order"] == 0

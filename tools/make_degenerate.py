@@ -10,6 +10,12 @@ materializes two corpora with the exact testdata schemas:
 * ``empty``  — every table 0 rows (schema copied from a source sf dir)
 * ``tiny``   — every table LIMIT 1 (one-row groups: degenerate variance,
                single-node graphs, n<2 regression fits)
+* ``const``  — 8 copies of row 1 with UNIQUE primary keys (and unique
+               event timestamps, preserving the ASOF (user_id, ts)
+               oracle precondition) but every VALUE column constant:
+               zero variance, zero range, all-duplicate documents,
+               identical embeddings — the constant-valued-partition
+               state that exercises stddev/corr/MAD/range denominators
 
 Usage::
 
@@ -33,14 +39,62 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from datafusion_test_spark.io import TABLES
 
 
+# primary-key columns overwritten with 0..N-1 so uniqueness contracts
+# (join keys, dedup doc ids, ASOF event ids) survive the row cloning
+_KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_linenumber"],  # (l_orderkey, l_linenumber) unique
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+_CONST_N = 8
+
+
+def _const_table(t, name):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    one = t.slice(0, 1)
+    rep = pa.concat_tables([one] * _CONST_N)
+    for key in _KEYS[name]:
+        i = rep.schema.get_field_index(key)
+        seq = pa.array(range(_CONST_N), type=pa.int64()).cast(
+            rep.schema.field(i).type
+        )
+        rep = rep.set_column(i, rep.schema.field(i), seq)
+    if name == "events":
+        # unique, strictly-increasing timestamps: the ASOF oracles'
+        # (user_id, ts) uniqueness precondition must hold
+        i = rep.schema.get_field_index("ts")
+        base = rep.column("ts").to_pylist()[0]
+        import datetime as dt
+
+        ts = pa.array(
+            [base + dt.timedelta(hours=j) for j in range(_CONST_N)],
+            type=rep.schema.field(i).type,
+        )
+        rep = rep.set_column(i, rep.schema.field(i), ts)
+    return rep
+
+
 def build(src: str, dest_root: str) -> None:
-    for mode, nrows in (("empty", 0), ("tiny", 1)):
+    for mode, nrows in (("empty", 0), ("tiny", 1), ("const", _CONST_N)):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
             t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-            slice_ = t.slice(0, nrows)
-            pq.write_table(slice_, os.path.join(dest, f"{name}.parquet"))
+            if mode == "const":
+                out = _const_table(t, name)
+            else:
+                out = t.slice(0, nrows)
+            pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
         print(f"{mode}: {len(TABLES)} tables -> {dest}")
 
 
