@@ -90,22 +90,30 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corrupt count and the good-row aggregate are both exact and
     SQL-derivable (the injection rule is deterministic), so the oracle
     verifies the quarantine accounting itself."""
-    base = scratch_dir("dfts_jsonc_")
-    path = os.path.join(base, "docs.jsonl")
-    rows = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
-        .collect()
+    path = os.path.join(scratch_dir("dfts_jsonc_"), "docs_jsonl")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # DISTRIBUTED fixture write (was a driver-side collect loop — the one
+    # O(N) driver materialization in the package, r5 collect audit): each
+    # row renders its JSON line as a column; injected rows append the
+    # malformed line via explode, and the lines land with write.text
+    good = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
     )
-    with open(path, "w") as f:
-        for r in rows:
-            f.write(
-                f'{{"doc_id": {r["doc_id"]}, "lang": "{r["lang"]}", '
-                f'"n_chars": {r["n_chars"]}}}\n'
-            )
-            if r["doc_id"] % 50 == 0:
-                f.write('{"doc_id": broken-not-json\n')
+    lines = d.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.array(good, F.lit('{"doc_id": broken-not-json')),
+            ).otherwise(F.array(good))
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
     schema = (
         "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
     )
@@ -519,15 +527,21 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-file collect never touches the driver.
     """
     base = scratch_dir("dfts_blob_")
-    rows = (
+    # DISTRIBUTED fixture write (was a driver-side collect loop, r5
+    # collect audit): each partition writes its own blobs — exactly how a
+    # blob store materializes on shared storage; local-FS paths serve
+    # that role under local[*]
+    def _write_blobs(rows):
+        for r in rows:
+            with open(os.path.join(base, f"blob_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 13 == 0)
         .select("doc_id", "text")
-        .collect()
+        .foreachPartition(_write_blobs)
     )
-    for r in rows:
-        with open(os.path.join(base, f"blob_{r['doc_id']}.bin"), "wb") as f:
-            f.write(r["text"].encode("utf-8"))
     bf = spark.read.format("binaryFile").load(base)
     return bf.select(
         F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin$", 1)
