@@ -310,3 +310,28 @@ def test_half_up_three_way_agreement_on_ties(spark):
     want = [x for _, x in sorted(zip(vals, py))]
     assert duck == py
     assert got == want
+
+
+def test_safe_corr_matches_duckdb_and_nulls_on_zero_variance(spark):
+    """_util.safe_corr must (a) equal each engine's Pearson corr to 4
+    decimals on varying data and (b) be NULL on a constant column — where
+    Spark 4's builtin corr RAISES under ANSI mode (the round-5
+    zero-variance gate finding)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark._util import safe_corr
+
+    rows = [(1.0, 2.0), (2.0, 3.5), (3.0, 3.0), (4.0, 6.5), (5.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = df.agg(F.round(safe_corr("x", "y"), 4).alias("c")).collect()[0]["c"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute("SELECT round(corr(x, y), 4) FROM t").fetchone()[0]
+    assert got == want
+    # constant column -> NULL, not a raise, matching DuckDB
+    const = spark.createDataFrame([(1.0, v) for _, v in rows], "x double, y double")
+    assert const.agg(safe_corr("x", "y").alias("c")).collect()[0]["c"] is None
+    assert con.execute("SELECT corr(x, x * 0 + 1) FROM t").fetchone()[0] is None
