@@ -280,15 +280,22 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.expr("percentile(l_extendedprice, 0.95)"), "exact_p95"),
         # coalesce(…, TRUE): on an empty relation every percentile is NULL
         # and the bracket test is NULL — the oracle's claim is a vacuous
-        # TRUE (degenerate-corpus gate, round 5)
+        # TRUE (degenerate-corpus gate, round 5).  The distinct-count
+        # floor states the bracket's real precondition: the sketch
+        # returns an ACTUAL data value while the exact brackets
+        # interpolate, so on a <= 2-point distribution the interpolated
+        # [p49, p51] interval can contain no data value at all (found by
+        # the two-value corpus)
         F.coalesce(
             (ap50 >= F.expr("percentile(l_extendedprice, 0.49)"))
-            & (ap50 <= F.expr("percentile(l_extendedprice, 0.51)")),
+            & (ap50 <= F.expr("percentile(l_extendedprice, 0.51)"))
+            | (F.countDistinct("l_extendedprice") <= 2),
             F.lit(True),
         ).alias("p50_ok"),
         F.coalesce(
             (ap95 >= F.expr("percentile(l_extendedprice, 0.94)"))
-            & (ap95 <= F.expr("percentile(l_extendedprice, 0.96)")),
+            & (ap95 <= F.expr("percentile(l_extendedprice, 0.96)"))
+            | (F.countDistinct("l_extendedprice") <= 2),
             F.lit(True),
         ).alias("p95_ok"),
     )

@@ -58,12 +58,16 @@ def rows_of_spark(df):
 
 
 def _embeddings_degenerate(con) -> bool:
-    """True when the embeddings corpus has at most one distinct vector —
-    the state that voids sim_pairwise_lsh's planted-pair-dominance
-    oracle precondition (see the allowlist branch in main)."""
+    """True when the embeddings corpus contains ANY duplicated vector
+    across distinct vec_ids — the state that voids sim_pairwise_lsh's
+    planted-pair-dominance oracle precondition (a duplicated base vector
+    creates a cos-1.0 base pair competing with the planted twins; see the
+    allowlist branch in main).  Real corpora have distinct float vectors,
+    so this never fires outside the degenerate gate."""
     return bool(
         con.execute(
-            "SELECT count(DISTINCT CAST(embedding AS VARCHAR)) <= 1 FROM embeddings"
+            "SELECT count(*) > count(DISTINCT CAST(embedding AS VARCHAR))"
+            " FROM embeddings"
         ).fetchone()[0]
     )
 

@@ -16,6 +16,12 @@ materializes two corpora with the exact testdata schemas:
                zero variance, zero range, all-duplicate documents,
                identical embeddings — the constant-valued-partition
                state that exercises stddev/corr/MAD/range denominators
+* ``pairs``  — 4+4 copies of rows 1 and 2 (same key/timestamp
+               uniquification): a two-point distribution, the state that
+               exercises mode/argmax/percentile TIE handling that
+               ``const`` (all equal) and ``tiny`` (n=1) cannot reach
+               (first run found the approx-quantile bracket floor and
+               widened the sim_pairwise_lsh degeneracy probe)
 
 Usage::
 
@@ -57,12 +63,11 @@ _KEYS = {
 _CONST_N = 8
 
 
-def _const_table(t, name):
+def _const_table(t, name, distinct_rows: int = 1):
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    one = t.slice(0, 1)
-    rep = pa.concat_tables([one] * _CONST_N)
+    srcs = [t.slice(j, 1) for j in range(distinct_rows)]
+    rep = pa.concat_tables(srcs * (_CONST_N // distinct_rows))
     for key in _KEYS[name]:
         i = rep.schema.get_field_index(key)
         seq = pa.array(range(_CONST_N), type=pa.int64()).cast(
@@ -85,15 +90,17 @@ def _const_table(t, name):
 
 
 def build(src: str, dest_root: str) -> None:
-    for mode, nrows in (("empty", 0), ("tiny", 1), ("const", _CONST_N)):
+    for mode in ("empty", "tiny", "const", "pairs"):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
             t = pq.read_table(os.path.join(src, f"{name}.parquet"))
             if mode == "const":
                 out = _const_table(t, name)
+            elif mode == "pairs":
+                out = _const_table(t, name, distinct_rows=2)
             else:
-                out = t.slice(0, nrows)
+                out = t.slice(0, 0 if mode == "empty" else 1)
             pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
         print(f"{mode}: {len(TABLES)} tables -> {dest}")
 
