@@ -22,6 +22,12 @@ materializes two corpora with the exact testdata schemas:
                ``const`` (all equal) and ``tiny`` (n=1) cannot reach
                (first run found the approx-quantile bracket floor and
                widened the sim_pairwise_lsh degeneracy probe)
+* ``subset<K>`` (``--subset K``) — a deterministic ~30% row sample of
+               every table (md5 of the first key column, salted by K):
+               the oracle differential must hold on ANY subset of the
+               corpus — foreign-key orphans, missing labels, and thinned
+               groups are normal runtime states between the degenerate
+               extremes and the full corpus
 
 Usage::
 
@@ -89,6 +95,32 @@ def _const_table(t, name, distinct_rows: int = 1):
     return rep
 
 
+def _subset_table(t, name, salt: int):
+    """Deterministic ~30% row filter keyed on md5(first key column, salt) —
+    no RNG, reproducible on any machine/run."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    key = _KEYS[name][0]
+    keys = t.column(key).to_pylist()
+    mask = [
+        int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest(), 16) % 10 < 3
+        for k in keys
+    ]
+    return t.filter(pc.field(key).isin([k for k, m in zip(keys, mask) if m]))
+
+
+def build_subset(src: str, dest_root: str, salt: int) -> None:
+    dest = os.path.join(dest_root, f"subset{salt}")
+    os.makedirs(dest, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        out = _subset_table(t, name, salt)
+        pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
+        print(f"subset{salt}: {name} {t.num_rows} -> {out.num_rows} rows")
+
+
 def build(src: str, dest_root: str) -> None:
     for mode in ("empty", "tiny", "const", "pairs"):
         dest = os.path.join(dest_root, mode)
@@ -106,6 +138,16 @@ def build(src: str, dest_root: str) -> None:
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    dest_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_degenerate"
-    build(src, dest_root)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = args[0] if args else "/root/testdata/sf0.001"
+    dest_root = args[1] if len(args) > 1 else "/tmp/spark_graft_degenerate"
+    subset_salts = [
+        int(a.split("=", 1)[1])
+        for a in sys.argv[1:]
+        if a.startswith("--subset=")
+    ]
+    if subset_salts:
+        for salt in subset_salts:
+            build_subset(src, dest_root, salt)
+    else:
+        build(src, dest_root)
