@@ -134,11 +134,14 @@ def seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): orders not dominated by any
     earlier-day order with an at-most-equal price — 'was this the cheapest
-    order seen so far?'.  The O(n log n) window phrasing: running MIN of
-    price over STRICTLY earlier days via an integer-day RANGE frame,
-    versus the naive O(n²) self-join a skyline is usually written as.
-    One shuffle (the global sort); day granularity keeps the strictness
-    predicate integral and exact.
+    order seen so far?'.  Two-phase phrasing: (1) per-day MIN(price)
+    aggregate (map-side combinable; the result is bounded by the calendar,
+    ~2.4k rows at any corpus size), (2) strict-prefix running MIN over the
+    day buckets — a global window, but over the aggregate-bounded day
+    relation (the documented safe class), (3) broadcast the per-day
+    strict-prefix min back onto orders.  No unpartitioned sort ever sees
+    the fact table, so the plan survives 100x: the only full-relation
+    exchange is the day groupBy, which is partial-aggregated map-side.
     """
     from pyspark.sql import Window
 
@@ -149,8 +152,12 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day"
         ),
     )
-    w = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
-    m = o.withColumn("best_earlier", F.min("o_totalprice").over(w))
+    day_min = o.groupBy("day").agg(F.min("o_totalprice").alias("day_min"))
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = day_min.select(
+        "day", F.min("day_min").over(wp).alias("best_earlier")
+    )
+    m = o.join(F.broadcast(prefix), "day")
     return m.filter(
         F.col("best_earlier").isNull()
         | (F.col("o_totalprice") < F.col("best_earlier"))

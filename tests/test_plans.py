@@ -397,3 +397,17 @@ def test_udf_cogrouped_binds_distinct_sides(spark, sf_dir):
     assert len(args) == 4
     left_ids, right_ids = set(args[:2]), set(args[2:])
     assert left_ids.isdisjoint(right_ids), line
+
+
+def test_skyline_pareto_no_full_relation_global_sort(spark, sf_dir):
+    """The r5 verdict's weak site: skyline_pareto must not run an
+    unpartitioned window over the orders fact table.  Two-phase plan:
+    the only unpartitioned Window sits over the per-day aggregate, and
+    the fact-side join is a broadcast of that bounded prefix relation."""
+    from test_window_audit import _unbounded_global_windows
+
+    from datafusion_test_spark.operators.analytics import skyline_pareto
+
+    df = skyline_pareto(spark, sf_dir)
+    assert not _unbounded_global_windows(df)
+    assert "BroadcastHashJoin" in _plan(df)
