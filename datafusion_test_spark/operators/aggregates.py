@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .._util import dsum, r4, safe_corr, sql_dsum
+from .._util import dsum, half_up, r4, safe_corr, sql_dsum, sql_half_up
 from ..io import table
 
 
@@ -454,7 +454,10 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             # safe_corr: builtin corr raises ANSI div-0 on a constant column
-            aggs.append(F.round(safe_corr(a, b), 4).alias(f"{a}__{b}"))
+            # half_up (not engine round): uniform with the r4 policy — a
+            # corr tie at .xxxx5 is believed impossible (sqrt quotient)
+            # but the stated-formula rounding removes the assumption
+            aggs.append(half_up(safe_corr(a, b)).alias(f"{a}__{b}"))
     wide = li.groupBy().agg(*aggs)
     pairs = None
     for i, a in enumerate(cols):
@@ -1587,17 +1590,17 @@ ORACLE = {
         FROM sizes
     """,
     "agg_corr_matrix": """
-        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, CAST(floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) AS DOUBLE) / 10000 AS pearson_r FROM lineitem
         UNION ALL
-        SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, round(corr(l_quantity, l_discount), 4) AS pearson_r FROM lineitem
+        SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, CAST(floor(corr(l_quantity, l_discount) * 10000 + 0.5) AS DOUBLE) / 10000 AS pearson_r FROM lineitem
         UNION ALL
-        SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, round(corr(l_quantity, l_tax), 4) AS pearson_r FROM lineitem
+        SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, CAST(floor(corr(l_quantity, l_tax) * 10000 + 0.5) AS DOUBLE) / 10000 AS pearson_r FROM lineitem
         UNION ALL
-        SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, round(corr(l_extendedprice, l_discount), 4) AS pearson_r FROM lineitem
+        SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, CAST(floor(corr(l_extendedprice, l_discount) * 10000 + 0.5) AS DOUBLE) / 10000 AS pearson_r FROM lineitem
         UNION ALL
-        SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, round(corr(l_extendedprice, l_tax), 4) AS pearson_r FROM lineitem
+        SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, CAST(floor(corr(l_extendedprice, l_tax) * 10000 + 0.5) AS DOUBLE) / 10000 AS pearson_r FROM lineitem
         UNION ALL
-        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, round(corr(l_discount, l_tax), 4) AS pearson_r FROM lineitem
+        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, CAST(floor(corr(l_discount, l_tax) * 10000 + 0.5) AS DOUBLE) / 10000 AS pearson_r FROM lineitem
     """,
     "agg_hll_intersect": """
         SELECT CAST((SELECT count(*) FROM (

@@ -649,7 +649,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memo contract: keyed by (applicationId, sf_dir); assumes the parquet
+# files under sf_dir are IMMUTABLE for the application's lifetime.  A
+# caller that rewrites a corpus in place must call clear_stars_cache()
+# or the stale checkpointed fixpoint is silently served; long
+# multi-corpus sessions can clear between corpora to release the
+# accumulated checkpoint blocks.
 _STARS_CACHE: dict = {}
+
+
+def clear_stars_cache() -> None:
+    """Drop the memoized cluster fixpoints (see contract above)."""
+    _STARS_CACHE.clear()
 
 
 def _dup_stars(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -475,7 +475,19 @@ def _with_planted_twin(base: DataFrame) -> DataFrame:
     return base.unionByName(twin)
 
 
+# Memo contract: entries are keyed by (applicationId, sf_dir) and assume
+# the parquet files under sf_dir are IMMUTABLE for the lifetime of the
+# application — a caller that rewrites a corpus in place (e.g. rebuilding
+# a degenerate-corpus dir mid-session) must call clear_ann_cache() or the
+# stale checkpointed result is silently served.  Checkpoint blocks also
+# accumulate per distinct sf_dir; long sweep sessions over many corpora
+# can clear between corpora to release them.
 _ANN_CACHE: dict = {}
+
+
+def clear_ann_cache() -> None:
+    """Drop all memoized twin/IVF/PQ trainings (see contract above)."""
+    _ANN_CACHE.clear()
 
 
 def _twin_e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -294,25 +294,43 @@ def catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table directory survives its DROP, so clear the location too
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
-    o.write.mode("overwrite").saveAsTable(tbl)
-    spark.sql(
-        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey"
-    )
-    stats_rows = None
-    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
-        if r["col_name"] == "Statistics":
-            # e.g. "123456 bytes, 15000 rows"
-            parts = r["data_type"].split(",")
-            for p in parts:
-                p = p.strip()
-                if p.endswith("rows"):
-                    stats_rows = int(p.split()[0])
-    ndv = None
-    for r in spark.sql(
-        f"DESCRIBE EXTENDED {tbl} o_custkey"
-    ).collect():
-        if r["info_name"] == "distinct_count":
-            ndv = int(r["info_value"])
+    # sweep stale siblings from crashed/killed runs — only dirs whose pid
+    # is dead, so a (misconfigured) concurrent sweep's live table is safe
+    try:
+        for d in os.listdir(wh):
+            if d.startswith("dfts_stats_orders") and d != tbl:
+                pid = d.rsplit("_", 1)[-1]
+                # pid-suffixed dir of a dead process, or the legacy
+                # fixed-name dir from pre-r5 code: both are garbage
+                if not pid.isdigit() or not os.path.exists(f"/proc/{pid}"):
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+    except OSError:
+        pass
+    try:
+        o.write.mode("overwrite").saveAsTable(tbl)
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey"
+        )
+        stats_rows = None
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+            if r["col_name"] == "Statistics":
+                # e.g. "123456 bytes, 15000 rows"
+                parts = r["data_type"].split(",")
+                for p in parts:
+                    p = p.strip()
+                    if p.endswith("rows"):
+                        stats_rows = int(p.split()[0])
+        ndv = None
+        for r in spark.sql(
+            f"DESCRIBE EXTENDED {tbl} o_custkey"
+        ).collect():
+            if r["info_name"] == "distinct_count":
+                ndv = int(r["info_value"])
+    finally:
+        # the stats live in the returned relation, not the table — drop
+        # it so sweeps don't accumulate per-pid garbage in the warehouse
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     n_rows = o.count()
     n_custs = o.select("o_custkey").distinct().count()
     ndv_ok = ndv is not None and abs(ndv - n_custs) * 10 <= n_custs

@@ -18,6 +18,11 @@ sites that provably cannot tie at 4 decimals:
   repr x.xxxx5 double requires a small dyadic rational, which the data
   cannot produce (verified by both-scale hash sweeps since r2).
 
+The pattern also matches ``round(safe_corr`` (the NULL-safe corr
+wrapper) so corr sites cannot dodge the audit by routing through the
+helper — the r5 advisor found ``agg_corr_matrix`` doing exactly that
+over 2dp money columns; it now uses ``half_up`` on both engines.
+
 This test freezes that allowlist: any NEW bare ``round(<agg>...)`` site
 must either use the half-up helpers or prove it cannot tie and be added
 here with a justification.
@@ -31,12 +36,16 @@ from pathlib import Path
 PKG = Path(__file__).resolve().parents[1] / "datafusion_test_spark"
 
 _BARE = re.compile(
-    r"(?i)round\(\s*(avg|sum|stddev|var_|corr|quantile|percentile|regr_|median)"
+    r"(?i)round\(\s*(avg|sum|stddev|var_|corr|safe_corr|quantile|"
+    r"percentile|regr_|median)"
 )
 
 # file -> exact number of justified bare-round sites (see module docstring)
 _ALLOWED = {
-    "operators/aggregates.py": 14,  # median/quantile interpolation + corr
+    "operators/aggregates.py": 8,  # median/quantile interpolation + corr
+    # (was 14: agg_corr_matrix's 6 oracle round(corr) sites — and its
+    # Spark-side round(safe_corr, which the old pattern missed —
+    # converted to half_up in r6)
     "operators/udf.py": 2,  # regr_slope/intercept oracle twins
 }
 

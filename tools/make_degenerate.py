@@ -95,20 +95,37 @@ def _const_table(t, name, distinct_rows: int = 1):
     return rep
 
 
+# composite ROW key for the subset filter: _KEYS deliberately lists only
+# the within-parent ordinal for lineitem (the const/tiny builders want a
+# small re-sequenced column), but a row-level sample must hash a key that
+# is unique PER ROW — hashing l_linenumber alone (~7 distinct values)
+# would select whole linenumber classes, realized fraction a multiple of
+# ~1/7 instead of ~30% (ADVICE r5).
+_SUBSET_KEYS = {**{n: k for n, k in _KEYS.items()}, "lineitem": ["l_orderkey", "l_linenumber"]}
+
+
 def _subset_table(t, name, salt: int):
-    """Deterministic ~30% row filter keyed on md5(first key column, salt) —
-    no RNG, reproducible on any machine/run."""
+    """Deterministic ~30% row filter keyed on md5(composite row key, salt)
+    — no RNG, reproducible on any machine/run.  Filters by a row-level
+    boolean mask (never isin on a non-unique column) so the sample is
+    genuinely per-row even when a key component repeats."""
     import hashlib
 
-    import pyarrow.compute as pc
+    import pyarrow as pa
 
-    key = _KEYS[name][0]
-    keys = t.column(key).to_pylist()
+    cols = [t.column(k).to_pylist() for k in _SUBSET_KEYS[name]]
     mask = [
-        int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest(), 16) % 10 < 3
-        for k in keys
+        int(
+            hashlib.md5(
+                (str(salt) + ":" + ":".join(str(v) for v in row)).encode()
+            ).hexdigest(),
+            16,
+        )
+        % 10
+        < 3
+        for row in zip(*cols)
     ]
-    return t.filter(pc.field(key).isin([k for k, m in zip(keys, mask) if m]))
+    return t.filter(pa.array(mask, type=pa.bool_()))
 
 
 def build_subset(src: str, dest_root: str, salt: int) -> None:
