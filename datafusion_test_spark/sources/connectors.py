@@ -200,11 +200,21 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The z-value is exact integer arithmetic, so the oracle recomputes the
     full z distribution (count / min / max / sum per z-quartile); the 2-D
-    locality claim — every file's (x-span x y-span) area is a fraction of
-    the global domain — is measured from parquet FOOTERS only and emitted
-    as a result column.  At 100 TB this layout is written once per
-    partition roll-up and every dashboard range scan after that pays
-    sub-linear IO on both dims.
+    locality claim — every file owns a z-interval DISJOINT from every
+    other file's — is measured from parquet FOOTERS only and emitted as a
+    result column.  Disjoint z-ranges are what pruning actually consumes:
+    an (x, y) rectangle predicate decomposes into Morton intervals, and
+    each interval can intersect only the files whose footer z-range
+    overlaps it.  (An earlier per-file x-span × y-span area bound was
+    distribution-DEPENDENT, not an invariant: the skew degenerate corpus
+    — 90% of custkeys on one hot value — pushes the sparse tail rows of a
+    range partition across quadrant boundaries, and a Morton interval
+    that crosses the domain midline has a bounding box up to the whole
+    domain with as few as 2 rows.  Disjointness is what
+    repartitionByRange(zval) + sortWithinPartitions guarantees for ANY
+    distribution: equal keys never split across partitions.)  At 100 TB
+    this layout is written once per partition roll-up and every dashboard
+    range scan after that pays sub-linear IO on both dims.
     """
     import pyarrow.parquet as pq
 
@@ -221,8 +231,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(out)
     )
-    areas, n_files, total_rows = [], 0, 0
-    gx, gy = [], []  # global (min, max) pairs per file, both dimensions
+    zranges, n_files, total_rows = [], 0, 0
     for f in sorted(os.listdir(out)):
         if not f.endswith(".parquet"):
             continue
@@ -232,28 +241,27 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue  # schema-only file from an empty range partition
         n_files += 1
         names = md.schema.names
-        ix, iy = names.index("zx"), names.index("zy")
-        sx = [md.row_group(g).column(ix).statistics for g in range(md.num_row_groups)]
-        sy = [md.row_group(g).column(iy).statistics for g in range(md.num_row_groups)]
-        x_span = max(s.max for s in sx) - min(s.min for s in sx) + 1
-        y_span = max(s.max for s in sy) - min(s.min for s in sy) + 1
-        areas.append(x_span * y_span)
-        gx.append((min(s.min for s in sx), max(s.max for s in sx)))
-        gy.append((min(s.min for s in sy), max(s.max for s in sy)))
-    # every file covers a contiguous z range => a bounded 2-D rectangle;
-    # locality holds when every file's area is under half the full domain.
-    # Both claims are vacuously true at <= 1 total row (a 1-row corpus
-    # cannot split into 2 files; its 1x1 "area" is the whole z-locality
-    # there is) — the oracle emits literal TRUE; degenerate gate, round 5
-    domain = 256 * 31
+        iz = names.index("zval")
+        sz = [md.row_group(g).column(iz).statistics for g in range(md.num_row_groups)]
+        zranges.append((min(s.min for s in sz), max(s.max for s in sz)))
+    # every file owns a contiguous z interval; the layout invariant the
+    # pruner consumes is that those intervals are pairwise DISJOINT (a z
+    # probe interval hits only the files whose footer range overlaps it).
+    # repartitionByRange never splits equal keys, so disjointness holds
+    # for any distribution — incl. the skew and const degenerate corpora.
+    # Vacuously true at <= 1 total row or a single file (nothing to be
+    # disjoint FROM) — the oracle emits literal TRUE; degenerate gate, r5
+    zranges.sort()
+    disjoint = all(
+        zranges[i][1] < zranges[i + 1][0] for i in range(len(zranges) - 1)
+    )
     # constant z key (one distinct (zx, zy) point): range partitioning
     # lands everything in one file, which is the whole locality there is
-    const_key = bool(gx) and (
-        min(g[0] for g in gx) == max(g[1] for g in gx)
-        and min(g[0] for g in gy) == max(g[1] for g in gy)
+    const_key = bool(zranges) and (
+        min(r[0] for r in zranges) == max(r[1] for r in zranges)
     )
     vacuous = total_rows <= 1 or const_key
-    locality = vacuous or (bool(areas) and all(a * 2 <= domain for a in areas))
+    locality = vacuous or disjoint
     rt = spark.read.schema(z.schema).parquet(out)
     return (
         rt.groupBy(F.expr("CAST((zval * 4) DIV 65536 AS INT)").alias("z_quartile"))

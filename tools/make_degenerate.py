@@ -29,6 +29,21 @@ materializes two corpora with the exact testdata schemas:
                groups are normal runtime states between the degenerate
                extremes and the full corpus
 
+* ``skew``   — every join/group FOREIGN key column re-pointed so ONE
+               hot value owns ~90% of rows (o_custkey, l_partkey,
+               l_suppkey, user_id, c_nationkey): the canonical 100 TB
+               hot-key state.  Primary keys and the ASOF (user_id, ts)
+               uniqueness precondition survive (event timestamps are
+               globally unique in the source data).
+* ``nulls``  — value/attribute columns NULLed on a deterministic
+               per-column ~33% of rows (measures, prices, labels,
+               props) and ~10% for load-bearing payloads (text,
+               embedding, dates, event_type): the missing-data state
+               every 100 TB corpus is in.  Keys, event timestamps, and
+               partition columns stay non-null so structural
+               preconditions hold; the gate hunts ANSI null-arithmetic,
+               null-skipping aggregate, and null-ordering divergences.
+
 Usage::
 
     python tools/make_degenerate.py [src_sf_dir] [dest_root]
@@ -128,6 +143,112 @@ def _subset_table(t, name, salt: int):
     return t.filter(pa.array(mask, type=pa.bool_()))
 
 
+# skew: (column, hot fraction) — FK / grouping columns only; PKs and
+# ASOF-precondition columns (event ts) are never touched
+_SKEW = {
+    "orders": [("o_custkey", 0.9)],
+    "lineitem": [("l_partkey", 0.9), ("l_suppkey", 0.9)],
+    "events": [("user_id", 0.9)],
+    "customer": [("c_nationkey", 0.9)],
+}
+
+
+def _skew_table(t, name):
+    """Re-point ~`frac` of each skew column's rows at the column MIN
+    (the hot key), selected by md5 of the row's composite key — no RNG,
+    reproducible, and independent across columns."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = list(zip(*[t.column(k).to_pylist() for k in _SUBSET_KEYS[name]]))
+    for col, frac in _SKEW.get(name, []):
+        i = t.schema.get_field_index(col)
+        hot = pc.min(t.column(col)).as_py()
+        mask = pa.array(
+            [
+                int(
+                    hashlib.md5(
+                        (col + ":" + ":".join(str(v) for v in row)).encode()
+                    ).hexdigest(),
+                    16,
+                )
+                % 100
+                < frac * 100
+                for row in keys
+            ],
+            type=pa.bool_(),
+        )
+        skewed = pc.if_else(
+            mask, pa.scalar(hot, type=t.schema.field(i).type), t.column(col)
+        )
+        t = t.set_column(i, t.schema.field(i), skewed)
+    return t
+
+
+# nulls: (column, null fraction).  ~33% for measures/attributes, ~10%
+# for load-bearing payloads whose null state fans into many operators.
+_NULLS = {
+    "orders": [
+        ("o_totalprice", 0.33),
+        ("o_orderpriority", 0.33),
+        ("o_orderdate", 0.10),
+    ],
+    "lineitem": [
+        ("l_quantity", 0.33),
+        ("l_extendedprice", 0.33),
+        ("l_discount", 0.33),
+        ("l_tax", 0.33),
+        ("l_shipdate", 0.10),
+    ],
+    "events": [
+        ("value", 0.33),
+        ("props", 0.33),
+        ("event_type", 0.10),
+    ],
+    "documents": [
+        ("lang", 0.33),
+        ("source", 0.33),
+        ("n_chars", 0.33),
+        ("text", 0.10),
+    ],
+    "customer": [("c_acctbal", 0.33), ("c_mktsegment", 0.33)],
+    "embeddings": [("label", 0.33), ("embedding", 0.10)],
+}
+
+
+def _null_table(t, name):
+    """NULL a deterministic md5-selected fraction of each listed column
+    — per-column independent masks so null patterns overlap naturally."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = list(zip(*[t.column(k).to_pylist() for k in _SUBSET_KEYS[name]]))
+    for col, frac in _NULLS.get(name, []):
+        i = t.schema.get_field_index(col)
+        typ = t.schema.field(i).type
+        mask = pa.array(
+            [
+                int(
+                    hashlib.md5(
+                        ("null:" + col + ":" + ":".join(str(v) for v in row)).encode()
+                    ).hexdigest(),
+                    16,
+                )
+                % 100
+                < frac * 100
+                for row in keys
+            ],
+            type=pa.bool_(),
+        )
+        nulled = pc.if_else(mask, pa.scalar(None, type=typ), t.column(col))
+        t = t.set_column(i, t.schema.field(i), nulled)
+    return t
+
+
 def build_subset(src: str, dest_root: str, salt: int) -> None:
     dest = os.path.join(dest_root, f"subset{salt}")
     os.makedirs(dest, exist_ok=True)
@@ -139,7 +260,7 @@ def build_subset(src: str, dest_root: str, salt: int) -> None:
 
 
 def build(src: str, dest_root: str) -> None:
-    for mode in ("empty", "tiny", "const", "pairs"):
+    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls"):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
@@ -148,6 +269,10 @@ def build(src: str, dest_root: str) -> None:
                 out = _const_table(t, name)
             elif mode == "pairs":
                 out = _const_table(t, name, distinct_rows=2)
+            elif mode == "skew":
+                out = _skew_table(t, name)
+            elif mode == "nulls":
+                out = _null_table(t, name)
             else:
                 out = t.slice(0, 0 if mode == "empty" else 1)
             pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
