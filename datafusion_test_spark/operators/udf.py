@@ -30,7 +30,13 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE double ops in Python match the SQL double ops bit-for-bit, so this
     still hash-matches the arithmetic oracle.
     """
-    discounted = F.udf(lambda p, d: p * (1.0 - d), DoubleType())
+    # NULL-propagating like the SQL expression it mirrors — a Python UDF
+    # receives None for NULL inputs and must hand NULL back, not crash
+    # (nulls degenerate corpus, round 6)
+    discounted = F.udf(
+        lambda p, d: p * (1.0 - d) if p is not None and d is not None else None,
+        DoubleType(),
+    )
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -60,7 +66,11 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop-in accelerator when a legacy `F.udf` can't be rewritten as a
     pandas UDF.  Completes the UDF tier: python / arrow / pandas / grouped /
     table-valued."""
-    discounted = F.udf(lambda p, d: p * (1.0 - d), DoubleType(), useArrow=True)
+    discounted = F.udf(
+        lambda p, d: p * (1.0 - d) if p is not None and d is not None else None,
+        DoubleType(),
+        useArrow=True,
+    )
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -105,12 +115,17 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def geo_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.sort(pdf["l_extendedprice"].to_numpy())
+        # aggregate over the group's NON-NULL values, like SQL avg(ln(x))
+        # — NULLs arrive as NaN in the Arrow batch and would poison the
+        # mean; an all-NULL group has no geometric mean (NULL result)
+        x = np.sort(pdf["l_extendedprice"].dropna().to_numpy())
+        geo = round(float(np.exp(np.mean(np.log(x)))), 2) if len(x) else None
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "geo_price": [round(float(np.exp(np.mean(np.log(x)))), 2)],
-            }
+                "geo_price": [geo],
+            },
+            dtype="object",
         )
 
     li = table(spark, sf_dir, "lineitem")
@@ -151,6 +166,8 @@ def udtf_python_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word: string, pos: int")
     class SplitWords:
         def eval(self, text: str):
+            if text is None:
+                return  # NULL input expands to ZERO rows (inner LATERAL)
             for i, w in enumerate(text.split(" ")):
                 yield (w, i)
 

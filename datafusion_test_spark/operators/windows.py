@@ -25,7 +25,11 @@ def _w(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o, w
 
-_ORDER = "ORDER BY o_orderdate, o_orderkey"
+# NULLS FIRST pins the null position explicitly: Spark's ASC default is
+# nulls-first, DuckDB's is nulls-last — left implicit, every offset/frame
+# window diverges the moment the ordering column admits NULLs (the nulls
+# degenerate corpus, round 6).  o_orderkey is a non-null PK tiebreaker.
+_ORDER = "ORDER BY o_orderdate NULLS FIRST, o_orderkey"
 
 
 def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +232,9 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         n_terms.cast("int").alias("n_terms"),
-        half_up(num / den).alias("ewma"),
+        # all 10 lags NULL => den = 0 => no observation to smooth: NULL
+        # (ANSI raises on 0/0 — nulls degenerate corpus, round 6)
+        F.when(den > 0, half_up(num / den)).alias("ewma"),
     )
 
 
@@ -244,15 +250,19 @@ def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o, w = _w(spark, sf_dir)
     frame = w.rowsBetween(-4, 0)
+    # collect_list DROPS NULLs, so the median basis — and n_win — is the
+    # frame's NON-NULL observations (a frame of all-NULL totals has no
+    # median; indexing count(*) into the shorter list was an
+    # out-of-bounds crash on the nulls degenerate corpus, round 6)
     lst = F.sort_array(F.collect_list("o_totalprice").over(frame))
-    n = F.count(F.lit(1)).over(frame)
+    k = F.size(lst)
     return o.select(
         "o_orderkey",
         "o_custkey",
-        n.cast("int").alias("n_win"),
-        F.element_at(lst, ((n + F.lit(1)) / F.lit(2)).cast("int")).alias(
-            "sliding_median"
-        ),
+        k.cast("int").alias("n_win"),
+        F.when(
+            k > 0, F.element_at(lst, ((k + F.lit(1)) / F.lit(2)).cast("int"))
+        ).alias("sliding_median"),
     )
 
 
@@ -336,8 +346,17 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # COUNT(DISTINCT x) never counts NULL x — the rewrite must not either
+    # (a NULL event_type opens a (user, NULL) partition whose first row
+    # would otherwise mark +1; the nulls degenerate corpus caught this
+    # against DuckDB's native windowed DISTINCT, round 6)
     marked = e.withColumn(
-        "is_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        "is_first",
+        F.when(
+            F.col("event_type").isNotNull()
+            & (F.row_number().over(w_first) == 1),
+            1,
+        ).otherwise(0),
     )
     return marked.select(
         "user_id",
@@ -525,7 +544,8 @@ def _ewma_oracle() -> str:
         )
         SELECT event_id, user_id, ts,
                CAST({cnt} AS INTEGER) AS n_terms,
-               {sql_half_up(f"({num}) / ({den})")} AS ewma
+               CASE WHEN ({den}) > 0
+                    THEN {sql_half_up(f"({num}) / ({den})")} END AS ewma
         FROM lagged
     """
 
@@ -545,16 +565,26 @@ def _rolling_slope_oracle() -> str:
     num = f"(CAST(len(ys) AS BIGINT) * ({sxy}) - ({sx}) * ({sy}))"
     den = f"(CAST(len(ys) AS BIGINT) * ({sxx}) - ({sx}) * ({sx}))"
     ratio = sql_half_up(f"CAST({num} AS DOUBLE) / ({den} * 100)")
+    # list() keeps NULL elements (Spark's collect_list drops them) — the
+    # OLS basis is the frame's NON-NULL observations, so filter before
+    # the fold; ORDER BY pins NULLS FIRST (Spark's ASC default) so frame
+    # MEMBERSHIP agrees when o_orderdate admits NULLs
     return f"""
-        WITH m AS (
+        WITH m0 AS (
             SELECT o_orderkey, o_custkey,
                    list(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                       OVER w AS ys
+                       OVER w AS ys0
             FROM orders
             WINDOW w AS (
-                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate NULLS FIRST, o_orderkey
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
             )
+        ),
+        m AS (
+            SELECT o_orderkey, o_custkey,
+                   list_filter(ys0, y -> y IS NOT NULL) AS ys
+            FROM m0
         )
         SELECT o_orderkey, o_custkey,
                CAST(len(ys) AS INTEGER) AS n_win,
@@ -633,7 +663,7 @@ ORACLE = {
                        AS tot,
                    CAST(SUM(cents) OVER (
                        PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
+                       ORDER BY o_orderdate NULLS FIRST, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS cum
             FROM o
@@ -656,17 +686,26 @@ ORACLE = {
         FROM events
     """,
     "win_rolling_slope": _rolling_slope_oracle(),
+    # median basis is the frame's NON-NULL totals (list() keeps NULLs,
+    # Spark's collect_list drops them); NULLS FIRST pins frame membership
     "win_median_sliding": """
-        SELECT o_orderkey, o_custkey,
-               CAST(count(*) OVER w AS INTEGER) AS n_win,
-               list_sort(list(o_totalprice) OVER w)[
-                   CAST((count(*) OVER w + 1) // 2 AS INTEGER)
-               ] AS sliding_median
-        FROM orders
-        WINDOW w AS (
-            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+        WITH m AS (
+            SELECT o_orderkey, o_custkey,
+                   list_sort(list_filter(list(o_totalprice) OVER w,
+                                         y -> y IS NOT NULL)) AS lst
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate NULLS FIRST, o_orderkey
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+            )
         )
+        SELECT o_orderkey, o_custkey,
+               CAST(len(lst) AS INTEGER) AS n_win,
+               CASE WHEN len(lst) > 0
+                    THEN lst[CAST((len(lst) + 1) // 2 AS INTEGER)]
+               END AS sliding_median
+        FROM m
     """,
     "win_ewma": _ewma_oracle(),
     "win_streaks": """

@@ -119,10 +119,19 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 
+    # a NULL payload decodes to NULL metrics (not a crash, not a dropped
+    # row) — the same row the SQL fold yields on NULL text; dtype=object
+    # keeps the Nones intact through the Arrow conversion (nulls
+    # degenerate corpus, round 6)
+    _null_decode = {k: None for k in ("n_bytes", "checksum", "width", "height", "ok")}
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(decoded)
+            decoded = [
+                _fake_decode(bytes(p)) if p is not None else dict(_null_decode)
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(decoded, dtype="object")
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
@@ -154,13 +163,20 @@ def mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     patterns = [(name, re.compile(rx)) for name, rx in _FEATURE_CLASSES]
 
+    # NULL payload => NULL feature vector (same as the SQL regexp fold on
+    # NULL text); dtype=object preserves the Nones through Arrow
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = [bytes(p).decode("utf-8") for p in pdf["payload"]]
+            texts = [
+                bytes(p).decode("utf-8") if p is not None else None
+                for p in pdf["payload"]
+            ]
             out = {"doc_id": pdf["doc_id"].values}
             for name, rx in patterns:
-                out[name] = [len(rx.findall(t)) for t in texts]
-            yield pd.DataFrame(out)
+                out[name] = [
+                    len(rx.findall(t)) if t is not None else None for t in texts
+                ]
+            yield pd.DataFrame(out, dtype="object")
 
     schema = "doc_id long, " + ", ".join(f"{n} long" for n, _ in _FEATURE_CLASSES)
     return d.mapInPandas(featurize, schema=schema)
@@ -182,15 +198,22 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 
+    # NULL payload: nothing to resize — NULL orig/checksum; the target
+    # size stays the constant the contract promises (oracle: literal 256)
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((int(doc_id), None, _RESIZE_BYTES, None))
+                    continue
                 b = bytes(p)
                 resized = b[:_RESIZE_BYTES].ljust(_RESIZE_BYTES, b"\0")
                 rows.append((int(doc_id), len(b), len(resized), sum(resized)))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "orig_bytes", "resized_bytes", "byte_sum"]
+                rows,
+                columns=["doc_id", "orig_bytes", "resized_bytes", "byte_sum"],
+                dtype="object",
             )
 
     return d.mapInPandas(
@@ -522,10 +545,11 @@ ORACLE = {
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
                CAST(256 AS INT) AS resized_bytes,
-               CAST(coalesce(list_aggregate(
-                   list_transform(generate_series(1, least(256, length(text))),
-                                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
-                   'sum'), 0) AS BIGINT) AS byte_sum
+               CAST(CASE WHEN text IS NULL THEN NULL
+                    ELSE coalesce(list_aggregate(
+                        list_transform(generate_series(1, least(256, length(text))),
+                                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+                        'sum'), 0) END AS BIGINT) AS byte_sum
         FROM documents
     """,
     "mm_feature_stub": """

@@ -859,7 +859,15 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("embedding")
+    # moment basis = the NON-NULL vectors (a NULL embedding has no
+    # coordinates to contribute; np.stack over a ragged batch crashed on
+    # the nulls degenerate corpus, round 6) — the oracle carries the
+    # same WHERE
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
     d = 64
 
     schema = (
@@ -1326,7 +1334,7 @@ ORACLE = {
                true AS components_orthonormal,
                true AS eigs_nonincreasing,
                true AS proj_var_le_total
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     """,
     "embed_quantize": """
         WITH base AS (

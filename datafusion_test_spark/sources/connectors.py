@@ -242,7 +242,17 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_files += 1
         names = md.schema.names
         iz = names.index("zval")
-        sz = [md.row_group(g).column(iz).statistics for g in range(md.num_row_groups)]
+        # all-NULL row groups (NULL o_orderdate => NULL zval) carry a
+        # statistics object without min/max — they prune every z-range
+        # probe, so they impose no disjointness constraint
+        sz = [
+            st
+            for g in range(md.num_row_groups)
+            if (st := md.row_group(g).column(iz).statistics) is not None
+            and st.has_min_max
+        ]
+        if not sz:
+            continue
         zranges.append((min(s.min for s in sz), max(s.max for s in sz)))
     # every file owns a contiguous z interval; the layout invariant the
     # pruner consumes is that those intervals are pairwise DISJOINT (a z
@@ -491,11 +501,15 @@ def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         md = pq.ParquetFile(os.path.join(out, f)).metadata
         idx = md.schema.names.index("n_chars")
         # schema-only files (an empty source partition at scale) carry no
-        # row groups / no stats — skip them, they prune trivially
+        # row groups / no stats — skip them, they prune trivially.  An
+        # ALL-NULL row group writes a statistics object WITHOUT min/max
+        # (null_count only) — same treatment: a zone with no values
+        # prunes every value predicate (nulls degenerate corpus, round 6)
         stats = [
             st
             for rg in range(md.num_row_groups)
             if (st := md.row_group(rg).column(idx).statistics) is not None
+            and st.has_min_max
         ]
         if stats:
             ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
@@ -564,7 +578,9 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (
         table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 13 == 0)
+        # a NULL text has no payload to materialize — no blob, no file
+        # (the oracle carries the same predicate)
+        .filter((F.col("doc_id") % 13 == 0) & F.col("text").isNotNull())
         .select("doc_id", "text")
         .foreachPartition(_write_blobs)
     )
@@ -746,7 +762,7 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_meta,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_content,
                text AS payload
-        FROM documents WHERE doc_id % 13 = 0
+        FROM documents WHERE doc_id % 13 = 0 AND text IS NOT NULL
     """,
     "layout_zorder": f"""
         WITH base AS (
