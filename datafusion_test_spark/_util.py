@@ -206,7 +206,17 @@ def safe_corr(x, y) -> Column:
     statistic over the same central-moment buffers, with the division
     made NULL-safe; any last-ulp ordering difference is absorbed by the
     repo's round-to-4 output convention.
+
+    All three moments are computed over the PAIRWISE-complete rows (both
+    inputs non-NULL) — covar_samp skips a pair when either side is NULL,
+    but a bare stddev_samp(x) would still include rows where only y is
+    NULL, which is not Pearson correlation (caught by the nulls
+    degenerate corpus, round 6: sd over a superset of covar's rows).
     """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    pair = xc.isNotNull() & yc.isNotNull()
+    xp, yp = F.when(pair, xc), F.when(pair, yc)
     return F.try_divide(
-        F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+        F.covar_samp(xp, yp), F.stddev_samp(xp) * F.stddev_samp(yp)
     )

@@ -197,14 +197,26 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic struct-max twin ``-(max({p, nk: -key}).nk)``.
     """
     o = table(spark, sf_dir, "orders")
+    # a NULL price is not an extremum candidate: the ordering struct is
+    # NULLed for those rows, and max_by/min_by (like arg_max/arg_min)
+    # ignore NULL ordering values — struct(NULL, k) would otherwise be a
+    # comparable non-NULL struct whose rank differs between engines
+    # (nulls degenerate corpus, round 6)
+    p = F.col("o_totalprice")
     return o.groupBy("o_custkey").agg(
         F.max_by(
             "o_orderkey",
-            F.struct(F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")),
+            F.when(
+                p.isNotNull(),
+                F.struct(p.alias("p"), (-F.col("o_orderkey")).alias("nk")),
+            ),
         ).alias("biggest_order"),
         F.min_by(
             "o_orderkey",
-            F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")),
+            F.when(
+                p.isNotNull(),
+                F.struct(p.alias("p"), F.col("o_orderkey").alias("k")),
+            ),
         ).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
@@ -685,10 +697,17 @@ def agg_weighted_median(
     """
     from .._util import two_phase_prefix
 
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("v"),
-        F.col("l_quantity").cast("long").alias("w"),
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        # a NULL price is not a candidate value and a NULL quantity
+        # carries no weight — the median basis is the fully-observed
+        # (v, w) rows on both engines (nulls degenerate corpus, round 6)
+        .filter(F.col("v").isNotNull() & F.col("w").isNotNull())
     )
     gp = li.groupBy("flag", "v").agg(
         F.sum("w").alias("w"), F.count(F.lit(1)).alias("c")
@@ -781,6 +800,10 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
         ).alias("cents")
     )
+    # a customer whose every price is NULL has NO observed spend — no
+    # point on the Lorenz curve (NULL cents would rank engine-dependently
+    # and NULL-poison r·x; nulls degenerate corpus, round 6)
+    per = per.filter(F.col("cents").isNotNull())
     par = max(4, spark.sparkContext.defaultParallelism // 4)
     ranked, _ = two_phase_prefix(
         per, par, ["cents", "o_custkey"], rank_as="r"
@@ -883,6 +906,9 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
         ).alias("cents")
     )
+    # unobserved customers (all prices NULL) are outside the curve —
+    # same exclusion as agg_gini (nulls degenerate corpus, round 6)
+    per = per.filter(F.col("cents").isNotNull())
     # descending spend order == ascending (-cents, custkey)
     per = per.withColumn("neg", -F.col("cents"))
     par = max(4, spark.sparkContext.defaultParallelism // 4)
@@ -1441,6 +1467,7 @@ ORACLE = {
                    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS cents
             FROM orders GROUP BY o_custkey
+            HAVING cents IS NOT NULL
         ),
         ranked AS (
             SELECT cents,
@@ -1492,6 +1519,7 @@ ORACLE = {
                    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS cents
             FROM orders GROUP BY o_custkey
+            HAVING cents IS NOT NULL
         ),
         ranked AS (
             SELECT cents,
@@ -1543,7 +1571,9 @@ ORACLE = {
             SELECT l_returnflag AS flag, l_extendedprice AS v,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w,
                    CAST(count(*) AS BIGINT) AS c
-            FROM lineitem GROUP BY flag, v
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            GROUP BY flag, v
         ),
         cu AS (
             SELECT flag, v, w,
@@ -1575,7 +1605,7 @@ ORACLE = {
                round(-SUM((c.c / CAST(t.tot AS DOUBLE))
                           * ln(c.c / CAST(t.tot AS DOUBLE))), 4)
                    AS lang_entropy
-        FROM c JOIN t ON c.source = t.source
+        FROM c JOIN t ON c.source IS NOT DISTINCT FROM t.source
         GROUP BY c.source
     """,
     "agg_skew_diagnose": """
@@ -1733,9 +1763,11 @@ ORACLE = {
     """,
     "agg_minmax_by": """
         SELECT o_custkey,
-               CAST(-((max({'p': o_totalprice, 'nk': -o_orderkey})).nk)
+               CAST(-((max(CASE WHEN o_totalprice IS NOT NULL
+                           THEN {'p': o_totalprice, 'nk': -o_orderkey} END)).nk)
                     AS BIGINT) AS biggest_order,
-               CAST((min({'p': o_totalprice, 'k': o_orderkey})).k
+               CAST((min(CASE WHEN o_totalprice IS NOT NULL
+                         THEN {'p': o_totalprice, 'k': o_orderkey} END)).k
                     AS BIGINT) AS smallest_order,
                MAX(o_totalprice) AS max_price
         FROM orders GROUP BY o_custkey

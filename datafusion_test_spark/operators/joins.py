@@ -172,9 +172,22 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_click", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the carry must be ROW-level: a struct that is NULL only on click
+    # rows.  Carrying p_ts / p_value through separate ignorenulls lasts
+    # conflates "row is a click" with "matched purchase whose value IS
+    # NULL" — the latter would skip back to an older purchase's value
+    # (caught by the nulls degenerate corpus, round 6)
+    tagged = tagged.withColumn(
+        "p",
+        F.when(
+            F.col("is_click") == 0,
+            F.struct(F.col("p_ts").alias("ts"), F.col("p_value").alias("value")),
+        ),
+    )
+    asof = F.last("p", ignorenulls=True).over(w)
     return (
-        tagged.withColumn("asof_ts", F.last("p_ts", ignorenulls=True).over(w))
-        .withColumn("asof_value", F.last("p_value", ignorenulls=True).over(w))
+        tagged.withColumn("asof_ts", asof["ts"])
+        .withColumn("asof_value", asof["value"])
         .filter(F.col("is_click") == 1)
         .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
     )
@@ -248,9 +261,19 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", F.desc("is_click"), "event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    # row-level struct carry, same reason as join_asof: a NULL purchase
+    # value must ride the match, not fall through to a later purchase
+    tagged = tagged.withColumn(
+        "p",
+        F.when(
+            F.col("is_click") == 0,
+            F.struct(F.col("p_ts").alias("ts"), F.col("p_value").alias("value")),
+        ),
+    )
+    nxt = F.first("p", ignorenulls=True).over(w)
     return (
-        tagged.withColumn("next_ts", F.first("p_ts", ignorenulls=True).over(w))
-        .withColumn("next_value", F.first("p_value", ignorenulls=True).over(w))
+        tagged.withColumn("next_ts", nxt["ts"])
+        .withColumn("next_value", nxt["value"])
         .filter(F.col("is_click") == 1)
         .select("event_id", "user_id", "ts", "next_ts", "next_value")
     )
@@ -273,9 +296,19 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_click", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # row-level struct carry (join_asof's discipline): a NULL purchase
+    # value must ride its own match, not expose an older value
+    tagged = tagged.withColumn(
+        "p",
+        F.when(
+            F.col("is_click") == 0,
+            F.struct(F.col("p_ts").alias("ts"), F.col("p_value").alias("value")),
+        ),
+    )
+    asof = F.last("p", ignorenulls=True).over(w)
     carried = (
-        tagged.withColumn("asof_ts", F.last("p_ts", ignorenulls=True).over(w))
-        .withColumn("asof_value", F.last("p_value", ignorenulls=True).over(w))
+        tagged.withColumn("asof_ts", asof["ts"])
+        .withColumn("asof_value", asof["value"])
         .filter(F.col("is_click") == 1)
     )
     fresh = F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
@@ -471,11 +504,21 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    # row-level struct carries (join_asof's discipline)
+    tagged = tagged.withColumn(
+        "p",
+        F.when(
+            F.col("is_click") == 0,
+            F.struct(F.col("p_ts").alias("ts"), F.col("p_value").alias("value")),
+        ),
+    )
+    back = F.last("p", ignorenulls=True).over(w_back)
+    fwd = F.first("p", ignorenulls=True).over(w_fwd)
     carried = (
-        tagged.withColumn("b_ts", F.last("p_ts", ignorenulls=True).over(w_back))
-        .withColumn("b_val", F.last("p_value", ignorenulls=True).over(w_back))
-        .withColumn("f_ts", F.first("p_ts", ignorenulls=True).over(w_fwd))
-        .withColumn("f_val", F.first("p_value", ignorenulls=True).over(w_fwd))
+        tagged.withColumn("b_ts", back["ts"])
+        .withColumn("b_val", back["value"])
+        .withColumn("f_ts", fwd["ts"])
+        .withColumn("f_val", fwd["value"])
         .filter(F.col("is_click") == 1)
     )
     gap_b = F.unix_micros("ts") - F.unix_micros("b_ts")
@@ -760,25 +803,30 @@ ORACLE = {
                    CAST(NULL AS DOUBLE) AS p_value
             FROM events WHERE event_type = 'click'
         ),
-        carried AS (
+        -- ROW-level struct carry (NULL only on click rows): separate
+        -- per-column IGNORE NULLS carries would skip a matched
+        -- purchase's genuinely-NULL value back to an older purchase
+        carried0 AS (
             SELECT *,
-                   last_value(p_ts IGNORE NULLS) OVER (
+                   last_value(CASE WHEN is_click = 0
+                              THEN {'ts': p_ts, 'value': p_value} END
+                              IGNORE NULLS) OVER (
                        PARTITION BY user_id ORDER BY ts, is_click, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS b_ts,
-                   last_value(p_value IGNORE NULLS) OVER (
-                       PARTITION BY user_id ORDER BY ts, is_click, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS b_val,
-                   first_value(p_ts IGNORE NULLS) OVER (
+                   ) AS b,
+                   first_value(CASE WHEN is_click = 0
+                               THEN {'ts': p_ts, 'value': p_value} END
+                               IGNORE NULLS) OVER (
                        PARTITION BY user_id ORDER BY ts, is_click, event_id
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
-                   ) AS f_ts,
-                   first_value(p_value IGNORE NULLS) OVER (
-                       PARTITION BY user_id ORDER BY ts, is_click, event_id
-                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
-                   ) AS f_val
+                   ) AS f
             FROM u
+        ),
+        carried AS (
+            SELECT * EXCLUDE (b, f),
+                   b.ts AS b_ts, b.value AS b_val,
+                   f.ts AS f_ts, f.value AS f_val
+            FROM carried0
         )
         SELECT event_id, user_id, ts,
                CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL

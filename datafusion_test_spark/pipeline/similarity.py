@@ -1274,6 +1274,7 @@ ORACLE = {
                ) AS DOUBLE) / 10000 AS centroid_val,
                count(*) AS n_vecs
         FROM embeddings, (SELECT unnest(range(1, 65)) AS g)
+        WHERE embedding IS NOT NULL
         GROUP BY label, pos
     """,
     "embed_pq": """
