@@ -164,11 +164,19 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         # slice() demonstrated, then quantized (×10⁴ → int) and joined to a
         # string: array cells crash the driver's canonicalizer, and raw
         # float→string rendering differs across engines (1.0E-4 vs 0.0001).
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.slice("embedding", 1, 4),
-                lambda x: F.round(x.cast("double") * 10000, 0).cast("long").cast("string"),
+        # concat_ws IGNORES a NULL array argument (returns '') — gate it
+        # so a NULL embedding yields NULL like every other column here
+        # (nulls degenerate corpus, round 6)
+        F.when(
+            F.col("embedding").isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("embedding", 1, 4),
+                    lambda x: F.round(x.cast("double") * 10000, 0)
+                    .cast("long")
+                    .cast("string"),
+                ),
             ),
         ).alias("head4"),
         F.aggregate(
@@ -520,7 +528,9 @@ ORACLE = {
             FROM documents
         )
         SELECT doc_id,
-               unnest(CASE WHEN len(lw) = 0
+               -- NULL lw (NULL text) keeps its parent row too: explode_outer
+               -- preserves parents for BOTH empty and NULL lists
+               unnest(CASE WHEN lw IS NULL OR len(lw) = 0
                            THEN [CAST(NULL AS VARCHAR)] ELSE lw END) AS word
         FROM d
     """,

@@ -145,12 +145,22 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).alias(
-            "day"
-        ),
+    # the frontier is defined over fully-observed (date, price) orders: a
+    # NULL date has no position on the time axis (Spark would bucket it
+    # BEFORE day 0, SQL after all days) and a NULL price can dominate
+    # nothing (nulls degenerate corpus, round 6)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+            ).alias("day"),
+        )
     )
     day_min = o.groupBy("day").agg(F.min("o_totalprice").alias("day_min"))
     wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
@@ -273,7 +283,15 @@ def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .._util import two_phase_prefix
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # a NULL feature value has no rank on the value axis — the binning
+    # basis is the observed values (NULLs otherwise land in an
+    # engine-dependent end bucket: Spark range-partitions them first,
+    # SQL row_number orders them last; nulls degenerate corpus, round 6)
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     par = max(4, spark.sparkContext.defaultParallelism // 4)
     # the open-coded two-phase rank is now the shared helper (it carries
     # the eval_auc range-boundary fix); tot_rows comes from the same
@@ -2238,7 +2256,7 @@ ORACLE = {
                    row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
                        AS rk,
                    count(*) OVER () AS n_total
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         )
         SELECT CAST((rk * {_N_BUCKETS}) // n_total AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n,
@@ -2271,6 +2289,7 @@ ORACLE = {
                    CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
                         AS INTEGER) AS day
             FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
         ),
         m AS (
             SELECT o_orderkey, day, o_totalprice,

@@ -235,7 +235,12 @@ def sub_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     s = table(spark, sf_dir, "supplier")
     ext = s.agg(
-        F.max("s_acctbal").alias("mx"), F.min("s_acctbal").alias("mn")
+        F.max("s_acctbal").alias("mx"),
+        F.min("s_acctbal").alias("mn"),
+        # non-null subquery cardinality: = ANY over a NON-empty set with
+        # a NULL probe is UNKNOWN, not FALSE (three-valued logic; the
+        # bare existence-join flag lost this — nulls corpus, round 6)
+        F.count("s_acctbal").alias("nv"),
     )
     vals = s.select(F.col("s_acctbal").alias("v")).distinct()
     j = (
@@ -250,7 +255,10 @@ def sub_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") >= F.col("mx")).alias("ge_all"),
         (F.col("c_acctbal") > F.col("mn")).alias("gt_any"),
         (F.col("c_acctbal") < F.col("mn")).alias("lt_all"),
-        F.col("v").isNotNull().alias("eq_any"),
+        F.when(F.col("v").isNotNull(), F.lit(True))
+        .when(F.col("c_acctbal").isNull() & (F.col("nv") > 0), F.lit(None))
+        .otherwise(F.lit(False))
+        .alias("eq_any"),
     )
 
 

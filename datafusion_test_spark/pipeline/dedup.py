@@ -538,6 +538,12 @@ def embed_lsh_pairs(
 
     if bits is None:
         bits = lsh_bits(vecs.count())
+    # a NULL embedding has no hyperplane signature (rh_signature folds to
+    # a NULL bucket that equals nothing) — it cannot participate in
+    # similarity, so drop it BEFORE bucketing; its ids then fall out of
+    # the `alive` set and planted pairs over it are counted as
+    # suppressed-by-construction (nulls degenerate corpus, round 6)
+    vecs = vecs.filter(F.col("embedding").isNotNull())
     # dim passed explicitly: rh_signature zip_withs against sequence(0,dim-1),
     # and a mismatch would null-pad the fold, collapsing every vector into
     # bucket 0 (one quadratic bucket) with no error pointing at the cause.
@@ -1189,8 +1195,13 @@ def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", "lang", "source"
     )
     m = members.join(d, "doc_id")
-    votes = m.groupBy("cluster_id", "lang").agg(
-        F.count(F.lit(1)).alias("nv")
+    # a NULL lang is not a ballot — majority vote over OBSERVED langs
+    # only; an all-unknown cluster keeps modal_lang NULL via the left
+    # join below (nulls degenerate corpus, round 6)
+    votes = (
+        m.filter(F.col("lang").isNotNull())
+        .groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("nv"))
     )
     wv = Window.partitionBy("cluster_id").orderBy(
         F.desc("nv"), F.asc("lang")
@@ -1205,7 +1216,7 @@ def er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("source").alias("src_pick"),
     )
-    return g.join(modal, "cluster_id").select(
+    return g.join(modal, "cluster_id", "left").select(
         "cluster_id",
         F.col("n_members").cast("long").alias("n_members"),
         F.col("first_seen").cast("long").alias("first_seen"),
@@ -1525,17 +1536,23 @@ ORACLE = {
                TRUE AS found_all_planted
         FROM low
     """,
+    # a planted copy of a NULL-text doc yields no tokens, hence no
+    # signature — undetectable by construction, counted as suppressed
+    # (the dedup_minhash oracle's detectability-precondition discipline)
     "dedup_simhash": """
-        WITH low AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
+        WITH low AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
-               CAST(0 AS BIGINT) AS n_cap_suppressed,
+               CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT)
+                   AS n_cap_suppressed,
                TRUE AS found_all_planted
         FROM low
     """,
     "dedup_embed_lsh": """
-        WITH low AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50)
+        WITH low AS (SELECT vec_id, embedding FROM embeddings
+                     ORDER BY vec_id LIMIT 50)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
-               CAST(0 AS BIGINT) AS n_cap_suppressed,
+               CAST(COUNT(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
+                   AS n_cap_suppressed,
                TRUE AS found_all_planted
         FROM low
     """,
@@ -1612,7 +1629,8 @@ ORACLE = {
         modal AS (
             SELECT cluster_id, lang AS modal_lang
             FROM (SELECT cluster_id, lang, count(*) AS nv
-                  FROM m GROUP BY cluster_id, lang)
+                  FROM m WHERE lang IS NOT NULL
+                  GROUP BY cluster_id, lang)
             QUALIFY row_number() OVER (
                 PARTITION BY cluster_id ORDER BY nv DESC, lang ASC
             ) = 1
@@ -1628,7 +1646,7 @@ ORACLE = {
                    min(doc_id) AS first_seen, max(n_chars) AS max_chars,
                    SUM(n_chars) AS total_chars, min(source) AS src_pick
             FROM m GROUP BY cluster_id
-        ) g JOIN modal mo USING (cluster_id)
+        ) g LEFT JOIN modal mo USING (cluster_id)
     """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_resolve": """
         WITH RECURSIVE {_JACCARD_CTES},

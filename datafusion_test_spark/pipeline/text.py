@@ -946,8 +946,12 @@ ORACLE = {
         SELECT doc_id,
                CAST(len(ws) AS BIGINT) AS n_tokens,
                CAST(len(hits) AS BIGINT) AS n_hits,
-               COALESCE(array_to_string(list_sort(list_distinct(hits)),
-                                        ' '), '') AS hit_terms,
+               -- NULL text (ws NULL) has no audit list — NULL, matching
+               -- Spark's array_join(NULL); the COALESCE keeps the empty
+               -- list rendering '' (not NULL) for hit-free documents
+               CASE WHEN ws IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(list_sort(list_distinct(hits)),
+                                                  ' '), '') END AS hit_terms,
                (1000 * len(hits) >= {_BLOCK_PCT} * len(ws)) AS flagged
         FROM d
     """,
@@ -1250,12 +1254,15 @@ ORACLE = {
     """,
     "text_fingerprint": """
         SELECT doc_id,
+               -- NULL text has no fingerprint (Spark's fold over a NULL
+               -- array is NULL; list_prepend(0, NULL) here folds to 0)
+               CASE WHEN text IS NULL THEN NULL ELSE
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform(generate_series(1, length(text)),
                                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 1000000007
-               ) AS fingerprint
+               ) END AS fingerprint
         FROM documents
     """,
     "text_topterms": """

@@ -69,11 +69,16 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     old.write.mode("overwrite").parquet(os.path.join(out, "batch=0"))
     new.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
     rt = spark.read.option("mergeSchema", True).parquet(out)
+    # old-schema membership comes from the batch PARTITION column, not
+    # from "n_chars IS NULL": once the source data itself admits NULL
+    # n_chars, a new-batch null is indistinguishable from an absent
+    # column by value alone (nulls degenerate corpus, round 6) — which
+    # is exactly why real lakes track schema per file/partition
     return rt.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("n_chars").alias("n_with_chars"),
         F.sum("n_chars").alias("chars_sum"),
-        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("batch") == 0, 1).otherwise(0)).alias(
             "n_old_schema"
         ),
     )
@@ -96,14 +101,13 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(N) driver materialization in the package, r5 collect audit): each
     # row renders its JSON line as a column; injected rows append the
     # malformed line via explode, and the lines land with write.text
-    good = F.concat(
-        F.lit('{"doc_id": '),
-        F.col("doc_id").cast("string"),
-        F.lit(', "lang": "'),
-        F.col("lang"),
-        F.lit('", "n_chars": '),
-        F.col("n_chars").cast("string"),
-        F.lit("}"),
+    # to_json with ignoreNullFields=false renders NULL attributes as
+    # JSON null instead of dropping the line: the previous hand-built
+    # concat() returned NULL for any NULL field, silently vanishing ~40%
+    # of rows from the fixture (nulls degenerate corpus, round 6)
+    good = F.to_json(
+        F.struct("doc_id", "lang", "n_chars"),
+        {"ignoreNullFields": "false"},
     )
     lines = d.select(
         F.explode(

@@ -429,8 +429,11 @@ def rank_windowed_counts(counts: DataFrame) -> DataFrame:
     Rank windows are not streaming-supported, so in a live pipeline this
     runs over the maintained aggregate inside foreachBatch — the test
     proves streamed-counts + this rank == the batch operator."""
+    # nulls-last: the unlabeled-type bucket never beats a named type on a
+    # count tie (and Spark's ASC default nulls-first would diverge from
+    # the SQL default; nulls degenerate corpus, round 6)
     w = Window.partitionBy("window_start").orderBy(
-        F.desc("n_events"), F.asc("event_type")
+        F.desc("n_events"), F.asc_nulls_last("event_type")
     )
     return (
         counts.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -494,7 +497,7 @@ ORACLE = {
         SELECT window_start,
                CAST(row_number() OVER (
                    PARTITION BY window_start
-                   ORDER BY n_events DESC, event_type ASC
+                   ORDER BY n_events DESC, event_type ASC NULLS LAST
                ) AS INTEGER) AS rk,
                event_type, n_events
         FROM counts
