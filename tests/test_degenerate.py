@@ -109,3 +109,53 @@ def test_minmax_by_tie_break_deterministic(spark, corpora):
     assert len(rows) == 1
     assert rows[0]["biggest_order"] == 0
     assert rows[0]["smallest_order"] == 0
+
+
+# entries that CRASHED (not merely hash-diverged) on the nulls corpus
+# before the round-6 fixes: Python UDFs doing arithmetic/str ops on None,
+# np.stack over ragged batches, element_at past a null-shortened list,
+# parquet footer stats without min/max on all-NULL row groups, ANSI 0/0
+# when every EWMA lag is NULL, and a JSON fixture whose NULL-field lines
+# rendered to NULL and vanished
+NULLS_CRASHERS = [
+    "udf_python",
+    "udf_arrow",
+    "udaf_grouped",
+    "udtf_python_api",
+    "embed_pca",
+    "win_median_sliding",
+    "win_ewma",
+    "layout_zonemap",
+    "layout_zorder",
+    "mm_decode_stub",
+    "mm_feature_stub",
+    "mm_resize_stub",
+    "scan_binary_files",
+    "scan_json_corrupt",
+]
+
+
+@pytest.mark.parametrize("name", NULLS_CRASHERS)
+def test_no_crash_on_nulls(spark, corpora, name):
+    # execute-to-completion pin; cross-engine parity over all 334 entries
+    # is the check_oracles nulls sweep at round close
+    queries = registry_queries()
+    queries[name](spark, f"{corpora}/nulls").collect()
+
+
+# the canonical hot-key state: one value owns ~90% of every FK column.
+# These entries' invariants were distribution-DEPENDENT before round 6
+# (layout_zorder's per-file area bound) or involve per-key group sizes
+# the skew reshapes hardest
+SKEW_SENSITIVE = [
+    "layout_zorder",      # area bound -> z-range disjointness invariant
+    "agg_skew_diagnose",  # the hot-key fingerprint itself
+    "join_skew_salted",   # the salting path under real skew
+    "dedup_clusters",     # giant duplicate groups from repointed keys
+]
+
+
+@pytest.mark.parametrize("name", SKEW_SENSITIVE)
+def test_no_crash_on_skew(spark, corpora, name):
+    queries = registry_queries()
+    queries[name](spark, f"{corpora}/skew").collect()
