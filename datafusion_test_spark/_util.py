@@ -174,6 +174,30 @@ def two_phase_prefix(
     return out.drop("_pid"), totals
 
 
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col) -> Column:
+    """Case normalization that is PORTABLE across engines — A-Z only.
+
+    Full Unicode casing is implementation-defined and the engines
+    genuinely disagree (measured on this box, round 7's unicode corpus):
+    JVM ``lower('İ')`` = ``'i̇'`` (i + combining dot) vs utf8proc ``'i'``;
+    JVM ``upper('ß')`` = ``'SS'`` vs utf8proc ``'ẞ'``; JVM lowercases a
+    word-final ``Σ`` to ``ς`` (context rule) where utf8proc maps every
+    ``Σ`` to ``σ``.  Any hash contract (dedup keys, token normalization,
+    URL hosts — DNS case-insensitivity is ASCII-only by spec anyway) that
+    case-folds beyond ASCII is therefore engine-lottery; pin it to the
+    26-letter translate both sides via :func:`sql_ascii_lower`."""
+    return F.translate(col, _ASCII_UP, _ASCII_LO)
+
+
+def sql_ascii_lower(expr: str) -> str:
+    """Oracle-side twin of :func:`ascii_lower`."""
+    return f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
+
 def half_up(col: Column, digits: int = 4) -> Column:
     """Explicit HALF-UP rounding — engine-stable where round() is not:
     Spark rounds half-ties up, DuckDB half-even, and derived means /

@@ -17,17 +17,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .._util import ascii_lower
 from ..io import table
 
 
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """substr/upper/lower/length/trim/concat/replace/lpad."""
+    """substr/upper/lower/length/trim/concat/replace/lpad.
+
+    name_lo uses the portable ASCII case mapping (see _util.ascii_lower):
+    full-Unicode lower() is implementation-defined and the engines
+    disagree on İ / ß / final Σ, so a hash contract must pin A-Z.
+    seg_up keeps the real F.upper — c_mktsegment is a TPC-H ASCII enum.
+    """
     c = table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.substring("c_name", 1, 8).alias("name8"),
         F.upper("c_mktsegment").alias("seg_up"),
-        F.lower("c_name").alias("name_lo"),
+        ascii_lower("c_name").alias("name_lo"),
         F.length("c_name").alias("name_len"),
         F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
         F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
@@ -248,11 +255,27 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregated per host.  The oracle re-derives every component with
     anchored regexes — for well-formed URLs the two definitions agree
     exactly, so the hash proves parse_url's component extraction.
+
+    Robustness (unicode corpus, round 7): hostnames are ASCII by spec —
+    real DNS labels carry Unicode only as punycode — so the synthesized
+    host token sanitizes `source` to [A-Za-z0-9-] (identical regex both
+    engines); and the parse itself is try_parse_url, so a junk URL in a
+    100 TB crawl yields NULL components instead of killing the job (ANSI
+    parse_url RAISES on an invalid URL — measured here).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    # valid DNS label: [A-Za-z0-9-] only, must START and END alphanumeric
+    # (java.net.URI returns a null host for a label with edge dashes —
+    # measured), so trim edge dashes and anchor with a literal 'h'
+    host_label = F.concat(
+        F.lit("h"),
+        F.regexp_replace(
+            F.regexp_replace("source", "[^A-Za-z0-9-]", "-"), "^-+|-+$", ""
+        ),
+    )
     url = F.concat(
         F.lit("https://"),
-        F.col("source"),
+        host_label,
         F.lit(".example.com/"),
         F.col("lang"),
         F.lit("/doc/"),
@@ -265,10 +288,10 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = u.select(
         "doc_id",
         "url",
-        F.parse_url("url", F.lit("HOST")).alias("host"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
-        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.try_parse_url("url", F.lit("HOST")).alias("host"),
+        F.try_parse_url("url", F.lit("PATH")).alias("path"),
+        F.try_parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.try_parse_url("url", F.lit("PROTOCOL")).alias("proto"),
     )
     return parsed.groupBy("host", "proto").agg(
         F.count(F.lit(1)).alias("n_urls"),
@@ -286,8 +309,19 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources).  A mixed-case copy of `source` (upper for even doc_ids) is
     grouped under binary and under case-insensitive collation; the oracle
     reproduces the semantics with lower().
+
+    Scope: ASCII-printable sources only (identical regex filter both
+    engines).  Beyond ASCII, UTF8_LCASE (ICU case folding: ß→ss, İ→i̇)
+    and the oracle's lower() (utf8proc simple mapping) intentionally
+    differ — at 100 TB you pick the collation and the ENGINE owns its
+    semantics; a cross-engine oracle can only replicate the ASCII subset
+    (unicode corpus, round 7).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("source").rlike("^[ -~]*$"))
+    )
     # upper-case by id BLOCK (div 20), not parity: source correlates with
     # doc_id % 20, so a parity rule would never produce both casings of
     # the same source value
@@ -540,6 +574,7 @@ ORACLE = {
                    CASE WHEN (doc_id // 20) % 2 = 0 THEN upper(source)
                         ELSE source END AS src_mixed
             FROM documents
+            WHERE regexp_matches(source, '^[ -~]*$')
         ),
         per AS (
             SELECT lower(src_mixed) AS source_ci, count(*) AS n_docs,
@@ -558,7 +593,7 @@ ORACLE = {
         SELECT c_custkey,
                substr(c_name, 1, 8) AS name8,
                upper(c_mktsegment) AS seg_up,
-               lower(c_name) AS name_lo,
+               translate(c_name, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS name_lo,
                CAST(length(c_name) AS INT) AS name_len,
                trim('  ' || c_mktsegment || ' ') AS seg_trim,
                concat_ws('-', c_mktsegment, c_name) AS seg_name,
@@ -670,7 +705,10 @@ ORACLE = {
     "fn_url": """
         WITH u AS (
             SELECT doc_id,
-                   'https://' || source || '.example.com/' || lang || '/doc/'
+                   'https://' || 'h' ||
+                       regexp_replace(regexp_replace(source, '[^A-Za-z0-9-]', '-', 'g'),
+                                      '^-+|-+$', '', 'g')
+                       || '.example.com/' || lang || '/doc/'
                        || CAST(doc_id AS VARCHAR) || '?ref=r'
                        || CAST(doc_id % 7 AS VARCHAR) || '&v=2' AS url
             FROM documents

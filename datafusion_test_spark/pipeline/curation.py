@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._util import ascii_lower
 from ..io import table
 from ._expr import shingles_of_words, sql_shingles
 
@@ -221,10 +222,13 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("#sec"), (F.col("doc_id") % 4).cast("string"))).otherwise(F.lit("")),
     )
     u = d.select("doc_id", url.alias("url"))
+    # ascii_lower, not F.lower: DNS case-insensitivity is ASCII-only by
+    # spec (Unicode labels travel as punycode), and full-Unicode casing is
+    # engine-lottery (İ/ß/Σ — see _util.ascii_lower; unicode corpus, r7)
     norm = F.concat(
-        F.lower(F.regexp_extract("url", r"^([a-z]+)://", 1)),
+        ascii_lower(F.regexp_extract("url", r"^([a-z]+)://", 1)),
         F.lit("://"),
-        F.lower(F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)),
+        ascii_lower(F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)),
         F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1),
         F.lit("?id="),
         F.regexp_extract("url", r"[?&]id=([0-9]+)", 1),
@@ -599,8 +603,8 @@ ORACLE = {
         ),
         n AS (
             SELECT doc_id,
-                   lower(regexp_extract(url, '^([a-z]+)://', 1)) || '://'
-                   || lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+                   translate(regexp_extract(url, '^([a-z]+)://', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || '://'
+                   || translate(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
                    || regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
                    || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
                        AS norm_url

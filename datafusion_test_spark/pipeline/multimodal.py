@@ -517,40 +517,54 @@ ORACLE = {
                  CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1, 4)) AS t(i)
     """,
     # the fake decode is pure integer arithmetic over the payload bytes, so
-    # DuckDB reproduces checksum/width/height exactly.  NOTE: the oracle
-    # folds per CHARACTER (ascii(substr(...))) while _fake_decode folds per
-    # UTF-8 BYTE — identical only because the testdata text is pure ASCII
-    # (same assumption as mm_frame_sample's char-offset slicing; a non-ASCII
-    # corpus would need a byte-level oracle)
+    # DuckDB reproduces checksum/width/height exactly.  The oracle folds
+    # per UTF-8 BYTE, matching _fake_decode: bytes come from hex(encode())
+    # expanded nibble-by-nibble (strpos into the hex alphabet), so the
+    # contract survives non-ASCII text (round 7's unicode corpus broke the
+    # previous per-CHARACTER ascii(substr()) fold on multibyte input)
     "mm_decode_stub": """
         WITH c AS (
-            SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+            SELECT doc_id, hex(encode(text)) AS h,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_bytes,
                    list_reduce(
                        list_prepend(CAST(0 AS BIGINT),
-                           list_transform(generate_series(1, least(64, length(text))),
-                                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                           list_transform(generate_series(1, least(64, n_bytes)),
+                               i -> CAST(16*(strpos('0123456789ABCDEF', substr(h, 2*i-1, 1))-1)
+                                       +    (strpos('0123456789ABCDEF', substr(h, 2*i,   1))-1)
+                                    AS BIGINT))),
                        (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
-            FROM documents
+            FROM c
         )
         SELECT doc_id, n_bytes, checksum,
                CAST(16 + checksum % 240 AS INT) AS width,
                CAST(16 + (checksum // 240) % 240 AS INT) AS height,
                n_bytes > 0 AS ok
-        FROM c
+        FROM f
     """,
-    # byte-sum fold over the first 256 (ASCII) payload bytes; zero padding
-    # contributes nothing, so the resized checksum equals the truncated fold
+    # byte-sum fold over the first 256 payload BYTES (hex-expanded, same
+    # technique as mm_decode_stub); zero padding contributes nothing, so
+    # the resized checksum equals the truncated fold
     "mm_resize_stub": """
+        WITH c AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+               CAST(nb AS INT) AS orig_bytes,
                CAST(256 AS INT) AS resized_bytes,
-               CAST(CASE WHEN text IS NULL THEN NULL
+               CAST(CASE WHEN h IS NULL THEN NULL
                     ELSE coalesce(list_aggregate(
-                        list_transform(generate_series(1, least(256, length(text))),
-                                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+                        list_transform(generate_series(1, least(256, nb)),
+                            i -> CAST(16*(strpos('0123456789ABCDEF', substr(h, 2*i-1, 1))-1)
+                                    +    (strpos('0123456789ABCDEF', substr(h, 2*i,   1))-1)
+                                 AS BIGINT)),
                         'sum'), 0) END AS BIGINT) AS byte_sum
-        FROM documents
+        FROM c
     """,
     "mm_feature_stub": """
         SELECT doc_id,

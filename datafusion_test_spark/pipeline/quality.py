@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, half_up, sql_half_up as _sql_half_up
+from .._util import DEC, ascii_lower, half_up, sql_half_up as _sql_half_up
 from ..io import table
 
 # Quality thresholds, chosen to discriminate on the synthetic corpus
@@ -316,7 +316,7 @@ def lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     an integer cross-multiplication, no float ratio.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    w = d.select("doc_id", F.split(ascii_lower("text"), " ").alias("w"))
     bi = w.select(
         "doc_id",
         F.explode(
@@ -834,7 +834,7 @@ ORACLE = {
     """,
     "lm_quality_filter": f"""
         WITH wd AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
         ),
         bi AS (
             SELECT doc_id, w[k] AS w1, w[k+1] AS w2

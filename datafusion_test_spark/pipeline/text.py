@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import dsum, half_up, r4, sql_dsum
+from .._util import ascii_lower, dsum, half_up, r4, sql_dsum
 from ..io import table
 
 # BPE-ish word/number/punctuation tokenizer (shared by Spark and oracle).
@@ -99,7 +99,7 @@ def langid_exprs():
     text_langid AND pipeline_prep — the DuckDB twins (_HITS_SQL/_BEST_SQL/
     _PRED_SQL below) derive from the same _STOP lists, so an edit to the
     stopwords or the tiebreak rule lands in all four places at once."""
-    lw = F.split(F.lower(F.col("text")), " ")
+    lw = F.split(ascii_lower(F.col("text")), " ")
     hits = {
         lg: F.size(F.array_intersect(lw, F.array(*[F.lit(s) for s in stops])))
         for lg, stops in _STOP.items()
@@ -261,7 +261,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 most frequent terms per language (count desc, term asc)."""
     d = table(spark, sf_dir, "documents")
-    terms = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    terms = d.select("lang", F.explode(F.split(ascii_lower("text"), " ")).alias("term"))
     counts = terms.filter(F.col("term") != "").groupBy("lang", "term").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -325,7 +325,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        "doc_id", F.explode(F.split(ascii_lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_rel = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -371,7 +371,7 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free.
     """
     d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    w = d.select("doc_id", F.split(ascii_lower("text"), " ").alias("w"))
     bi = w.select(
         "doc_id",
         F.explode(
@@ -433,7 +433,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term and probes only the query terms' buckets.
     """
     d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    w = d.select("doc_id", F.split(ascii_lower("text"), " ").alias("w"))
     base = w.select("doc_id", F.size("w").cast("long").alias("dl"), "w")
     tok = base.select(
         "doc_id", "dl", F.explode("w").alias("term")
@@ -639,7 +639,7 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_doc in the new range).
     """
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+        "doc_id", F.split(ascii_lower(F.col("text")), " ").alias("ws")
     )
     tok = d.select("doc_id", F.explode("ws").alias("w"))
     new_per = (
@@ -699,7 +699,7 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the array-literal variant.
     """
     terms = F.array(*[F.lit(t) for t in _BLOCK_TERMS])
-    ws = F.split(F.lower(F.col("text")), " ")
+    ws = F.split(ascii_lower(F.col("text")), " ")
     hits = F.filter(ws, lambda x: F.array_contains(terms, x))
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -739,7 +739,7 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            F.posexplode(F.split(ascii_lower(F.col("text")), " ")).alias(
                 "pos", "w"
             ),
         )
@@ -820,7 +820,7 @@ QUERIES = {
 
 _STOP_SQL = {lg: "[" + ", ".join(f"'{s}'" for s in stops) + "]" for lg, stops in _STOP.items()}
 _HITS_SQL = ",\n               ".join(
-    f"len(list_intersect(string_split(lower(text), ' '), {_STOP_SQL[lg]})) AS hits_{lg}"
+    f"len(list_intersect(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), {_STOP_SQL[lg]})) AS hits_{lg}"
     for lg in _STOP
 )
 _BEST_SQL = "greatest(" + ", ".join(f"hits_{lg}" for lg in _STOP) + ")"
@@ -885,7 +885,7 @@ _STOP_ALL_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
 ORACLE = {
     "text_keywords_rake": f"""
         WITH d AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS ws
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws
             FROM documents
         ),
         tok AS (
@@ -938,8 +938,8 @@ ORACLE = {
     "text_blocklist_filter": f"""
         WITH d AS (
             SELECT doc_id,
-                   string_split(lower(text), ' ') AS ws,
-                   list_filter(string_split(lower(text), ' '),
+                   string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws,
+                   list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                                x -> list_contains({_BLOCK_SQL}, x)) AS hits
             FROM documents
         )
@@ -957,7 +957,7 @@ ORACLE = {
     """,
     "corpus_vocab_growth": f"""
         WITH tok AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
             FROM documents
         ),
         np AS (
@@ -1025,7 +1025,7 @@ ORACLE = {
     "corpus_jaccard_sources": _corpus_jaccard_oracle(),
     "text_bm25_topk": f"""
         WITH w AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
         ),
         base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM w),
         tok AS (
@@ -1067,7 +1067,7 @@ ORACLE = {
     """,
     "text_ngram_lm": """
         WITH w AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
         ),
         bi AS (
             SELECT doc_id, w[i] AS w1, w[i+1] AS w2
@@ -1094,7 +1094,7 @@ ORACLE = {
     """,
     "text_tfidf": """
         WITH tok AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term
             FROM documents
         ), tok_ne AS (
             SELECT doc_id, term FROM tok WHERE term <> ''
@@ -1268,7 +1268,7 @@ ORACLE = {
     "text_topterms": """
         WITH counts AS (
             SELECT lang, term, COUNT(*) AS n FROM (
-                SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+                SELECT lang, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term
                 FROM documents
             ) WHERE term != ''
             GROUP BY lang, term

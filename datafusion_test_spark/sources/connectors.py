@@ -24,11 +24,26 @@ from ..io import table
 
 
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer -> CSV (header) -> re-read with explicit schema."""
+    """customer -> CSV (header) -> re-read with explicit schema.
+
+    multiLine=true on the read: the writer QUOTES fields containing
+    newlines, but the default reader splits records on raw newlines
+    before parsing quotes — a value with an embedded CR/LF becomes two
+    half-rows (unicode corpus, round 7: 150 rows came back as 156).
+    Embedded newlines are legal CSV (RFC 4180 §2.6) and routine in real
+    exports, so multiLine is the production-correct setting.  Cost note:
+    multiLine makes a file non-splittable (quote state is unknowable
+    mid-file) — at 100 TB keep per-file sizes bounded by the writer's
+    maxRecordsPerFile instead of relying on intra-file splits."""
     out = os.path.join(scratch_dir("dfts_csv_"), "customer_csv")
     c = table(spark, sf_dir, "customer")
     c.write.mode("overwrite").option("header", True).csv(out)
-    return spark.read.schema(c.schema).option("header", True).csv(out)
+    return (
+        spark.read.schema(c.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
 
 
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

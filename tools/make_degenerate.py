@@ -35,6 +35,19 @@ materializes two corpora with the exact testdata schemas:
                hot-key state.  Primary keys and the ASOF (user_id, ts)
                uniqueness precondition survive (event timestamps are
                globally unique in the source data).
+* ``unicode`` — text-bearing columns rewritten on a deterministic
+               per-row fraction with adversarial Unicode drawn from a
+               fixed pool: combining marks vs precomposed accents,
+               Turkish dotted/dotless casing, German ß, Greek final
+               sigma, CJK (no whitespace), RTL Arabic/Hebrew, ZWJ emoji
+               sequences, astral-plane letters, zero-width and exotic
+               space characters (U+2028 line separator!), mixed
+               CR/LF/TAB, a 4k single token, and LIKE/regex
+               metacharacters used as DATA.  The gate hunts engine
+               divergences in casing (JVM vs utf8proc), codepoint vs
+               byte length/substring, tokenization, JSON escaping, and
+               binary-collation sort order.  Keys, labels, and grouping
+               columns are untouched.
 * ``nulls``  — value/attribute columns NULLed on a deterministic
                per-column ~33% of rows (measures, prices, labels,
                props) and ~10% for load-bearing payloads (text,
@@ -249,6 +262,84 @@ def _null_table(t, name):
     return t
 
 
+# ---- unicode corpus ---------------------------------------------------------
+# Adversarial pool.  Every entry keeps a couple of plain-ASCII tokens so
+# shingle / token / tfidf relations stay non-degenerate; the adversarial
+# payload rides alongside.  Each string is a distinct divergence class.
+_UNI_POOL = [
+    "naïve café protégé déjà vu scan merge",               # precomposed accents
+    "éléphant créme sort hash",          # NFD combining marks
+    "İstanbul ırmak Diyarbakır index join",                # Turkish dotted/dotless i
+    "straße weiß GROSS Straße batch spark",                # ß casing (upper -> SS)
+    "ΣΙΣΥΦΟΣ σίσυφος τέλος window stream",                  # Greek final sigma
+    "北京上海廣州データベース東京 table scan",               # CJK, no intra-word spaces
+    "مرحبا بالعالم نص عربي partition key",                 # RTL Arabic
+    "שלום עולם מסד נתונים shuffle sort",                    # RTL Hebrew
+    "👩‍👩‍👧‍👦 🇺🇸🇯🇵 👍🏽 emoji zwj flags merge",                    # ZWJ sequences + modifiers
+    "𝕊𝕡𝕒𝕣𝕜 𝒟𝒶𝓉𝒶 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 astral plane rows",                 # supplementary-plane letters
+    "zero\u200bwidth\u200cjoin\u200dtext \u2060word scan",  # zero-width chars
+    "non\u00a0breaking\u2009thin\u2028line\u2029para sep",  # exotic spaces + LS/PS
+    "tab\tsep\r\nwindows\rmac\nunix mixed lines",           # mixed newline/tab
+    "q\"uote back\\slash 'single' %pct% _und_ [brkt] .dot*",  # LIKE/regex metachars as data
+    "ꞧɇꞥđɇꞧ ʂǥɍƀ ƚøꞥǥ ᴛᴀɪʟ latin extended glyphs",           # Latin Extended blocks
+    "longtoken" + "é" * 4000 + " end",                 # 4k single multibyte token
+]
+
+# (column, rewrite fraction) per table; keys / labels / grouping columns
+# (lang, c_mktsegment, event_type) stay untouched so structural oracles
+# and ground-truth contracts hold.
+_UNICODE_TEXT = {
+    "documents": [("text", 0.40), ("source", 0.30)],
+    "customer": [("c_name", 0.30)],
+    "part": [("p_name", 0.20)],
+}
+
+
+def _unicode_table(t, name):
+    """Rewrite a deterministic md5-selected fraction of each listed text
+    column with pool entries (cycled by the same hash), leaving the rest
+    of the rows as-is.  events.props gets an extra unicode string FIELD
+    appended inside the JSON so ``$.k`` extraction still works while the
+    raw-string consumers see adversarial bytes."""
+    import hashlib
+    import json
+
+    import pyarrow as pa
+
+    keys = list(zip(*[t.column(k).to_pylist() for k in _SUBSET_KEYS[name]]))
+
+    def _h(tag, row):
+        return int(
+            hashlib.md5(
+                (tag + ":" + ":".join(str(v) for v in row)).encode()
+            ).hexdigest(),
+            16,
+        )
+
+    for col, frac in _UNICODE_TEXT.get(name, []):
+        i = t.schema.get_field_index(col)
+        vals = t.column(col).to_pylist()
+        out = [
+            _UNI_POOL[_h("uni:" + col, row) % len(_UNI_POOL)]
+            if v is not None and _h("uni:" + col, row) % 100 < frac * 100
+            else v
+            for v, row in zip(vals, keys)
+        ]
+        t = t.set_column(i, t.schema.field(i), pa.array(out, type=pa.string()))
+    if name == "events":
+        i = t.schema.get_field_index("props")
+        vals = t.column("props").to_pylist()
+        out = []
+        for v, row in zip(vals, keys):
+            if v is not None and _h("uni:props", row) % 100 < 30:
+                d = json.loads(v)
+                d["s"] = _UNI_POOL[_h("uni:props", row) % len(_UNI_POOL)][:40]
+                v = json.dumps(d, ensure_ascii=False)
+            out.append(v)
+        t = t.set_column(i, t.schema.field(i), pa.array(out, type=pa.string()))
+    return t
+
+
 def build_subset(src: str, dest_root: str, salt: int) -> None:
     dest = os.path.join(dest_root, f"subset{salt}")
     os.makedirs(dest, exist_ok=True)
@@ -260,7 +351,7 @@ def build_subset(src: str, dest_root: str, salt: int) -> None:
 
 
 def build(src: str, dest_root: str) -> None:
-    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls"):
+    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode"):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
@@ -273,6 +364,8 @@ def build(src: str, dest_root: str) -> None:
                 out = _skew_table(t, name)
             elif mode == "nulls":
                 out = _null_table(t, name)
+            elif mode == "unicode":
+                out = _unicode_table(t, name)
             else:
                 out = t.slice(0, 0 if mode == "empty" else 1)
             pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
