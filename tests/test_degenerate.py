@@ -159,3 +159,59 @@ SKEW_SENSITIVE = [
 def test_no_crash_on_skew(spark, corpora, name):
     queries = registry_queries()
     queries[name](spark, f"{corpora}/skew").collect()
+
+
+# round-7 unicode corpus: entries that CRASHED (fn_url: ANSI parse_url
+# raises on an invalid URL) or corrupted ROW INTEGRITY (scan_csv_roundtrip:
+# the default reader record-splits quoted embedded newlines, 150 rows came
+# back as 156) before the round-7 fixes
+UNICODE_SENSITIVE = [
+    "fn_url",
+    "scan_csv_roundtrip",
+    "dedup_url",
+    "text_tfidf",
+    "text_keywords_rake",
+    "mm_decode_stub",
+    "mm_resize_stub",
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_SENSITIVE)
+def test_no_crash_on_unicode(spark, corpora, name):
+    # execute-to-completion pin; cross-engine parity over all 334 entries
+    # is the check_oracles unicode sweep at round close
+    queries = registry_queries()
+    queries[name](spark, f"{corpora}/unicode").collect()
+
+
+def test_csv_roundtrip_row_integrity_on_unicode(spark, corpora):
+    """Embedded CR/LF in quoted CSV fields must NOT split records: the
+    roundtrip row count equals the source row count exactly."""
+    import pyarrow.parquet as pq
+
+    queries = registry_queries()
+    src = pq.read_metadata(f"{corpora}/unicode/customer.parquet").num_rows
+    got = queries["scan_csv_roundtrip"](spark, f"{corpora}/unicode").count()
+    assert got == src
+
+
+def test_ascii_lower_engine_parity(spark):
+    """The portable-casing contract: Spark ascii_lower == DuckDB
+    sql_ascii_lower on the full adversarial pool — including the strings
+    where real lower()/upper() provably diverge (İ, ß, final Σ)."""
+    import duckdb
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from make_degenerate import _UNI_POOL
+
+    from datafusion_test_spark._util import ascii_lower, sql_ascii_lower
+
+    df = spark.createDataFrame([(s,) for s in _UNI_POOL], "s string")
+    got = [r[0] for r in df.select(ascii_lower("s")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {sql_ascii_lower('?')}", [s]).fetchone()[0]
+        for s in _UNI_POOL
+    ]
+    assert got == want
