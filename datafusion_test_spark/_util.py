@@ -174,6 +174,58 @@ def two_phase_prefix(
     return out.drop("_pid"), totals
 
 
+_INF = float("inf")
+
+
+def finite(col) -> Column:
+    """A measurement that is usable, or NULL: NaN/±Inf map to NULL.
+
+    Non-finite floats are a normal production state at 100 TB — sensor
+    glitches, log(0) features, divide-overflow metrics, failed model
+    forward passes — and they are OPERATIONALLY absent: you can't train
+    on NaN, chart Inf, or alert on either.  Treating them as NULL at the
+    operator's observed-rows base gives every downstream aggregate the
+    same well-defined semantics the nulls corpus already pinned, and is
+    the only portable contract: engines agree NaN poisons a sum, but
+    disagree on NaN→decimal casts (DuckDB raises, Spark nulls), NaN in
+    approx quantiles, and ANSI float→int casts (Spark raises).  State
+    the same rule in the oracle via :func:`sql_finite`.  NULL stays
+    NULL (isnan(NULL) is NULL, so the guard passes it through)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.when(
+        ~(F.isnan(col) | (col == F.lit(_INF)) | (col == F.lit(-_INF))), col
+    )
+
+
+def sql_finite(expr: str) -> str:
+    """Oracle-side twin of :func:`finite`."""
+    return f"(CASE WHEN isfinite({expr}) THEN {expr} END)"
+
+
+def finite_vec(col) -> Column:
+    """An embedding that is usable, or NULL: any NaN/±Inf element marks
+    the whole vector absent (the failed-forward-pass state) — one bad
+    element already poisons every dot product, so partial salvage is
+    meaningless.  Mapping to NULL reuses the NULL-embedding handling the
+    round-6 nulls corpus proved in every consumer.  Twin:
+    :func:`sql_finite_vec`."""
+    if isinstance(col, str):
+        col = F.col(col)
+    bad = F.exists(
+        col, lambda x: F.isnan(x) | (x == F.lit(_INF)) | (x == F.lit(-_INF))
+    )
+    return F.when(~bad, col)
+
+
+def sql_finite_vec(expr: str) -> str:
+    """Oracle-side twin of :func:`finite_vec`."""
+    return (
+        f"(CASE WHEN len(list_filter({expr}, "
+        f"x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN {expr} END)"
+    )
+
+
 _ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
 

@@ -679,7 +679,7 @@ ORACLE = {
                    AS vec_sum,
                list_aggregate(list_transform(embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS vec_norm2
-        FROM embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
     """,
     # struct/map construction + field access collapses to the underlying
     # columns — the oracle states that semantic identity, hash-checking the

@@ -41,6 +41,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "embeddings":
+        # the finite-vector measurement contract: a vector with any
+        # NaN/±Inf element (failed model forward pass) reads as NULL, so
+        # every consumer reuses its proven NULL-embedding handling.  Every
+        # oracle's FROM embeddings carries the same SELECT * REPLACE guard.
+        # Engines genuinely disagree downstream of a NaN element (decimal
+        # casts, approx quantiles, ANSI float->int), so the contract must
+        # sit at the read.  See _util.finite_vec; ieee corpus, round 7.
+        # Consumers that never touch `embedding` lose nothing: Catalyst
+        # prunes the rewritten column and the scan skips it entirely.
+        from ._util import finite_vec
+
+        df = df.withColumn("embedding", finite_vec("embedding"))
     return df
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .._util import dsum, half_up, r4, safe_corr, sql_dsum, sql_half_up
+from .._util import dsum, finite, half_up, r4, safe_corr, sql_dsum, sql_half_up
 from ..io import table
 
 
@@ -1040,7 +1040,7 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     it on the user key, and the curve table is |cohorts|·|ages| rows —
     bounded by the calendar, never the stream.
     """
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
     first = e.groupBy("user_id").agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
     )
@@ -1133,7 +1133,9 @@ def agg_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .._util import half_up
 
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     cells = e.select(
         "event_type",
         F.hour("ts").alias("hr"),
@@ -1319,7 +1321,7 @@ ORACLE = {
                    CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)
                             * CAST(floor(value * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS q_h
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
             GROUP BY event_type, hr
         ),
         t AS (
@@ -1379,13 +1381,13 @@ ORACLE = {
             SELECT user_id,
                    CAST(min(date_trunc('day', ts)) AS TIMESTAMP)
                        AS cohort_day
-            FROM events GROUP BY user_id
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY user_id
         ),
         p AS (
             SELECT user_id,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
             WHERE event_type = 'purchase' AND value IS NOT NULL
         ),
         j AS (

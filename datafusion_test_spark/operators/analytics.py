@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, half_up, r4, sql_half_up as _sql_hu
+from .._util import DEC, finite, half_up, r4, sql_half_up as _sql_hu
 from ..io import table
 
 
@@ -325,7 +325,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_type",
         F.hour("ts").cast("double").alias("x"),
-        F.col("value").alias("y"),
+        finite("value").alias("y"),
     )
     return e.groupBy("event_type").agg(
         F.expr("regr_count(y, x)").cast("long").alias("n_points"),
@@ -352,7 +352,9 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t-digest): same two-pass shape, sketched carrier; the flag threshold
     then carries the sketch's rank error, which is the standard trade.
     """
-    e = table(spark, sf_dir, "events").select("event_type", "value")
+    e = table(spark, sf_dir, "events").select(
+        "event_type", finite("value").alias("value")
+    )
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
@@ -479,7 +481,9 @@ def ts_changepoint(
     """
     from .._util import two_phase_prefix
 
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     u = e.select(
         "event_type",
         "ts",
@@ -538,7 +542,9 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the two-phase boundary-exchange, same pattern as ts_resample),
     then a single map-side-combined aggregate.
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     lagged = e.select(
         "event_type",
@@ -650,7 +656,7 @@ def _autocorr_sql() -> str:
         WITH lagged AS (
             SELECT event_type, value AS v,
                    {lag_cols}
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
         ),
         t AS (
@@ -788,7 +794,9 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions.  The scan itself never meets a window (the documented
     small-frame class).
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     g = e.select(
         "event_type",
         F.hour("ts").alias("hr"),
@@ -1001,7 +1009,9 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     standardized column is then pure projection — the fact table never
     shuffles.
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     v = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
     rows = e.select("event_id", "event_type", "value", v.alias("v_s"))
     g = rows.groupBy("event_type").agg(
@@ -1052,7 +1062,9 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell's test rows — int64 to ~10⁹ row-pairs per cell; past that,
     bucket days first.
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     b = e.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -1185,7 +1197,9 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .._util import half_up
 
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     t = e.select(
         "event_type",
         "event_id",
@@ -1406,7 +1420,7 @@ def feature_rfm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .._util import two_phase_prefix
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
     frontier = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
     per = (
         e.groupBy("user_id")
@@ -1471,7 +1485,9 @@ def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one lag + one lead over the series-keyed exchange; output is
     the (sparse) peak set.
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     t = e.select(
         "event_type",
         "event_id",
@@ -1769,7 +1785,7 @@ ORACLE = {
         WITH t AS (
             SELECT event_type, event_id, ts, value,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         s AS (
             SELECT *, lag(v_s) OVER w AS prev_s, lead(v_s) OVER w AS next_s
@@ -1784,7 +1800,7 @@ ORACLE = {
           AND LEAST(v_s - prev_s, v_s - next_s) >= 200000
     """,
     "feature_rfm_score": """
-        WITH f AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        WITH f AS (SELECT max(epoch_us(ts)) AS max_us FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events),
         per AS (
             SELECT user_id,
                    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
@@ -1792,7 +1808,7 @@ ORACLE = {
                    CAST(COALESCE(SUM(CAST(floor(value * 10000 + 0.5)
                                           AS BIGINT)), 0) AS BIGINT)
                        AS money_s
-            FROM events GROUP BY user_id
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY user_id
         ),
         r AS (
             SELECT p.*,
@@ -1913,7 +1929,7 @@ ORACLE = {
         WITH t AS (
             SELECT event_type, event_id,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         r AS (
             SELECT *,
@@ -1993,7 +2009,7 @@ ORACLE = {
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    CAST(date_part('hour', ts) AS INTEGER) AS hr,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         ld AS (SELECT max(day) AS last_day FROM b),
         train AS (
@@ -2024,7 +2040,7 @@ ORACLE = {
         WITH rows_ AS (
             SELECT event_id, event_type, value,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         g AS (
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2105,7 +2121,7 @@ ORACLE = {
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
             GROUP BY event_type, hr
         ),
         t AS (
@@ -2181,7 +2197,7 @@ ORACLE = {
         WITH u AS (
             SELECT event_type, ts, event_id,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         r AS (
             SELECT event_type,
@@ -2223,17 +2239,17 @@ ORACLE = {
                    * 10000 + 0.5) AS DOUBLE) / 10000 AS intercept,
                CAST(floor(regr_r2(value, CAST(hour(ts) AS DOUBLE))
                    * 10000 + 0.5) AS DOUBLE) / 10000 AS r2
-        FROM events GROUP BY event_type
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY event_type
     """,
     "anomaly_mad": f"""
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med
-            FROM events GROUP BY event_type
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY event_type
         ),
         dev AS (
             SELECT e.event_type, m.med,
                    abs(e.value - m.med) AS adev
-            FROM events e JOIN med m USING (event_type)
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) e JOIN med m USING (event_type)
         ),
         mad AS (
             SELECT event_type, quantile_cont(adev, 0.5) AS mad

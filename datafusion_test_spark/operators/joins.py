@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import dsum, scratch_dir
+from .._util import dsum, finite, scratch_dir
 from ..io import table
 
 
@@ -351,7 +351,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    probes = ev.select(F.col("ts").alias("r_ts"), "value", binno.alias("bin"))
+    probes = ev.select(F.col("ts").alias("r_ts"), finite("value").alias("value"), binno.alias("bin"))
     return (
         anchors.join(probes, "bin")
         .filter(
@@ -784,7 +784,7 @@ ORACLE = {
         WITH p AS (
             SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
                    CAST(embedding[2] AS DOUBLE) AS y
-            FROM embeddings
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
@@ -961,8 +961,8 @@ ORACLE = {
         SELECT l.event_id AS anchor_id,
                COUNT(*) AS n_next10m,
                CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') l
-        JOIN events r
+        FROM (SELECT event_id, ts FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'click') l
+        JOIN (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) r
           ON r.ts >= l.ts AND r.ts < l.ts + INTERVAL 10 MINUTE
         GROUP BY l.event_id
     """,

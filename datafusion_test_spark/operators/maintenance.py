@@ -56,7 +56,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, dsum, sql_dsum, scratch_dir
+from .._util import finite, DEC, dsum, sql_dsum, scratch_dir
 from ..io import table
 
 _BLOOM_BRAND = "Brand#4"   # 96 of 2000 parts at sf0.01 — selective dim filter
@@ -184,7 +184,9 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  count/min/max merge trivially; the sum merges exactly
     ONLY because the carrier is decimal — the point of the operator.
     """
-    e = table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    e = table(spark, sf_dir, "events").select(
+        "event_type", finite("value").alias("value"), "event_id"
+    )
     partial = e.groupBy(
         "event_type", (F.col("event_id") % 2).alias("shard")
     ).agg(
@@ -742,7 +744,7 @@ ORACLE = {
                    count(*) AS pn,
                    SUM(CAST(value AS DECIMAL(18,6))) AS psum,
                    min(value) AS pmin, max(value) AS pmax
-            FROM events GROUP BY event_type, event_id % 2
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY event_type, event_id % 2
         ),
         merged AS (
             SELECT event_type, CAST(SUM(pn) AS BIGINT) AS n_events,
@@ -754,7 +756,7 @@ ORACLE = {
             SELECT event_type, count(*) AS dn,
                    {sql_dsum('value', 'dsum_value')},
                    min(value) AS dmin, max(value) AS dmax
-            FROM events GROUP BY event_type
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY event_type
         )
         SELECT m.event_type, n_events, sum_value, min_value, max_value,
                (n_events = dn) AS count_matches,

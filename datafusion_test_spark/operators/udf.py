@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
+from .._util import finite
 from ..io import table
 
 
@@ -249,7 +250,9 @@ def udf_grouped_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     model.fit(); the plumbing (schema, grouping, Arrow batches) is
     identical.
     """
-    e = table(spark, sf_dir, "events").filter(
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(
         F.col("value").isNotNull()
     ).select(
         "event_type",
@@ -314,7 +317,7 @@ ORACLE = {
                    AS slope,
                round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4)
                    AS intercept
-        FROM events WHERE value IS NOT NULL
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         GROUP BY event_type
     """,
     "udf_cogrouped": """
@@ -343,7 +346,7 @@ ORACLE = {
     """,
     "udtf_explode": """
         SELECT vec_id, CAST(i AS INT) AS pos, embedding[i] AS val
-        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         WHERE vec_id < 50
     """,
     # Python's str.split(' ') and DuckDB's string_split agree exactly,

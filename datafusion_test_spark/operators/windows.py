@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, half_up
+from .._util import DEC, finite, half_up
 from ..io import table
 
 # Deterministic per-customer order timeline.
@@ -131,7 +131,10 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; the RANGE frame is evaluated over the sorted
     run with a sliding two-pointer inside WindowExec — O(n) per partition,
     the same cost class as a ROWS frame at any scale."""
-    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    # finite-measurement contract: NaN/Inf read as NULL (absent), rows kept
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", finite("value").alias("value")
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -212,7 +215,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .._util import half_up
 
     e = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "value"
+        "event_id", "user_id", "ts", finite("value").alias("value")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     num = None
@@ -425,7 +428,9 @@ def win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames bounded by 20.  At 100 TB the partition key becomes
     (series_id) with millions of independent series — same plan.
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     t = e.select(
         "event_type",
         "event_id",
@@ -466,7 +471,9 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a series' history.  Carrier: |cum| ≤ rows·10⁶ — int64 to ~9·10¹²
     rows per series.
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     t = e.select(
         "event_type",
         "event_id",
@@ -539,7 +546,7 @@ def _ewma_oracle() -> str:
         WITH lagged AS (
             SELECT event_id, user_id, ts, value,
                    {lag_cols}
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT event_id, user_id, ts,
@@ -598,7 +605,7 @@ ORACLE = {
         WITH t AS (
             SELECT event_type, event_id, ts,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         c AS (
             SELECT *,
@@ -630,7 +637,7 @@ ORACLE = {
         WITH t AS (
             SELECT event_type, event_id, ts, value,
                    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         s AS (
             SELECT *,
@@ -744,7 +751,7 @@ ORACLE = {
                count(*) OVER w AS n_trailing_1h,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
                    AS sum_trailing_1h
-        FROM events
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,

@@ -48,7 +48,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, half_up, sql_half_up, two_phase_prefix
+from .._util import DEC, finite, half_up, sql_half_up, two_phase_prefix
 from ..io import table
 
 _POS, _NEG = "purchase", "click"
@@ -70,7 +70,7 @@ for _d in _DISC:
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(s, y): score + binary label, NULL scores excluded explicitly
     (same window-NULL-order rationale as quality.drift_ks)."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
     return e.filter(
         F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
     ).select(
@@ -195,7 +195,7 @@ def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by score desc with the event_id tie-break that makes the
     ordering total (Spark row_number and DuckDB row_number then agree on
     ties by construction — same rationale as join_asof's tie-break)."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
     j = e.filter(
         F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
     ).select(
@@ -320,7 +320,7 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     global reduce.  Carrier: p_scaled ≤ 10⁶ per problem, so the sum
     stays < 2^63 up to ~9·10¹² problems.
     """
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
     j = e.filter(
         F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
     ).select(
@@ -399,7 +399,9 @@ def eval_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-integer sketch is mergeable, so this is a single reduce at any
     data size.
     """
-    e = table(spark, sf_dir, "events").filter(
+    e = table(spark, sf_dir, "events").withColumn(
+        "value", finite("value")
+    ).filter(
         F.col("event_type").isin(_AB_A, _AB_B) & F.col("value").isNotNull()
     )
     v = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
@@ -525,7 +527,7 @@ _J = f"""
             SELECT value AS s,
                    CAST(CASE WHEN event_type = '{_POS}' THEN 1 ELSE 0 END
                         AS BIGINT) AS y
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
             WHERE event_type IN ('{_POS}', '{_NEG}') AND value IS NOT NULL
 """
 
@@ -540,7 +542,7 @@ _RANKED = f"""
                    row_number() OVER (
                        PARTITION BY user_id ORDER BY value DESC, event_id
                    ) AS rk
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
             WHERE event_type IN ('{_POS}', '{_NEG}') AND value IS NOT NULL
 """
 
@@ -624,7 +626,7 @@ ORACLE = {
                      THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
                           * CAST(floor(value * 10000 + 0.5) AS BIGINT)
                      ELSE 0 END) AS BIGINT) AS q_b
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
             WHERE event_type IN ('{_AB_A}', '{_AB_B}')
               AND value IS NOT NULL
         )
@@ -762,7 +764,7 @@ ORACLE = {
             SELECT user_id, event_id,
                    CAST(CASE WHEN event_type = '{_POS}' THEN 1 ELSE 0 END
                         AS BIGINT) AS y
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
             WHERE event_type IN ('{_POS}', '{_NEG}') AND value IS NOT NULL
         ),
         capped AS (

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, ascii_lower, half_up, sql_half_up as _sql_half_up
+from .._util import DEC, ascii_lower, finite, half_up, sql_half_up as _sql_half_up
 from ..io import table
 
 # Quality thresholds, chosen to discriminate on the synthetic corpus
@@ -639,7 +639,7 @@ def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     p = F.md5(F.concat(F.lit(_PSEUDO_SALT), F.col("user_id").cast("string")))
-    t = e.select(p.alias("pseudonym"), "user_id", "event_type", "value")
+    t = e.select(p.alias("pseudonym"), "user_id", "event_type", finite("value").alias("value"))
     g = t.groupBy("pseudonym").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
@@ -687,7 +687,7 @@ ORACLE = {
             SELECT md5('{_PSEUDO_SALT}' || CAST(user_id AS VARCHAR))
                        AS pseudonym,
                    user_id, event_type, value
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
         ),
         g AS (
             SELECT pseudonym,

@@ -36,7 +36,12 @@ _DIM = 64
 
 
 def _query_vec(e):
-    """The query vector: embedding of the min vec_id row (1-row broadcast)."""
+    """The query vector: embedding of the min vec_id row WITH a usable
+    embedding (1-row broadcast).  NULL embeddings — which, post io.table's
+    finite-vector guard, include NaN/Inf-poisoned vectors (ieee corpus,
+    round 7) — can't be queried against; production never issues a query
+    from a failed forward pass."""
+    e = e.filter(F.col("embedding").isNotNull())
     m = e.agg(F.min("vec_id").alias("qid"))
     return F.broadcast(
         e.join(F.broadcast(m), F.col("vec_id") == F.col("qid"))
@@ -112,7 +117,7 @@ def sim_pairwise_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._expr import lsh_bits, rh_signature
     from .dedup import _PLANT_OFFSET, _drop_hot
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
     bits = lsh_bits(e.count())
     low = e.orderBy("vec_id").limit(10)
     planted = low.select(
@@ -169,7 +174,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ._expr import lsh_bits, rh_signature
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     bits = lsh_bits(e.count())
     sigd = e.withColumn(
         "bucket", rh_signature(F.col("embedding"), bits=bits, dim=_DIM)
@@ -213,7 +218,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(1)
     )
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q = F.broadcast(e.agg(F.min("vec_id").alias("query_id")))
     return top1.crossJoin(q).select(
         "query_id",
@@ -309,7 +314,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vanilla session, and the checkpoint blocks are released by the
     # ContextCleaner when the DataFrames go out of scope — which also
     # retires the old cross-invocation _IVF_CACHES bookkeeping (ADVICE r3)
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
     cent = ivf_centroids(spark, e)
     assign = _ivf_assign(e, cent).localCheckpoint(eager=True)
     q = F.broadcast(
@@ -499,7 +504,9 @@ def _twin_e(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "twin_e")
     e = _ANN_CACHE.get(key)
     if e is None:
-        base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # usable vectors only: a NaN/Inf-poisoned embedding (NULL post
+        # io.table guard) is never indexed or twinned (ieee corpus, r7)
+        base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
         e = _with_planted_twin(base).localCheckpoint(eager=True)
         _ANN_CACHE[key] = e
     return e
@@ -610,7 +617,7 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _PLANT_OFFSET
 
-    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
     e = _twin_e(spark, sf_dir)
     subvecs, cent, codes = _twin_pq(spark, sf_dir)
     qid = e.agg(F.min("vec_id").alias("qid"))
@@ -678,7 +685,7 @@ def embed_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _PLANT_OFFSET
 
-    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
     e = _twin_e(spark, sf_dir)
     cent, assign = _twin_ivf(spark, sf_dir)
     res = (
@@ -967,7 +974,7 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _PLANT_OFFSET
 
-    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
     e = _twin_e(spark, sf_dir)
     # coarse quantizer + cell assignment (sim_ivf's shapes, shared with
     # embed_pq_residual via the per-application memo)
@@ -1078,7 +1085,7 @@ def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id bigint, self_is_top boolean, top_cos double, "
         "partition_pruned boolean, probed_subset boolean"
     )
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     n_total = e.count()
     if n_total == 0:
         # no corpus -> no query vector -> no result row; the oracle carries
@@ -1217,7 +1224,8 @@ ORACLE = {
                CAST(1.0 AS DOUBLE) AS top_cos,
                true AS partition_pruned,
                true AS probed_subset
-        FROM embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
     "sim_rerank_two_stage": f"""
@@ -1225,7 +1233,7 @@ ORACLE = {
             SELECT vec_id, label, embedding,
                    list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE)))) AS absmax
-            FROM embeddings
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         ),
         qd AS (
             SELECT vec_id, label, embedding,
@@ -1262,7 +1270,8 @@ ORACLE = {
                true AS self_is_top,
                true AS twin_survives_with_equal_adc,
                true AS probed_subset
-        FROM embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
     "agg_vector_centroid": """
@@ -1273,7 +1282,7 @@ ORACLE = {
                    / count(*) * 10000 + 0.5
                ) AS DOUBLE) / 10000 AS centroid_val,
                count(*) AS n_vecs
-        FROM embeddings, (SELECT unnest(range(1, 65)) AS g)
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, (SELECT unnest(range(1, 65)) AS g)
         WHERE embedding IS NOT NULL
         GROUP BY label, pos
     """,
@@ -1284,12 +1293,13 @@ ORACLE = {
                64 AS compression_x,
                true AS planted_adc_equals_self,
                true AS codebook_bounded
-        FROM embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
     "embed_matryoshka_recall": f"""
         WITH q AS (
-            SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+            SELECT vec_id AS qid, embedding AS qvec FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_MAT_Q}
         ),
         s AS (
@@ -1297,7 +1307,7 @@ ORACLE = {
                    {sql_cosine('e.embedding', 'q.qvec')} AS cos_full,
                    {sql_cosine(f'e.embedding[1:{_MAT_DIM}]',
                                f'q.qvec[1:{_MAT_DIM}]')} AS cos_pre
-            FROM embeddings e, q WHERE e.vec_id <> q.qid
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) e, q WHERE e.vec_id <> q.qid
         ),
         r AS (
             SELECT qid, vec_id,
@@ -1325,7 +1335,8 @@ ORACLE = {
                true AS twin_codes_match,
                true AS self_is_top_in_cell,
                true AS twin_ties_self_adc
-        FROM embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
     "embed_pca": """
@@ -1335,14 +1346,14 @@ ORACLE = {
                true AS components_orthonormal,
                true AS eigs_nonincreasing,
                true AS proj_var_le_total
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL
     """,
     "embed_quantize": """
         WITH base AS (
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE)))) AS absmax
-            FROM embeddings
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         ), nz AS (SELECT * FROM base WHERE absmax > 0.0),
         qd AS (
             SELECT vec_id, absmax, embedding,
@@ -1367,19 +1378,19 @@ ORACLE = {
     """,
     "sim_topk": f"""
         WITH q AS (
-            SELECT embedding AS qvec FROM embeddings
-            WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+            SELECT embedding AS qvec FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            WHERE vec_id = (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL)
         )
         SELECT vec_id, label,
                ROUND({sql_cosine('embedding', 'qvec')}, 4) AS cos_sim
-        FROM embeddings, q
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, q
         ORDER BY cos_sim DESC, vec_id
         LIMIT 20
     """,
     "sim_pairwise_topk": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
-        FROM embeddings a JOIN embeddings b
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) a JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) b
           ON a.label = b.label AND a.vec_id < b.vec_id
         ORDER BY cos_sim DESC, vec_a, vec_b
         LIMIT 10
@@ -1391,25 +1402,26 @@ ORACLE = {
         SELECT vec_id AS vec_a,
                vec_id + 10000000 AS vec_b,
                CAST(1.0 AS DOUBLE) AS cos_sim
-        FROM embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        WHERE embedding IS NOT NULL
         ORDER BY vec_id
         LIMIT 10
     """,
     # the FROM ... WHERE n > 0 wrapper mirrors the Spark side: an empty
     # corpus has no query vector, so neither engine emits a result row
     "sim_ann_lsh": """
-        SELECT (SELECT MIN(vec_id) FROM embeddings) AS query_id,
+        SELECT (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) AS query_id,
                TRUE AS self_is_top,
                CAST(1.0 AS DOUBLE) AS top_cos,
-               (SELECT label FROM embeddings
-                WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) AS label
-        FROM (SELECT count(*) AS n FROM embeddings) WHERE n > 0
+               (SELECT label FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+                WHERE vec_id = (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL)) AS label
+        FROM (SELECT count(*) AS n FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) WHERE n > 0
     """,
     "sim_ivf": """
-        SELECT (SELECT MIN(vec_id) FROM embeddings) AS query_id,
+        SELECT (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) AS query_id,
                TRUE AS self_is_top,
                CAST(1.0 AS DOUBLE) AS top_cos,
                TRUE AS probed_subset
-        FROM (SELECT count(*) AS n FROM embeddings) WHERE n > 0
+        FROM (SELECT count(*) AS n FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) WHERE n > 0
     """,
 }

@@ -20,12 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC
+from .._util import DEC, finite
 from ..io import table
 
 
 def _events(spark, sf_dir):
-    return table(spark, sf_dir, "events")
+    # finite-measurement contract: NaN/Inf value reads as NULL (absent).
+    # Every oracle in this module carries the matching SELECT * REPLACE
+    # guard (see _util.finite; ieee corpus, round 7).
+    return table(spark, sf_dir, "events").withColumn("value", finite("value"))
 
 
 def tumbling(df: DataFrame) -> DataFrame:
@@ -464,7 +467,7 @@ ORACLE = {
             SELECT event_type,
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                    ts, event_id, value
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
         ),
         r AS (
             SELECT *,
@@ -492,7 +495,7 @@ ORACLE = {
         WITH counts AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                    event_type, count(*) AS n_events
-            FROM events GROUP BY 1, 2
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 1, 2
         )
         SELECT window_start,
                CAST(row_number() OVER (
@@ -509,7 +512,7 @@ ORACLE = {
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                        / count(*) AS v
-            FROM events GROUP BY 1, 2
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 1, 2
         ),
         grid AS (
             SELECT event_type,
@@ -558,8 +561,8 @@ ORACLE = {
     "stream_join_outer": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
                p.ts AS purchase_ts, p.value AS purchase_value
-        FROM (SELECT * FROM events WHERE event_type = 'click') c
-        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        FROM (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
     """,
@@ -569,7 +572,7 @@ ORACLE = {
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                    count(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 1, 2
         ),
         grid AS (
             SELECT event_type, unnest(generate_series(lo, hi,
@@ -591,8 +594,8 @@ ORACLE = {
     "stream_join_interval": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
                p.ts AS purchase_ts, p.value AS purchase_value
-        FROM (SELECT * FROM events WHERE event_type = 'click') c
-        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        FROM (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
     """,
@@ -603,19 +606,19 @@ ORACLE = {
                CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 2
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 2
         UNION ALL
         SELECT 'hour',
                CAST(date_trunc('hour', ts) AS TIMESTAMP),
                COUNT(*),
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        FROM events GROUP BY 2
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 2
         UNION ALL
         SELECT 'day',
                CAST(date_trunc('day', ts) AS TIMESTAMP),
                COUNT(*),
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        FROM events GROUP BY 2
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 2
     """,
     "stream_tumbling": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -623,7 +626,7 @@ ORACLE = {
                event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM events
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
         GROUP BY 1, 2, 3
     """,
     "stream_sliding": """
@@ -631,7 +634,7 @@ ORACLE = {
                     - i * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events
-        FROM events, UNNEST(generate_series(0, 3)) AS t(i)
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events, UNNEST(generate_series(0, 3)) AS t(i)
         GROUP BY 1, 2
     """,
     "stream_session": """
@@ -640,7 +643,7 @@ ORACLE = {
                    CASE WHEN epoch_us(ts) - epoch_us(
                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         ) >= 1800000000 THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
         ),
         numbered AS (
             SELECT user_id, ts,
@@ -666,19 +669,19 @@ ORACLE = {
                event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM events
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
         GROUP BY 1, 2, 3
     """,
     "stream_stateful_count": """
         SELECT user_id, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM events GROUP BY user_id
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY user_id
     """,
     "stream_dedup": """
         SELECT event_id,
                MIN(ts) AS ts,
                MIN(user_id) AS user_id,
                MIN(event_type) AS event_type
-        FROM events GROUP BY event_id
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY event_id
     """,
 }

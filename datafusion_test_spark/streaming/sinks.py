@@ -89,10 +89,16 @@ def stream_stateful_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         cnt, tot = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             cnt += len(pdf)
-            tot += float(pdf["value"].sum())
+            # finite-measurement contract: NULL arrives as NaN in the
+            # pandas float column, and injected NaN/±Inf are equally
+            # unusable — sum only finite readings (ieee corpus, round 7)
+            v = pdf["value"].to_numpy(dtype="float64")
+            tot += float(v[np.isfinite(v)].sum())
         state.update((cnt, tot))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [cnt], "total_value": [tot]}
@@ -384,7 +390,7 @@ ORACLE = {
                CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    * 10000 + 0.5) AS DOUBLE) / 10000
                    AS total_value
-        FROM events GROUP BY user_id
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY user_id
     """,
     "stream_idempotent_sink": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -215,3 +215,88 @@ def test_ascii_lower_engine_parity(spark):
         for s in _UNI_POOL
     ]
     assert got == want
+
+
+# round-7 ieee corpus: non-finite floats (NaN/±Inf in events.value, NaN
+# elements in embeddings) — classes that CRASHED before the finite-
+# measurement contract: ANSI float->int casts and DECIMAL sums of NaN
+# (Spark raises, DuckDB raises on its side), long-overflow in cents-scaled
+# sums of Inf, and ANN self-verification anchored on a poisoned query
+# vector.  The contract: _util.finite/finite_vec at the observed-rows
+# base, io.table's embeddings guard, and the matching SELECT * REPLACE
+# in every oracle.
+IEEE_SENSITIVE = [
+    "feature_rfm_score",     # cast(floor(value*10000)) of NaN raised
+    "feature_winsorize",
+    "ts_changepoint",        # long overflow summing Inf cents
+    "win_control_chart",
+    "win_drawdown",
+    "sim_ivf",               # query vector was the poisoned min vec_id
+    "sim_ann_lsh",
+    "embed_pq",
+    "eval_ab_ztest",
+    "stream_stateful_run",   # pandas state summed Inf
+]
+
+
+@pytest.mark.parametrize("name", IEEE_SENSITIVE)
+def test_no_crash_on_ieee(spark, corpora, name):
+    # execute-to-completion pin; cross-engine parity over all 334 entries
+    # is the check_oracles ieee sweep at round close
+    queries = registry_queries()
+    queries[name](spark, f"{corpora}/ieee").collect()
+
+
+def test_finite_helpers_engine_parity(spark):
+    """finite()/sql_finite() and finite_vec()/sql_finite_vec() agree on
+    the full non-finite cross-product, reading REAL parquet (duckdb's
+    Python param binding converts nan->NULL inside lists, so the file
+    path is the only honest fixture)."""
+    import math
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_test_spark._util import (
+        finite, finite_vec, sql_finite, sql_finite_vec,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, 1.5, [1.0, 2.0]),
+        (1, nan, [1.0, nan]),
+        (2, inf, [inf, 1.0]),
+        (3, -inf, [-inf]),
+        (4, None, None),
+    ]
+    t = pa.table(
+        {
+            "i": [r[0] for r in rows],
+            "v": pa.array([r[1] for r in rows], type=pa.float64()),
+            "e": pa.array([r[2] for r in rows], type=pa.list_(pa.float32())),
+        }
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="dfts_ieee_pin_")
+    path = os.path.join(d, "t.parquet")
+    pq.write_table(t, path)
+
+    sdf = spark.read.parquet(path).select(
+        "i", finite("v").alias("fv"), finite_vec("e").alias("fe")
+    )
+    got = {r["i"]: (r["fv"], r["fe"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    want = {
+        i: (fv, fe)
+        for i, fv, fe in con.execute(
+            f"SELECT i, {sql_finite('v')}, {sql_finite_vec('e')} "
+            f"FROM read_parquet('{path}')"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        a, b = got[i][1], want[i][1]
+        assert (a is None) == (b is None), (i, a, b)
+        if a is not None:
+            assert [float(x) for x in a] == [float(x) for x in b]

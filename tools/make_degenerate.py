@@ -48,6 +48,17 @@ materializes two corpora with the exact testdata schemas:
                byte length/substring, tokenization, JSON escaping, and
                binary-collation sort order.  Keys, labels, and grouping
                columns are untouched.
+* ``ieee``   — non-finite floats injected into the MEASUREMENT columns
+               where they occur in production: ``events.value`` gets
+               NaN (~5%), +Inf (~2%), -Inf (~2%) — sensor glitches,
+               log-of-zero features, divide-overflow metrics — and
+               ``embeddings.embedding`` gets a NaN element in ~4% of
+               vectors plus ~1% all-NaN vectors (the failed model
+               forward pass).  TPC-H money columns stay finite by
+               DOMAIN: lakehouse money is decimal-backed and cannot
+               hold NaN.  -0.0 is deliberately NOT injected: engines
+               agree it equals 0.0 but render it differently, so it
+               poisons row-sort keys for purely cosmetic insight.
 * ``nulls``  — value/attribute columns NULLed on a deterministic
                per-column ~33% of rows (measures, prices, labels,
                props) and ~10% for load-bearing payloads (text,
@@ -340,6 +351,55 @@ def _unicode_table(t, name):
     return t
 
 
+# ---- ieee corpus ------------------------------------------------------------
+def _ieee_table(t, name):
+    """Inject NaN / ±Inf into measurement columns on deterministic
+    md5-selected rows (disjoint buckets, same keying as the other modes)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    keys = list(zip(*[t.column(k).to_pylist() for k in _SUBSET_KEYS[name]]))
+
+    def _h(tag, row):
+        return int(
+            hashlib.md5(
+                (tag + ":" + ":".join(str(v) for v in row)).encode()
+            ).hexdigest(),
+            16,
+        ) % 100
+
+    if name == "events":
+        i = t.schema.get_field_index("value")
+        vals = t.column("value").to_pylist()
+        out = []
+        for v, row in zip(vals, keys):
+            b = _h("ieee:value", row)
+            if v is not None and b < 5:
+                v = float("nan")
+            elif v is not None and b < 7:
+                v = float("inf")
+            elif v is not None and b < 9:
+                v = float("-inf")
+            out.append(v)
+        t = t.set_column(i, t.schema.field(i), pa.array(out, type=t.schema.field(i).type))
+    if name == "embeddings":
+        i = t.schema.get_field_index("embedding")
+        typ = t.schema.field(i).type
+        vecs = t.column("embedding").to_pylist()
+        out = []
+        for v, row in zip(vecs, keys):
+            b = _h("ieee:emb", row)
+            if v is not None and b < 1:
+                v = [float("nan")] * len(v)          # failed forward pass
+            elif v is not None and b < 5 and len(v) > 0:
+                v = list(v)
+                v[_h("ieee:pos", row) % len(v)] = float("nan")
+            out.append(v)
+        t = t.set_column(i, t.schema.field(i), pa.array(out, type=typ))
+    return t
+
+
 def build_subset(src: str, dest_root: str, salt: int) -> None:
     dest = os.path.join(dest_root, f"subset{salt}")
     os.makedirs(dest, exist_ok=True)
@@ -351,7 +411,7 @@ def build_subset(src: str, dest_root: str, salt: int) -> None:
 
 
 def build(src: str, dest_root: str) -> None:
-    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode"):
+    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode", "ieee"):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
@@ -366,6 +426,8 @@ def build(src: str, dest_root: str) -> None:
                 out = _null_table(t, name)
             elif mode == "unicode":
                 out = _unicode_table(t, name)
+            elif mode == "ieee":
+                out = _ieee_table(t, name)
             else:
                 out = t.slice(0, 0 if mode == "empty" else 1)
             pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
