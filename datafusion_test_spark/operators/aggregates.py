@@ -1040,12 +1040,16 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     it on the user key, and the curve table is |cohorts|·|ages| rows —
     bounded by the calendar, never the stream.
     """
-    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
+    e = table(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
     )
+    # raw filter first (both conjuncts push to the scan); the finite guard
+    # then drops NaN/Inf, which no storage-level filter can express
     p = e.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).withColumn("value", finite("value")).filter(
+        F.col("value").isNotNull()
     ).select(
         "user_id",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -1133,9 +1137,15 @@ def agg_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .._util import half_up
 
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     cells = e.select(
         "event_type",
         F.hour("ts").alias("hr"),

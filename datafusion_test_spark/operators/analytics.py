@@ -481,9 +481,15 @@ def ts_changepoint(
     """
     from .._util import two_phase_prefix
 
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     u = e.select(
         "event_type",
         "ts",
@@ -542,9 +548,15 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the two-phase boundary-exchange, same pattern as ts_resample),
     then a single map-side-combined aggregate.
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     lagged = e.select(
         "event_type",
@@ -794,9 +806,15 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions.  The scan itself never meets a window (the documented
     small-frame class).
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     g = e.select(
         "event_type",
         F.hour("ts").alias("hr"),
@@ -1009,9 +1027,15 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     standardized column is then pure projection — the fact table never
     shuffles.
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     v = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
     rows = e.select("event_id", "event_type", "value", v.alias("v_s"))
     g = rows.groupBy("event_type").agg(
@@ -1062,9 +1086,15 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell's test rows — int64 to ~10⁹ row-pairs per cell; past that,
     bucket days first.
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     b = e.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -1197,9 +1227,15 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .._util import half_up
 
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     t = e.select(
         "event_type",
         "event_id",
@@ -1485,9 +1521,15 @@ def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one lag + one lead over the series-keyed exchange; output is
     the (sparse) peak set.
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     t = e.select(
         "event_type",
         "event_id",

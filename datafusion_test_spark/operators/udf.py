@@ -250,7 +250,9 @@ def udf_grouped_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     model.fit(); the plumbing (schema, grouping, Arrow batches) is
     identical.
     """
-    e = table(spark, sf_dir, "events").withColumn(
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).withColumn(
         "value", finite("value")
     ).filter(
         F.col("value").isNotNull()

@@ -428,9 +428,15 @@ def win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames bounded by 20.  At 100 TB the partition key becomes
     (series_id) with millions of independent series — same plan.
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     t = e.select(
         "event_type",
         "event_id",
@@ -471,9 +477,15 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a series' history.  Carrier: |cum| ≤ rows·10⁶ — int64 to ~9·10¹²
     rows per series.
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(F.col("value").isNotNull())
+    # raw IsNotNull FIRST so it pushes to the parquet scan (row-group
+    # stats skip all-NULL groups); the finite guard then drops NaN/Inf,
+    # which no storage-level filter can express
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+    )
     t = e.select(
         "event_type",
         "event_id",

@@ -70,9 +70,11 @@ for _d in _DISC:
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(s, y): score + binary label, NULL scores excluded explicitly
     (same window-NULL-order rationale as quality.drift_ks)."""
-    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
+    e = table(spark, sf_dir, "events")
     return e.filter(
         F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
+    ).withColumn("value", finite("value")).filter(
+        F.col("value").isNotNull()
     ).select(
         F.col("value").alias("s"),
         F.when(F.col("event_type") == _POS, 1).otherwise(0).alias("y"),
@@ -195,9 +197,11 @@ def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by score desc with the event_id tie-break that makes the
     ordering total (Spark row_number and DuckDB row_number then agree on
     ties by construction — same rationale as join_asof's tie-break)."""
-    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
+    e = table(spark, sf_dir, "events")
     j = e.filter(
         F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
+    ).withColumn("value", finite("value")).filter(
+        F.col("value").isNotNull()
     ).select(
         "user_id",
         "event_id",
@@ -320,9 +324,11 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     global reduce.  Carrier: p_scaled ≤ 10⁶ per problem, so the sum
     stays < 2^63 up to ~9·10¹² problems.
     """
-    e = table(spark, sf_dir, "events").withColumn("value", finite("value"))
+    e = table(spark, sf_dir, "events")
     j = e.filter(
         F.col("event_type").isin(_POS, _NEG) & F.col("value").isNotNull()
+    ).withColumn("value", finite("value")).filter(
+        F.col("value").isNotNull()
     ).select(
         "user_id",
         "event_id",
@@ -399,11 +405,11 @@ def eval_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-integer sketch is mergeable, so this is a single reduce at any
     data size.
     """
-    e = table(spark, sf_dir, "events").withColumn(
-        "value", finite("value")
-    ).filter(
+    e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_AB_A, _AB_B) & F.col("value").isNotNull()
-    )
+    ).withColumn(
+        "value", finite("value")
+    ).filter(F.col("value").isNotNull())
     v = F.expr("cast(floor(value * 10000 + 0.5) as bigint)")
     a = F.col("event_type") == _AB_A
     t = e.select(
