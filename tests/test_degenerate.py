@@ -300,3 +300,23 @@ def test_finite_helpers_engine_parity(spark):
         assert (a is None) == (b is None), (i, a, b)
         if a is not None:
             assert [float(x) for x in a] == [float(x) for x in b]
+
+
+# round-7 dup-heavy corpus: every row cloned 4x — the corpus-scale
+# tie-break saturation state.  First sweep was 332/334 (the composite-
+# ordering discipline held); these pins keep the dedup/top-k families
+# executing on it
+DUP_SENSITIVE = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_clusters",
+    "topk_per_group",
+    "agg_minmax_by",
+    "agg_mode_median",
+]
+
+
+@pytest.mark.parametrize("name", DUP_SENSITIVE)
+def test_no_crash_on_dup(spark, corpora, name):
+    queries = registry_queries()
+    queries[name](spark, f"{corpora}/dup").collect()

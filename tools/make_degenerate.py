@@ -59,6 +59,16 @@ materializes two corpora with the exact testdata schemas:
                hold NaN.  -0.0 is deliberately NOT injected: engines
                agree it equals 0.0 but render it differently, so it
                poisons row-sort keys for purely cosmetic insight.
+* ``dup``    — every row cloned 4×: clones keep all payload/FK values
+               (extra facts against the same dimensions) and offset only
+               PRIMARY-key columns by j·2×10⁷ (NOT 10⁷ — that is the ANN
+               entries' _PLANT_OFFSET; a colliding clone offset collides
+               planted ids with clone ids, found on first run);
+               events.ts shifts j seconds per clone so the ASOF
+               (user_id, ts) uniqueness precondition holds.  Saturates
+               every tie-break (rank/argmax/max_by/top-k boundary) and
+               every dedup group at CORPUS scale, not the 8-row
+               ``pairs`` scale.
 * ``nulls``  — value/attribute columns NULLed on a deterministic
                per-column ~33% of rows (measures, prices, labels,
                props) and ~10% for load-bearing payloads (text,
@@ -400,6 +410,60 @@ def _ieee_table(t, name):
     return t
 
 
+# ---- dup-heavy corpus -------------------------------------------------------
+_DUP_K = 4
+# NOT 10_000_000: the self-verifying ANN/dedup entries plant twins at
+# vec_id + 10_000_000 (_PLANT_OFFSET) — a colliding clone offset makes
+# planted ids collide with clone-1 ids (found on this corpus's first run)
+_DUP_OFFSET = 20_000_000
+
+
+def _dup_table(t, name):
+    """Every row cloned _DUP_K times: clone j keeps all payload/FK values
+    (clones are extra facts against the same dimensions) and offsets only
+    the PRIMARY-key columns by j*_DUP_OFFSET so uniqueness contracts hold.
+    events.ts is offset by j seconds per clone, preserving the ASOF
+    (user_id, ts) uniqueness precondition.  The point: every tie-break
+    (rank/argmax/max_by/top-k boundary) and every dedup group saturates
+    at CORPUS scale, not the 8-row `pairs` scale."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    copies = []
+    for j in range(_DUP_K):
+        c = t
+        if j:
+            for key in _KEYS[name]:
+                i = c.schema.get_field_index(key)
+                typ = c.schema.field(i).type
+                vals = [
+                    v + j * _DUP_OFFSET if v is not None else None
+                    for v in c.column(key).to_pylist()
+                ]
+                c = c.set_column(i, c.schema.field(i), pa.array(vals, type=typ))
+            if name == "events":
+                i = c.schema.get_field_index("ts")
+                typ = c.schema.field(i).type
+                vals = [
+                    v + dt.timedelta(seconds=j) if v is not None else None
+                    for v in c.column("ts").to_pylist()
+                ]
+                c = c.set_column(i, c.schema.field(i), pa.array(vals, type=typ))
+        copies.append(c)
+    return pa.concat_tables(copies)
+
+
+def build_dup(src: str, dest_root: str) -> None:
+    dest = os.path.join(dest_root, "dup")
+    os.makedirs(dest, exist_ok=True)
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        out = _dup_table(t, name)
+        pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
+    print(f"dup: {len(TABLES)} tables -> {dest}")
+
+
 def build_subset(src: str, dest_root: str, salt: int) -> None:
     dest = os.path.join(dest_root, f"subset{salt}")
     os.makedirs(dest, exist_ok=True)
@@ -411,7 +475,7 @@ def build_subset(src: str, dest_root: str, salt: int) -> None:
 
 
 def build(src: str, dest_root: str) -> None:
-    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode", "ieee"):
+    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode", "ieee", "dup"):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
@@ -428,6 +492,8 @@ def build(src: str, dest_root: str) -> None:
                 out = _unicode_table(t, name)
             elif mode == "ieee":
                 out = _ieee_table(t, name)
+            elif mode == "dup":
+                out = _dup_table(t, name)
             else:
                 out = t.slice(0, 0 if mode == "empty" else 1)
             pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
@@ -446,5 +512,7 @@ if __name__ == "__main__":
     if subset_salts:
         for salt in subset_salts:
             build_subset(src, dest_root, salt)
+    elif "--dup" in sys.argv[1:]:
+        build_dup(src, dest_root)
     else:
         build(src, dest_root)
