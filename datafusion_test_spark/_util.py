@@ -208,12 +208,21 @@ def finite_vec(col) -> Column:
     the whole vector absent (the failed-forward-pass state) — one bad
     element already poisons every dot product, so partial salvage is
     meaningless.  Mapping to NULL reuses the NULL-embedding handling the
-    round-6 nulls corpus proved in every consumer.  Twin:
-    :func:`sql_finite_vec`."""
+    round-6 nulls corpus proved in every consumer.  A NULL ELEMENT is
+    the same class (it already poisons every dot product), and the
+    predicate must be null-safe: a bare ``F.exists`` returns NULL (not
+    false) for ``[1.0, NULL]``, which would NULL the vector here while
+    the oracle's ``list_filter`` drops NULL-predicate elements and KEEPS
+    it — so the rule is pinned both sides as "any NULL or non-finite
+    element marks the vector absent".  Twin: :func:`sql_finite_vec`."""
     if isinstance(col, str):
         col = F.col(col)
     bad = F.exists(
-        col, lambda x: F.isnan(x) | (x == F.lit(_INF)) | (x == F.lit(-_INF))
+        col,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (x == F.lit(_INF))
+        | (x == F.lit(-_INF)),
     )
     return F.when(~bad, col)
 
@@ -221,8 +230,8 @@ def finite_vec(col) -> Column:
 def sql_finite_vec(expr: str) -> str:
     """Oracle-side twin of :func:`finite_vec`."""
     return (
-        f"(CASE WHEN len(list_filter({expr}, "
-        f"x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN {expr} END)"
+        f"(CASE WHEN len(list_filter({expr}, x -> x IS NULL OR "
+        f"NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN {expr} END)"
     )
 
 

@@ -320,7 +320,11 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .filter(F.col("source").rlike("^[ -~]*$"))
+        # \A..\z, not ^..$: Java find() lets $ also match BEFORE a final
+        # line terminator, so an all-ASCII source ending in '\n' would
+        # pass here yet fail the oracle's RE2 regexp_matches ($ = end of
+        # text only).  \z pins end-of-input in Java; RE2 keeps ^..$.
+        .filter(F.col("source").rlike(r"\A[ -~]*\z"))
     )
     # upper-case by id BLOCK (div 20), not parity: source correlates with
     # doc_id % 20, so a parity rule would never produce both casings of
@@ -679,7 +683,7 @@ ORACLE = {
                    AS vec_sum,
                list_aggregate(list_transform(embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS vec_norm2
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
     """,
     # struct/map construction + field access collapses to the underlying
     # columns — the oracle states that semantic identity, hash-checking the

@@ -688,9 +688,13 @@ def join_asof_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros("ts").alias("us"),
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("iv"),
+        # finite(): NaN/Inf view values are ABSENT measurements (r7 ieee
+        # contract) — without the guard a NaN view sharing the user key
+        # with a click poisons its decimal sum (and the oracle's
+        # CAST(NaN AS DECIMAL) raises in DuckDB)
         F.when(
             (F.col("event_type") == "view") & F.col("value").isNotNull(),
-            F.col("value"),
+            finite("value"),
         ).alias("vv"),
     )
     w = (
@@ -749,7 +753,9 @@ ORACLE = {
         WITH e AS (
             SELECT user_id, event_id, ts, event_type, value,
                    epoch_us(ts) AS us
-            FROM events WHERE event_type IN ('click', 'view')
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value
+                  END) AS value) FROM events) events
+            WHERE event_type IN ('click', 'view')
         )
         SELECT c.user_id, c.event_id, c.ts,
                CAST(COALESCE(SUM(CASE WHEN v.event_type = 'view'
@@ -784,7 +790,7 @@ ORACLE = {
         WITH p AS (
             SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
                    CAST(embedding[2] AS DOUBLE) AS y
-            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2

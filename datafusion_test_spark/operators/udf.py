@@ -348,7 +348,7 @@ ORACLE = {
     """,
     "udtf_explode": """
         SELECT vec_id, CAST(i AS INT) AS pos, embedding[i] AS val
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
         WHERE vec_id < 50
     """,
     # Python's str.split(' ') and DuckDB's string_split agree exactly,

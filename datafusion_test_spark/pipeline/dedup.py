@@ -1509,11 +1509,11 @@ ORACLE = {
     """.format(_JACCARD_CTES=_JACCARD_CTES),
     "dedup_embed_cosine": f"""
         WITH cool AS (
-            SELECT label FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings GROUP BY label HAVING count(*) <= {_DF_CAP}
+            SELECT label FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings GROUP BY label HAVING count(*) <= {_DF_CAP}
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) a JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) b
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) a JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.95
           AND a.label IN (SELECT label FROM cool)
@@ -1548,7 +1548,7 @@ ORACLE = {
         FROM low
     """,
     "dedup_embed_lsh": """
-        WITH low AS (SELECT vec_id, embedding FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        WITH low AS (SELECT vec_id, embedding FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
                      ORDER BY vec_id LIMIT 50)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
                CAST(COUNT(*) FILTER (WHERE embedding IS NULL) AS BIGINT)

@@ -433,7 +433,7 @@ def _clip_oracle() -> str:
                a.vec_id AS img_id, b.vec_id AS txt_id,
                round({c}, 4) AS clip_sim,
                ({c} >= 0.0) AS kept
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) a JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) b
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) a JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) b
           ON a.vec_id // 2 = b.vec_id // 2
         WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
     """
@@ -468,14 +468,14 @@ ORACLE = {
     "mm_dataset_manifest": """
         WITH ids AS (
             SELECT doc_id AS sample_id FROM documents
-            UNION SELECT vec_id FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            UNION SELECT vec_id FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         ),
         d AS (
             SELECT doc_id AS sample_id, n_chars FROM documents
             WHERE doc_id % 9 <> 0
         ),
         e AS (
-            SELECT vec_id AS sample_id, label FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            SELECT vec_id AS sample_id, label FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
             WHERE vec_id % 11 <> 0
         )
         SELECT i.sample_id,
@@ -500,7 +500,7 @@ ORACLE = {
                e.label,
                k.max_k
         FROM documents d
-        JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) e ON d.doc_id = e.vec_id
+        JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) e ON d.doc_id = e.vec_id
         LEFT JOIN (
             SELECT user_id,
                    MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k

@@ -1224,7 +1224,7 @@ ORACLE = {
                CAST(1.0 AS DOUBLE) AS top_cos,
                true AS partition_pruned,
                true AS probed_subset
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
@@ -1233,7 +1233,7 @@ ORACLE = {
             SELECT vec_id, label, embedding,
                    list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE)))) AS absmax
-            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         ),
         qd AS (
             SELECT vec_id, label, embedding,
@@ -1270,7 +1270,7 @@ ORACLE = {
                true AS self_is_top,
                true AS twin_survives_with_equal_adc,
                true AS probed_subset
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
@@ -1282,7 +1282,7 @@ ORACLE = {
                    / count(*) * 10000 + 0.5
                ) AS DOUBLE) / 10000 AS centroid_val,
                count(*) AS n_vecs
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, (SELECT unnest(range(1, 65)) AS g)
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, (SELECT unnest(range(1, 65)) AS g)
         WHERE embedding IS NOT NULL
         GROUP BY label, pos
     """,
@@ -1293,13 +1293,13 @@ ORACLE = {
                64 AS compression_x,
                true AS planted_adc_equals_self,
                true AS codebook_bounded
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
     "embed_matryoshka_recall": f"""
         WITH q AS (
-            SELECT vec_id AS qid, embedding AS qvec FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            SELECT vec_id AS qid, embedding AS qvec FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_MAT_Q}
         ),
         s AS (
@@ -1307,7 +1307,7 @@ ORACLE = {
                    {sql_cosine('e.embedding', 'q.qvec')} AS cos_full,
                    {sql_cosine(f'e.embedding[1:{_MAT_DIM}]',
                                f'q.qvec[1:{_MAT_DIM}]')} AS cos_pre
-            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) e, q WHERE e.vec_id <> q.qid
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) e, q WHERE e.vec_id <> q.qid
         ),
         r AS (
             SELECT qid, vec_id,
@@ -1335,7 +1335,7 @@ ORACLE = {
                true AS twin_codes_match,
                true AS self_is_top_in_cell,
                true AS twin_ties_self_adc
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         WHERE embedding IS NOT NULL
         HAVING count(*) > 0
     """,
@@ -1346,14 +1346,14 @@ ORACLE = {
                true AS components_orthonormal,
                true AS eigs_nonincreasing,
                true AS proj_var_le_total
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL
     """,
     "embed_quantize": """
         WITH base AS (
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE)))) AS absmax
-            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         ), nz AS (SELECT * FROM base WHERE absmax > 0.0),
         qd AS (
             SELECT vec_id, absmax, embedding,
@@ -1378,19 +1378,19 @@ ORACLE = {
     """,
     "sim_topk": f"""
         WITH q AS (
-            SELECT embedding AS qvec FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
-            WHERE vec_id = (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL)
+            SELECT embedding AS qvec FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+            WHERE vec_id = (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL)
         )
         SELECT vec_id, label,
                ROUND({sql_cosine('embedding', 'qvec')}, 4) AS cos_sim
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, q
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings, q
         ORDER BY cos_sim DESC, vec_id
         LIMIT 20
     """,
     "sim_pairwise_topk": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) a JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) b
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) a JOIN (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) b
           ON a.label = b.label AND a.vec_id < b.vec_id
         ORDER BY cos_sim DESC, vec_a, vec_b
         LIMIT 10
@@ -1402,7 +1402,7 @@ ORACLE = {
         SELECT vec_id AS vec_a,
                vec_id + 10000000 AS vec_b,
                CAST(1.0 AS DOUBLE) AS cos_sim
-        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+        FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
         WHERE embedding IS NOT NULL
         ORDER BY vec_id
         LIMIT 10
@@ -1410,18 +1410,18 @@ ORACLE = {
     # the FROM ... WHERE n > 0 wrapper mirrors the Spark side: an empty
     # corpus has no query vector, so neither engine emits a result row
     "sim_ann_lsh": """
-        SELECT (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) AS query_id,
+        SELECT (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) AS query_id,
                TRUE AS self_is_top,
                CAST(1.0 AS DOUBLE) AS top_cos,
-               (SELECT label FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
-                WHERE vec_id = (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL)) AS label
-        FROM (SELECT count(*) AS n FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) WHERE n > 0
+               (SELECT label FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings
+                WHERE vec_id = (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL)) AS label
+        FROM (SELECT count(*) AS n FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) WHERE n > 0
     """,
     "sim_ivf": """
-        SELECT (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) AS query_id,
+        SELECT (SELECT MIN(vec_id) FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) AS query_id,
                TRUE AS self_is_top,
                CAST(1.0 AS DOUBLE) AS top_cos,
                TRUE AS probed_subset
-        FROM (SELECT count(*) AS n FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) WHERE n > 0
+        FROM (SELECT count(*) AS n FROM (SELECT * REPLACE ((CASE WHEN len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN embedding END) AS embedding) FROM embeddings) embeddings WHERE embedding IS NOT NULL) WHERE n > 0
     """,
 }

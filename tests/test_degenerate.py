@@ -268,6 +268,12 @@ def test_finite_helpers_engine_parity(spark):
         (2, inf, [inf, 1.0]),
         (3, -inf, [-inf]),
         (4, None, None),
+        # NULL element INSIDE a vector: pinned as "vector absent" — a
+        # bare F.exists would return NULL (not false) here and diverge
+        # from the oracle's list_filter, which drops NULL-predicate
+        # elements (advisor r7)
+        (5, 2.5, [1.0, None]),
+        (6, 3.5, [None]),
     ]
     t = pa.table(
         {
