@@ -397,6 +397,85 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def plan_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join split, plan-proven: the AUTOMATIC mitigation
+    ``join_skew_salted`` does by hand.  A deterministic remap points 90%
+    of lineitem keys at the smallest order key (the one-hot-tenant shape),
+    the join runs as a SortMergeJoin under
+    ``spark.sql.adaptive.skewJoin.enabled``, and the callable asserts from
+    the FINAL adaptive plan that ``OptimizeSkewedJoin`` split the hot
+    partition (``SortMergeJoin(skew=true)`` / ``AQEShuffleRead skewed``),
+    emitting the property as the driver-verified ``skew_handled`` column.
+
+    Local-scale calibration, documented because the defaults are sized
+    for production: skewedPartitionThresholdInBytes/advisoryPartitionSize
+    default to 256 MB/64 MB — correct at 100 TB, unreachable on a MB-scale
+    test corpus — so the probe scales them down (8/16 KB) to face the
+    optimizer with the same RELATIVE skew (hot partition ~100x median) it
+    would see from a hot tenant at scale; production keeps the defaults.
+    AQE splits a skewed partition at MAPPER granularity, so a single-row-
+    group local file (one map task) can never split — the round-robin
+    ``repartition(16)`` stands in for the thousands of map tasks a real
+    100 TB scan produces.  The merge hint stops AQE broadcasting the
+    sf0.01 build side, which would hide the property under test.
+
+    The contract on small inputs: ``skew_handled`` is "no unsplit skew
+    above 20k probe rows" — below that (empty/tiny/subset corpora) the
+    hot partition legitimately fits one task and the property is
+    vacuously true; at or above it the split MUST have happened.  The
+    result is materialized under the probe confs (a bounded <=5-row
+    aggregate) so the returned rows carry the plan property of the run
+    that was actually inspected; confs are restored either way.
+    """
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).repartition(16)
+        hot = o.agg(F.min("o_orderkey").alias("hot_key"))
+        probe = li.crossJoin(F.broadcast(hot)).select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.col("hot_key"))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        j = (
+            probe.join(o.hint("merge"), probe.k == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(F.col("l_quantity"), "sum_qty"),
+            )
+        )
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        split = "skew=true" in plan
+        n_probe = sum(r["n_items"] for r in rows)
+        handled = split or n_probe < 20000
+        return spark.createDataFrame(
+            [(r["o_orderpriority"], r["n_items"], r["sum_qty"], handled) for r in rows],
+            "o_orderpriority string, n_items bigint, sum_qty double, "
+            "skew_handled boolean",
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-co-located fact-fact join — the layout lever that removes the
     orders⋈lineitem shuffle entirely at 100 TB.
@@ -730,6 +809,7 @@ QUERIES = {
     "join_inner": join_inner,
     "join_null_safe": join_null_safe,
     "join_bucketed": join_bucketed,
+    "plan_aqe_skew_join": plan_aqe_skew_join,
     "join_skew_salted": join_skew_salted,
     "join_broadcast": join_broadcast,
     "join_left": join_left,
@@ -882,6 +962,19 @@ ORACLE = {
         SELECT o_orderpriority, COUNT(*) AS n_items,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    # the plain skewed-key join aggregate; skew_handled is the Spark-side
+    # plan property (OptimizeSkewedJoin split, or <20k probe rows)
+    "plan_aqe_skew_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               TRUE AS skew_handled
+        FROM (SELECT CASE WHEN l_orderkey % 10 < 9
+                          THEN (SELECT MIN(o_orderkey) FROM orders)
+                          ELSE l_orderkey END AS k, l_quantity
+              FROM lineitem) l
+        JOIN orders ON k = o_orderkey
         GROUP BY o_orderpriority
     """,
     "join_inner": """

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_test_spark.io import table
+
+from conftest import SF_SMALL
 from datafusion_test_spark.operators import joins, relational, sorting, subqueries
 from datafusion_test_spark.plans import introspect
 
@@ -411,3 +413,29 @@ def test_skyline_pareto_no_full_relation_global_sort(spark, sf_dir):
     df = skyline_pareto(spark, sf_dir)
     assert not _unbounded_global_windows(df)
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """plan_aqe_skew_join's property must hold NON-vacuously at sf0.01
+    (60k probe rows >= the 20k contract floor): OptimizeSkewedJoin split
+    the hot partition, and the emitted skew_handled column says so."""
+    df = joins.plan_aqe_skew_join(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert rows and all(r["skew_handled"] for r in rows)
+    assert sum(r["n_items"] for r in rows) >= 20000  # non-vacuous
+
+
+def test_aqe_skew_join_restores_session_confs(spark):
+    """The probe's scaled-down thresholds must not leak into the session
+    (they would mis-size every later query's partitions)."""
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    joins.plan_aqe_skew_join(spark, SF_SMALL).collect()
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert before == after
