@@ -489,6 +489,87 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven file pruning — the Iceberg/Delta scan pattern: a
+    file-level manifest (path, row_count, per-column min/max, built from
+    parquet FOOTERS at write time, exactly what an Iceberg manifest entry
+    stores) answers "which files can contain rows matching the
+    predicate?" BEFORE any data page is read; the scan then lists only
+    surviving files.  At 100 TB this turns a full directory listing +
+    scan into an O(n_files) metadata pass plus a scan of the overlapping
+    fraction — the difference between touching 3 files and 30,000.
+
+    Layout: orders range-partitioned into 6 files on o_totalprice (the
+    pay-once clustering that makes per-file ranges disjoint).  Query:
+    ``o_totalprice <= 150000``.  Pruning rule (Iceberg semantics): keep a
+    file iff its [min,max] overlaps the predicate range, drop stat-less
+    zero-row files (nothing to miss), keep stat-less files WITH rows (a
+    scanner may never skip data it has no stats for).  The predicate is
+    re-applied after the read — manifest pruning is file-granular, not
+    row-exact.
+
+    The driver-verified ``manifest_pruned`` column asserts the IO proof:
+    fewer files read than written, OR no file was fully above the
+    threshold (a layout where pruning is impossible — single-file corpus,
+    constant or all-below-threshold prices — makes the claim vacuously
+    true; a broken pruner that reads everything while prunable files
+    exist makes it FALSE).  Footer reads are O(n_files) driver-side
+    metadata, the same bounded shape layout_zonemap proved.
+    """
+    import pyarrow.parquet as pq
+
+    thr = 150000.0
+    out = os.path.join(scratch_dir("dfts_manifest_"), "orders_ranged")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    (
+        o.repartitionByRange(6, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    # manifest build: one footer read per file — (path, rows, min, max)
+    manifest = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(out, f)
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index("o_totalprice")
+        stats = [
+            st
+            for rg in range(md.num_row_groups)
+            if (st := md.row_group(rg).column(idx).statistics) is not None
+            and st.has_min_max
+        ]
+        lo = min((s.min for s in stats), default=None)
+        hi = max((s.max for s in stats), default=None)
+        manifest.append((path, md.num_rows, lo, hi))
+    # prune: overlap test against (-inf, thr]; stat-less files with rows
+    # must be read, zero-row files never
+    survivors = [
+        p
+        for p, n, lo, hi in manifest
+        if n > 0 and (lo is None or lo <= thr)
+    ]
+    prunable = any(lo is not None and lo > thr for _, n, lo, hi in manifest)
+    pruned = len(survivors) < len(manifest) or not prunable
+    if survivors:
+        rt = spark.read.schema(o.schema).parquet(*survivors)
+    else:
+        rt = spark.createDataFrame([], o.schema)
+    return (
+        rt.filter(F.col("o_totalprice") <= thr)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .withColumn("manifest_pruned", F.lit(bool(pruned)))
+    )
+
+
 def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-clustered parquet layout + a data-skipping proof read from the
     parquet FOOTERS — the zone-map/Z-order-lite pattern every 100 TB lake
@@ -710,6 +791,7 @@ QUERIES = {
     "scan_json_roundtrip": scan_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "layout_zonemap": layout_zonemap,
+    "scan_manifest_prune": scan_manifest_prune,
     "scan_schema_evolution": scan_schema_evolution,
     "scan_json_corrupt": scan_json_corrupt,
     "scan_time_travel": scan_time_travel,
@@ -874,6 +956,17 @@ ORACLE = {
         )
         SELECT user_id, event_id AS last_event, value AS last_value
         FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+    # the same predicate over the FULL table: file pruning must be
+    # row-invisible; manifest_pruned is the Spark-side IO proof
+    "scan_manifest_prune": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price,
+               TRUE AS manifest_pruned
+        FROM orders
+        WHERE o_totalprice <= 150000.0
+        GROUP BY o_orderpriority
     """,
     "layout_zonemap": """
         SELECT COUNT(*) AS n_rows,

@@ -86,3 +86,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP DATABASE IF EXISTS layoutdb CASCADE")
+
+
+def test_manifest_prune_nonvacuous_at_sf001(spark):
+    """scan_manifest_prune's IO claim must bite at sf0.01: ~70% of orders
+    exceed the 150k threshold, so with 6 range-partitioned files at least
+    one lies fully above it — manifest_pruned TRUE therefore implies
+    fewer files were read than written (not the vacuous branch)."""
+    from datafusion_test_spark.sources.connectors import scan_manifest_prune
+    from datafusion_test_spark.io import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = scan_manifest_prune(spark, sf).collect()
+    assert rows and all(r["manifest_pruned"] for r in rows)
+    o = table(spark, sf, "orders")
+    frac_above = (
+        o.filter(F.col("o_totalprice") > 150000.0).count() / o.count()
+    )
+    assert frac_above > 0.25  # at least one of 6 range files fully above
