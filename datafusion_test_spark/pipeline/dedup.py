@@ -860,6 +860,92 @@ def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARA_LEN = 60
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document paragraph dedup with ordered reassembly — the
+    RefinedWeb/CCNet pattern: cut every document into paragraphs, keep
+    each paragraph's FIRST corpus-wide occurrence (ordered by doc_id,
+    position), and rebuild documents from their surviving paragraphs.
+    Completes the dedup granularity ladder: corpus (corpus_jaccard) →
+    document (dedup_exact) → chunk pairs (dedup_chunk) → paragraph
+    REMOVAL with reassembly (this).
+
+    The testdata corpus has no newline paragraphing, so "paragraph" is a
+    fixed 60-codepoint segment INCLUDING the trailing partial one — the
+    segmentation is lossless (concat of segments == original text), which
+    makes the reassembly contract exact: a document none of whose
+    paragraphs appeared earlier reassembles to itself byte-for-byte.
+
+    Scale shape: the first-occurrence winner per paragraph is a
+    groupBy(para).min(struct(doc_id, pos)) — partial aggregation combines
+    map-side, so a boilerplate paragraph shared by millions of documents
+    never concentrates on one task the way a row_number() window on the
+    paragraph key would.  The flag join back on the paragraph string is
+    the one hot-key exposure (AQE skew-join splits it — the property
+    plan_aqe_skew_join proves); reassembly groups by doc_id, bounded by
+    a single document's paragraph count.  At 100 TB the join key would
+    be xxhash64(para) to shrink shuffle width (engines' xxhash64 differ,
+    so the oracle-checked contract joins on the string itself — same
+    plan shape, wider key).  Zero-kept documents remain in the result
+    with kept_text = '' (clones contribute their row count, not their
+    text — exactly CCNet's accounting).
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(length(text) /"
+                f" {_PARA_LEN}.0) as int)), k -> substring(text,"
+                f" (k-1)*{_PARA_LEN}+1, {_PARA_LEN}))"
+            )
+        ).alias("pos", "para"),
+    )
+    winners = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    flagged = paras.join(winners, "para").select(
+        "doc_id",
+        "pos",
+        "para",
+        (
+            (F.col("w.doc_id") == F.col("doc_id"))
+            & (F.col("w.pos") == F.col("pos"))
+        ).alias("kept"),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("pos", "para", "kept"))),
+                lambda s: s["kept"],
+            ),
+            lambda s: s["para"],
+        ),
+        "",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            kept_text.alias("_kt"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            F.length("_kt").cast("bigint").alias("kept_chars"),
+            F.md5(F.col("_kt")).alias("kept_fp"),
+        )
+    )
+
+
 def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance refinement of the blocked near-dup candidates — the
     precision pass a production dedup runs AFTER cheap blocking: levenshtein
@@ -1286,6 +1372,7 @@ QUERIES = {
     "dedup_embed_lsh": dedup_embed_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_chunk": dedup_chunk,
+    "dedup_paragraph": dedup_paragraph,
     "dedup_editdist": dedup_editdist,
 }
 
@@ -1396,6 +1483,46 @@ ORACLE = {
         _CONTAIN_DEN=_CONTAIN_DEN,
         _CONTAIN_NUM=_CONTAIN_NUM,
     ),
+    # the same first-occurrence-by-(doc_id,pos) rule stated with a
+    # window; string_agg reassembles in paragraph order (COALESCE: a
+    # zero-kept clone reassembles to '', matching array_join of empty)
+    "dedup_paragraph": f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        ks AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, CAST(ceil(length(text) / {_PARA_LEN}.0) AS BIGINT)
+                   )) AS k
+            FROM docs
+        ),
+        paras AS (
+            SELECT doc_id, CAST(k - 1 AS INT) AS pos,
+                   substring(text, CAST((k-1)*{_PARA_LEN}+1 AS INT),
+                             {_PARA_LEN}) AS para
+            FROM ks
+        ),
+        flag AS (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, pos
+                   ) = 1 AS kept
+            FROM paras
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(length(COALESCE(string_agg(
+                   CASE WHEN kept THEN para END, '' ORDER BY pos), ''))
+                   AS BIGINT) AS kept_chars,
+               md5(COALESCE(string_agg(
+                   CASE WHEN kept THEN para END, '' ORDER BY pos), ''))
+                   AS kept_fp
+        FROM flag
+        GROUP BY doc_id
+    """,
     "dedup_chunk": f"""
         WITH ks AS (
             SELECT doc_id, text,

@@ -314,6 +314,7 @@ def test_finite_helpers_engine_parity(spark):
 # executing on it
 DUP_SENSITIVE = [
     "dedup_exact",
+    "dedup_paragraph",
     "dedup_minhash",
     "dedup_clusters",
     "topk_per_group",

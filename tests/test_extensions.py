@@ -76,3 +76,28 @@ print("EXTENSION_OK", len(rows))
         timeout=300,
     )
     assert "EXTENSION_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_dedup_paragraph_reassembly_lossless(spark, sf_dir):
+    """A document none of whose paragraphs appeared earlier must
+    reassemble to ITSELF (segmentation is lossless by construction):
+    n_kept == n_paras implies kept_fp == md5(text) and kept_chars ==
+    length(text)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.pipeline.dedup import dedup_paragraph
+
+    out = dedup_paragraph(spark, sf_dir)
+    full = out.filter(F.col("n_kept") == F.col("n_paras"))
+    assert full.count() > 0  # the corpus has non-clone documents
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("want_fp"),
+        F.length("text").cast("bigint").alias("want_chars"),
+    )
+    bad = full.join(docs, "doc_id").filter(
+        (F.col("kept_fp") != F.col("want_fp"))
+        | (F.col("kept_chars") != F.col("want_chars"))
+    )
+    assert bad.count() == 0
