@@ -205,6 +205,115 @@ def stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_transactional_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged-commit exactly-once on foreachBatch — the two-phase pattern
+    table formats (Iceberg/Delta) implement, built on raw files so the
+    atomicity is OURS to prove, not the format's: each delivery STAGES
+    its batch under ``staged/epoch=E/attempt=K`` (data on disk, invisible),
+    then publishes by a put-if-absent commit marker ``commits/E.json``;
+    the read side lists the commit log and reads EXACTLY the one staged
+    attempt each marker names, ignoring uncommitted/duplicate attempts.
+
+    Extends stream_idempotent_sink, which proves idempotent UPSERTS (a
+    replay re-merges harmlessly) but needs a keyed target; staged-commit
+    is the shape for append-only sinks where replays must be invisible
+    WITHOUT a key: the unit of visibility is the epoch, not the row.
+
+    The replay is real: every micro-batch is delivered twice (the
+    at-least-once foreachBatch contract); attempt 1 stages a full second
+    copy, its commit loses the put-if-absent race, and its files stay
+    orphaned-invisible — exactly-once VISIBLE rows with zero row-level
+    dedup.  Put-if-absent here is an os.rename guarded by existence
+    (single-driver commit path, same thread); production object stores
+    use conditional PUT / atomic rename for the identical step, and
+    orphan staging is swept by table-maintenance GC (layout_compaction's
+    job), never by the commit path.
+
+    Scale: staging writes are the batch's own distributed write;
+    commit-log reads are O(epochs) driver-side metadata, the manifest
+    shape scan_manifest_prune proves.  ``replay_invisible`` asserts more
+    attempts were staged than committed (the replay actually exercised
+    the race) — vacuously true on an empty source with no batches.
+    """
+    tune(spark)
+    import glob as _glob
+    import json
+
+    from .._util import scratch_dir
+
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    root = scratch_dir("dfts_txn_")
+    staged_root = os.path.join(root, "staged")
+    commit_root = os.path.join(root, "commits")
+    os.makedirs(commit_root)
+
+    def deliver(batch_df: DataFrame, epoch_id: int, attempt: int) -> None:
+        stage = os.path.join(
+            staged_root, f"epoch={epoch_id}", f"attempt={attempt}"
+        )
+        batch_df.select("event_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        marker = os.path.join(commit_root, f"{epoch_id}.json")
+        if not os.path.exists(marker):  # put-if-absent: first commit wins
+            tmp = os.path.join(commit_root, f".tmp_{epoch_id}_{attempt}")
+            with open(tmp, "w") as f:
+                json.dump({"epoch": epoch_id, "attempt": attempt}, f)
+            os.rename(tmp, marker)
+
+    def redelivered(batch_df: DataFrame, epoch_id: int) -> None:
+        deliver(batch_df, epoch_id, 0)
+        deliver(batch_df, epoch_id, 1)  # the replay; its commit must lose
+
+    ckpt = tempfile.mkdtemp(prefix="dfts_txn_ckpt_")
+    q = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .writeStream.foreachBatch(redelivered)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    committed = []
+    for m in sorted(_glob.glob(os.path.join(commit_root, "*.json"))):
+        with open(m) as f:
+            c = json.load(f)
+        committed.append(
+            os.path.join(
+                staged_root, f"epoch={c['epoch']}", f"attempt={c['attempt']}"
+            )
+        )
+    n_staged = len(_glob.glob(os.path.join(staged_root, "epoch=*", "attempt=*")))
+    vis_schema = "event_id long, event_type string, value double"
+    if committed:
+        visible = spark.read.schema(vis_schema).parquet(*committed)
+    else:
+        visible = spark.createDataFrame([], vis_schema)
+    n_src = table(spark, sf_dir, "events").count()
+    return visible.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("event_id").alias("_k"),
+    ).select(
+        F.lit(n_src).alias("n_events"),
+        F.col("_n").cast("long").alias("n_visible"),
+        (F.col("_k") == F.col("_n")).alias("no_duplicates"),
+        (F.col("_n") == F.lit(n_src)).alias("exactly_once"),
+        F.lit(n_staged > len(committed) or n_src == 0).alias(
+            "replay_invisible"
+        ),
+    )
+
+
 def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint recovery, executed for real: a file-source stream runs
     to completion (availableNow), the source then grows by one new file,
@@ -353,6 +462,7 @@ QUERIES = {
     "stream_foreach_batch": stream_foreach_batch,
     "stream_stateful_run": stream_stateful_run,
     "stream_idempotent_sink": stream_idempotent_sink,
+    "stream_transactional_sink": stream_transactional_sink,
     "stream_checkpoint_resume": stream_checkpoint_resume,
 }
 
@@ -397,6 +507,14 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_target,
                TRUE AS no_duplicates,
                TRUE AS idempotent
+        FROM events
+    """,
+    "stream_transactional_sink": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_visible,
+               TRUE AS no_duplicates,
+               TRUE AS exactly_once,
+               TRUE AS replay_invisible
         FROM events
     """,
     "stream_checkpoint_resume": """

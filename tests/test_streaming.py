@@ -489,3 +489,15 @@ def test_stream_dlq_routing_ledger(spark, sf_dir):
     any_row = next(iter(rows.values()))
     assert any_row["nothing_lost"] and any_row["main_clean"]
     assert any_row["n_main"] == e.count() - n_null - n_neg
+
+
+def test_stream_transactional_sink_exactly_once_under_replay(spark, sf_dir):
+    """Every epoch is delivered twice; the staged-commit sink must leave
+    exactly-once VISIBLE rows (epoch-granular atomicity, no row dedup)
+    and the replay's second attempt must stay orphaned-invisible."""
+    from datafusion_test_spark.streaming.sinks import stream_transactional_sink
+
+    row = stream_transactional_sink(spark, sf_dir).collect()[0]
+    assert row["exactly_once"] and row["no_duplicates"]
+    assert row["n_visible"] == row["n_events"] > 0
+    assert row["replay_invisible"]  # more attempts staged than committed
