@@ -847,6 +847,80 @@ _KCORE_K = 3
 _KCORE_ROUNDS = 3
 
 
+def graph_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components as a FIRST-CLASS graph operator — the
+    large-star/small-star contraction (CC-MR, "Connected Components in
+    MapReduce and Beyond") that pipeline.dedup proved inside
+    dedup_clusters, surfaced over an explicit graph: the co-purchase
+    part graph restricted to RECURRING pairs (parts sharing >= 2 orders
+    — the threshold every co-occurrence graph applies so one shared
+    basket doesn't connect the world).  Emits one row per multi-node
+    component: component_id = min part key, n_nodes.
+
+    Scale: the pair expansion is Σ basket² (graph_common_neighbors's
+    bound) with the >= 2 filter applied INSIDE the grouped count —
+    shuffle once on the pair key, never all-pairs; the contraction is
+    O(log n) rounds of key-grouped mins + co-keyed joins over a
+    shrinking edge set with O(1) lineage via localCheckpoint
+    (pipeline.dedup._star_contract — shared machinery, identical
+    semantics).  Oracle: DuckDB recursive-CTE min-label propagation to
+    fixpoint, feasible because the testdata component diameters are
+    small; the Spark side's round count is logarithmic, which is the
+    whole point of the star algorithm at 100 TB.
+    """
+    from ..pipeline.dedup import _star_contract
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    stars = _star_contract(edges, par)
+    return (
+        stars.groupBy(F.col("v").alias("component_id"))
+        .agg((F.count(F.lit(1)) + F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+def _cc_sql() -> str:
+    return """
+        WITH RECURSIVE li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        eg AS (
+            SELECT a.p AS u, b.p AS v
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT u, v FROM eg UNION ALL SELECT v AS u, u AS v FROM eg
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM sym),
+        walk(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.v, w.lab FROM walk w JOIN sym s ON w.node = s.u
+            WHERE w.lab < s.v
+        ),
+        comp AS (SELECT node, MIN(lab) AS lab FROM walk GROUP BY node)
+        SELECT lab AS component_id, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM comp GROUP BY lab
+    """
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k = 3, 3 pruning rounds) on the co-purchase
     part graph — iteratively delete nodes with degree < k, recompute
@@ -1695,6 +1769,7 @@ QUERIES = {
     "join_interval_relations": join_interval_relations,
     "ts_debounce": ts_debounce,
     "graph_kcore": graph_kcore,
+    "graph_connected_components": graph_connected_components,
     "ts_seasonal_index": ts_seasonal_index,
     "feature_target_encode": feature_target_encode,
     "agg_regression": agg_regression,
@@ -2156,6 +2231,7 @@ ORACLE = {
         ) g JOIN a USING (user_id, burst_id)
     """,
     "graph_kcore": _kcore_sql(),
+    "graph_connected_components": _cc_sql(),
     "ts_seasonal_index": f"""
         WITH g AS (
             SELECT event_type,

@@ -518,7 +518,119 @@ def eval_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOOT_B = 200
+# Poisson(1) bootstrap weight thresholds: cumulative CDF at k=0..7 scaled
+# to 32-bit hex (the md5-prefix draw both engines share — curation's
+# domain_mix discipline).  Frozen at import; both plans embed the SAME
+# string literals, so no runtime exp() enters the hash contract.
+_BOOT_CDF_HEX = []
+_cum = 0.0
+for _k in range(8):
+    _cum += math.exp(-1.0) / math.factorial(_k)
+    _BOOT_CDF_HEX.append(format(min(16**8 - 1, int(_cum * 16**8)), "08x"))
+
+
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap 95% CI for an eval metric (mean purchase
+    value) — the error bar every leaderboard delta needs before a ship
+    decision.  The resampling is the POISSON bootstrap (each row enters
+    resample b with weight ~ Poisson(1)) rather than index resampling:
+    per-row weights are a pure map-side function of (event_id, b), so
+    the plan is scan → B-fold weight expansion (broadcast 200-row spine,
+    no shuffle) → one groupBy(b) with map-side combine — at 100 TB there
+    is no global row-index to sample from, which is exactly why
+    production bootstraps at scale are Poisson.
+
+    Determinism end to end: weights come from an md5(event_id:b) hex
+    draw against the frozen Poisson CDF thresholds; resample means are
+    decimal-carried then half-up rounded; the percentile is exact rank
+    selection (rank ceil(q·B') over valid resamples, tie-broken by b) —
+    no runtime exp/rand anywhere, so both engines agree bitwise.
+    Resamples whose total weight is 0 are invalid (no sampled rows → no
+    mean) and excluded from the rank base on both sides; an empty metric
+    base yields zero rows.
+    """
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == _POS)
+            & F.col("value").isNotNull()
+        )
+        .withColumn("value", finite("value"))
+        .filter(F.col("value").isNotNull())
+        .select("event_id", F.col("value").alias("v"))
+    )
+    spine = spark.range(1, _BOOT_B + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    w = F.when(h < _BOOT_CDF_HEX[0], 0)
+    for _i in range(1, 8):
+        w = w.when(h < _BOOT_CDF_HEX[_i], _i)
+    w = w.otherwise(8)
+    bs = base.crossJoin(F.broadcast(spine)).select(
+        "b", "v", w.alias("w")
+    )
+    means = (
+        bs.groupBy("b")
+        .agg(
+            F.sum((F.col("w") * F.col("v")).cast(DEC)).alias("sw"),
+            F.sum("w").alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .select(
+            "b",
+            half_up(F.col("sw").cast("double") / F.col("nw")).alias(
+                "mean_b"
+            ),
+        )
+    )
+    # bounded global window: exactly B <= 200 rows by construction
+    rn = F.row_number().over(Window.orderBy("mean_b", "b"))
+    r = means.select("mean_b", rn.alias("rn"))
+    tot = r.agg(F.count(F.lit(1)).cast("long").alias("bb"))
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        half_up(
+            F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )
+    lo_rank = F.expr("(bb * 25 + 999) div 1000")
+    hi_rank = F.expr("(bb * 975 + 999) div 1000")
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(full))
+        .groupBy("n", "bb", "mean_value")
+        .agg(
+            F.min(F.when(F.col("rn") == lo_rank, F.col("mean_b"))).alias(
+                "ci_lo"
+            ),
+            F.min(F.when(F.col("rn") == hi_rank, F.col("mean_b"))).alias(
+                "ci_hi"
+            ),
+        )
+        .select(
+            "n",
+            F.col("bb").alias("b_resamples"),
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
 QUERIES = {
+    "eval_bootstrap_ci": eval_bootstrap_ci,
     "eval_filter_parity": eval_filter_parity,
     "eval_ab_ztest": eval_ab_ztest,
     "eval_auc": eval_auc,
@@ -611,6 +723,49 @@ def _filter_parity_oracle() -> str:
 
 
 ORACLE = {
+    # identical md5-draw Poisson weights, decimal-carried half-up means,
+    # exact rank selection; frozen CDF hex thresholds inlined from
+    # _BOOT_CDF_HEX so both engines share the constants
+    "eval_bootstrap_ci": f"""
+        WITH base AS (
+            SELECT event_id, value AS v
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value
+                  END) AS value) FROM events) events
+            WHERE event_type = '{_POS}' AND value IS NOT NULL
+        ),
+        bs AS (
+            SELECT b, v,
+                   CASE
+                       {"".join(f"WHEN substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8) < '{h}' THEN {k} " for k, h in enumerate(_BOOT_CDF_HEX))}
+                       ELSE 8 END AS w
+            FROM base, (SELECT unnest(generate_series(1, {_BOOT_B})) AS b)
+        ),
+        means AS (
+            SELECT b,
+                   {sql_half_up("CAST(SUM(CAST(w * v AS DECIMAL(18,6))) AS DOUBLE) / SUM(w)")}
+                       AS mean_b
+            FROM bs GROUP BY b HAVING SUM(w) > 0
+        ),
+        r AS (
+            SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn
+            FROM means
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM r),
+        f AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   {sql_half_up("CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)")}
+                       AS mean_value
+            FROM base
+        )
+        SELECT n, bb AS b_resamples, mean_value,
+               MIN(CASE WHEN rn = (bb * 25 + 999) // 1000 THEN mean_b END)
+                   AS ci_lo,
+               MIN(CASE WHEN rn = (bb * 975 + 999) // 1000 THEN mean_b END)
+                   AS ci_hi
+        FROM r, tot, f
+        GROUP BY n, bb, mean_value
+    """,
+
     "eval_ab_ztest": f"""
         WITH t AS (
             SELECT

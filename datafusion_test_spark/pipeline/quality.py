@@ -411,6 +411,107 @@ def drift_ks(spark: SparkSession, sf_dir: str, par: int | None = None) -> DataFr
     )
 
 
+_PSI_N_BUCKETS = 10
+# frozen ln table, eval_ndcg's discipline: ln(k)·10⁶ for k = 1..100,
+# computed ONCE at import and inlined into BOTH the Spark plan and the
+# oracle SQL — the engines share the constants, so no runtime libm ever
+# enters the hash contract (ln(p/q) = ln(pct_p) - ln(pct_q); the /100
+# share scaling cancels in the difference)
+_PSI_LN6 = [round(__import__("math").log(k) * 1_000_000) for k in range(1, 101)]
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the events timeline, per value bucket — the production-monitoring
+    standard next to drift_ks's hypothesis statistic: PSI's per-bucket
+    contributions TELL YOU WHERE the distribution moved, and the fixed
+    0.1/0.25 thresholds make it an alerting primitive.
+
+    Deterministic construction end to end: the window split is the
+    integer midpoint of the event-time range; buckets are 10 fixed-width
+    cells over the finite value range (one IEEE multiply+divide — exact
+    cross-engine, unlike quantile buckets); shares quantize to integer
+    PERCENT with a floor-of-+0.5 half-up and the standard epsilon clamp
+    (0% → 1%, PSI's log(0) guard); and ln comes from the frozen
+    _PSI_LN6 table, so each bucket's contribution
+    (pct_ref - pct_cur)·(ln6[pct_ref] - ln6[pct_cur]) is INTEGER
+    arithmetic.  psi_contrib rescales once at the end (half-up, 6dp).
+
+    Scale shape: one bounds aggregate (broadcast back), one map-side-
+    combined groupBy(bucket) over the fact scan, and a 10-row tail — the
+    same two-pass profile as any min/max feature scan; nothing global,
+    nothing quadratic.  Windows with no data on either side emit no rows
+    (a half with zero observations has no distribution to compare —
+    drift_timeline's empty-day NULL is the per-day variant of the same
+    contract).
+    """
+    base = (
+        table(spark, sf_dir, "events")
+        .select(F.unix_micros("ts").alias("us"), finite("value").alias("v"))
+        .filter(F.col("v").isNotNull() & F.col("us").isNotNull())
+    )
+    bounds = base.agg(
+        F.min("us").alias("lo_us"),
+        F.max("us").alias("hi_us"),
+        F.min("v").alias("lo_v"),
+        F.max("v").alias("hi_v"),
+    )
+    t = base.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("us") <= F.expr("(lo_us + hi_us) div 2"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+        F.when(
+            F.col("hi_v") > F.col("lo_v"),
+            F.least(
+                F.lit(_PSI_N_BUCKETS - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo_v"))
+                    * float(_PSI_N_BUCKETS)
+                    / (F.col("hi_v") - F.col("lo_v"))
+                ).cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .alias("bucket"),
+    )
+    c = t.groupBy("bucket").agg(
+        F.sum("is_ref").alias("a"), F.sum(1 - F.col("is_ref")).alias("b")
+    )
+    tot = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    ln6 = F.array(*[F.lit(int(x)) for x in _PSI_LN6])
+    pct = lambda cnt, n: F.greatest(  # noqa: E731 — local twin of the SQL
+        F.lit(1), F.floor(cnt * 100.0 / n + 0.5).cast("int")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "bucket",
+            F.col("a").cast("long").alias("n_ref"),
+            F.col("b").cast("long").alias("n_cur"),
+            pct(F.col("a"), F.col("na")).alias("pct_ref"),
+            pct(F.col("b"), F.col("nb")).alias("pct_cur"),
+        )
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            "pct_ref",
+            "pct_cur",
+            (
+                (F.col("pct_ref") - F.col("pct_cur")).cast("long")
+                * (
+                    F.element_at(ln6, F.col("pct_ref"))
+                    - F.element_at(ln6, F.col("pct_cur"))
+                )
+            ).alias("contrib_scaled"),
+        )
+    )
+    return scored.withColumn(
+        "psi_contrib", half_up(F.col("contrib_scaled") / F.lit(1e8), 6)
+    )
+
+
 def drift_timeline(
     spark: SparkSession, sf_dir: str, par: int | None = None
 ) -> DataFrame:
@@ -664,6 +765,7 @@ QUERIES = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_l_diversity": privacy_l_diversity,
     "drift_ks": drift_ks,
+    "drift_psi": drift_psi,
     "drift_timeline": drift_timeline,
     "text_repetition": text_repetition,
     "lm_quality_filter": lm_quality_filter,
@@ -680,6 +782,8 @@ _SQL_KS_RATIO = _sql_half_up(
     "CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS DOUBLE) / (t.na * t.nb)",
     6,
 )
+
+_PSI_LN6_SQL = "[" + ", ".join(str(int(x)) for x in _PSI_LN6) + "]"
 
 ORACLE = {
     "privacy_pseudonymize": f"""
@@ -723,6 +827,52 @@ ORACLE = {
                CAST(max(n) AS BIGINT) AS top_source_n,
                (count(*) >= {_LDIV_L} AND 2 * max(n) <= SUM(n)) AS released
         FROM per GROUP BY lang
+    """,
+    # same frozen-ln6 integer construction; the f-string inlines the
+    # identical _PSI_LN6 constants the Spark plan carries
+    "drift_psi": f"""
+        WITH base AS (
+            SELECT epoch_us(ts) AS us, value AS v
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value
+                  END) AS value) FROM events) events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
+        ),
+        bounds AS (
+            SELECT min(us) lo_us, max(us) hi_us, min(v) lo_v, max(v) hi_v
+            FROM base
+        ),
+        t AS (
+            SELECT CASE WHEN us <= (lo_us + hi_us) // 2 THEN 1 ELSE 0 END
+                       AS is_ref,
+                   CASE WHEN hi_v > lo_v
+                        THEN least({_PSI_N_BUCKETS - 1}, CAST(floor(
+                            (v - lo_v) * {_PSI_N_BUCKETS}.0 / (hi_v - lo_v)
+                        ) AS INT))
+                        ELSE 0 END AS bucket
+            FROM base, bounds
+        ),
+        c AS (
+            SELECT bucket, CAST(SUM(is_ref) AS BIGINT) a,
+                   CAST(SUM(1 - is_ref) AS BIGINT) b
+            FROM t GROUP BY bucket
+        ),
+        tot AS (SELECT CAST(SUM(a) AS BIGINT) na, CAST(SUM(b) AS BIGINT) nb
+                FROM c),
+        p AS (
+            SELECT bucket, a AS n_ref, b AS n_cur,
+                   greatest(1, CAST(floor(a * 100.0 / na + 0.5) AS INT))
+                       AS pct_ref,
+                   greatest(1, CAST(floor(b * 100.0 / nb + 0.5) AS INT))
+                       AS pct_cur
+            FROM c, tot WHERE na > 0 AND nb > 0
+        )
+        SELECT bucket, n_ref, n_cur, pct_ref, pct_cur,
+               CAST((pct_ref - pct_cur) *
+                    ({_PSI_LN6_SQL}[pct_ref] - {_PSI_LN6_SQL}[pct_cur])
+                    AS BIGINT) AS contrib_scaled,
+               {_sql_half_up("((pct_ref - pct_cur) * " + f"({_PSI_LN6_SQL}[pct_ref] - {_PSI_LN6_SQL}[pct_cur])" + ") / 1e8", 6)}
+                   AS psi_contrib
+        FROM p
     """,
     "drift_ks": f"""
         WITH u AS (

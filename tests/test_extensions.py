@@ -101,3 +101,58 @@ def test_dedup_paragraph_reassembly_lossless(spark, sf_dir):
         | (F.col("kept_chars") != F.col("want_chars"))
     )
     assert bad.count() == 0
+
+
+def test_drift_psi_contributions_nonnegative(spark, sf_dir):
+    """PSI per-bucket contributions are (p-q)(ln p - ln q) with ln
+    monotone, so every contribution is >= 0; buckets live in [0, 10)."""
+    from datafusion_test_spark.pipeline.quality import drift_psi
+
+    rows = drift_psi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert r["contrib_scaled"] >= 0
+        assert 1 <= r["pct_ref"] <= 100 and 1 <= r["pct_cur"] <= 100
+
+
+def test_eval_bootstrap_ci_ordered_and_complete(spark, sf_dir):
+    """All 200 Poisson resamples are valid on real data; the rank-selected
+    CI is ordered and brackets a value near the full-sample mean."""
+    from datafusion_test_spark.pipeline.evals import eval_bootstrap_ci
+
+    row = eval_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert row["b_resamples"] == 200
+    assert row["ci_lo"] is not None and row["ci_hi"] is not None
+    assert row["ci_lo"] <= row["ci_hi"]
+    assert row["ci_lo"] <= row["mean_value"] * 1.5  # sanity bracket
+
+
+def test_graph_cc_partitions_edge_nodes(spark, sf_dir):
+    """Component sizes must sum to the number of nodes in the thresholded
+    co-purchase graph, and every component has >= 2 nodes."""
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark.io import table
+    from datafusion_test_spark.operators.analytics import (
+        graph_connected_components,
+    )
+
+    comps = graph_connected_components(spark, sf_dir).collect()
+    assert all(c["n_nodes"] >= 2 for c in comps)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    nodes = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(F.explode(F.array("u", "v")).alias("n"))
+        .distinct()
+        .count()
+    )
+    assert sum(c["n_nodes"] for c in comps) == nodes
