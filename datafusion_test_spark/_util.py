@@ -235,6 +235,39 @@ def sql_finite_vec(expr: str) -> str:
     )
 
 
+# Operational time domain for GRID-DERIVING operators (gap-fill,
+# resample): a single corrupt out-of-domain timestamp (year 1, 9999, a
+# 1582 scan artifact) otherwise makes a min..max time grid materialize
+# millions of cells — measured on the round-8 time corpus: rollup_gapfill
+# produced a 2.5 GiB driver result and ts_resample_interp hung, from ONE
+# bad row per event_type.  The contract mirrors the finite-measurement
+# rule: timestamps outside [1900, 2100) are data errors and operationally
+# ABSENT for operators whose COST is derived from the observed time
+# range.  Point-in-time operators (as-of joins, SCD, plain bucketing)
+# deliberately do NOT apply it — they process ancient dates at O(rows).
+SANE_TS_LO = "1900-01-01"
+SANE_TS_HI = "2100-01-01"
+
+
+def sane_ts_filter(df, col: str = "ts"):
+    """Filter to the operational time domain — applied to the RAW column
+    (plain range predicate → parquet row-group pruning stays intact, the
+    round-7 finite-guard pushdown lesson).  NULL timestamps drop too (a
+    grid cannot anchor on them; twin: :func:`sql_sane_ts_where`)."""
+    return df.filter(
+        (F.col(col) >= F.lit(SANE_TS_LO).cast("timestamp"))
+        & (F.col(col) < F.lit(SANE_TS_HI).cast("timestamp"))
+    )
+
+
+def sql_sane_ts_where(expr: str = "ts") -> str:
+    """Oracle-side twin of :func:`sane_ts_filter` (a WHERE fragment)."""
+    return (
+        f"{expr} >= TIMESTAMP '{SANE_TS_LO}' "
+        f"AND {expr} < TIMESTAMP '{SANE_TS_HI}'"
+    )
+
+
 _ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
 

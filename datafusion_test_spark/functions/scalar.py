@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .._util import ascii_lower
+from .._util import ascii_lower, sane_ts_filter, sql_sane_ts_where
 from ..io import table
 
 
@@ -58,8 +58,17 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """year/month/day/date_trunc/interval add/datediff/extract."""
-    o = table(spark, sf_dir, "orders")
+    """year/month/day/date_trunc/interval add/datediff/extract.
+
+    sane-time-domain guard (time corpus, round 8): this op DERIVES new
+    instants (+30 days, date_trunc), so a year-9999 input produces a
+    year-10000 due_ts that no Python/Arrow client can materialize, and a
+    year-1 input month-truncates onto 0001-01-01 (uncollectible: CPython's
+    fromtimestamp probes ±1 day for DST-fold detection).  Inputs outside
+    [1900, 2100) are data errors for derived-instant arithmetic — the
+    raw-column range filter keeps parquet pushdown; oracle carries the
+    matching WHERE."""
+    o = sane_ts_filter(table(spark, sf_dir, "orders"), "o_orderdate")
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("yr"),
@@ -623,6 +632,8 @@ ORACLE = {
                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
                CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr
         FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1900-01-01'
+          AND o_orderdate < TIMESTAMP '2100-01-01'
     """,
     "fn_math": """
         SELECT l_orderkey, l_linenumber,

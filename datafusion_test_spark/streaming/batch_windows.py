@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import DEC, finite
+from .._util import sane_ts_filter, sql_sane_ts_where, DEC, finite
 from ..io import table
 
 
@@ -28,7 +28,22 @@ def _events(spark, sf_dir):
     # finite-measurement contract: NaN/Inf value reads as NULL (absent).
     # Every oracle in this module carries the matching SELECT * REPLACE
     # guard (see _util.finite; ieee corpus, round 7).
-    return table(spark, sf_dir, "events").withColumn("value", finite("value"))
+    #
+    # sane-time-domain contract (time corpus, round 8): this module is the
+    # event-TIME surface — every operator here buckets, windows, or
+    # watermarks on ts.  In a live pipeline ONE year-9999 event advances
+    # the watermark past all real traffic (dropping everything after it),
+    # and a year-1 event can't even materialize on a Python client
+    # (datetime.fromtimestamp probes ±1 day for DST-fold detection, so any
+    # 0001-01-01 instant raises); window END arithmetic at 9999-12-31
+    # overflows the representable year range.  Out-of-domain timestamps
+    # are data errors and quarantined BEFORE the event-time column is
+    # used — the raw-column range filter keeps parquet row-group pruning
+    # (the round-7 pushdown lesson).  Every oracle in this module carries
+    # the matching WHERE inside its derived-events base.
+    return sane_ts_filter(table(spark, sf_dir, "events")).withColumn(
+        "value", finite("value")
+    )
 
 
 def tumbling(df: DataFrame) -> DataFrame:
@@ -195,6 +210,10 @@ def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     but no extra exchange.  At 100 TB the grid stays tiny while the
     event scan dominates — gapfill cost is independent of input volume.
     """
+    # the module-wide sane-time-domain guard in _events matters doubly
+    # here (grid-deriving op): one corrupt year-1/9999 timestamp otherwise
+    # explodes the min..max hourly grid to millions of cells (time corpus,
+    # round 8: 2.5 GiB driver result from ONE bad row per event_type)
     e = _events(spark, sf_dir)
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
@@ -242,6 +261,9 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two IGNORE-NULLS windows, and the arithmetic are all O(types ×
     hours), reusing the aggregate's partitioning on event_type.
     """
+    # grid-deriving like rollup_gapfill: the sane-time-domain guard in
+    # _events is what bounds the grid (time corpus, round 8: this op HUNG
+    # on one year-1 row before the guard)
     e = _events(spark, sf_dir)
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
@@ -467,7 +489,7 @@ ORACLE = {
             SELECT event_type,
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                    ts, event_id, value
-            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events WHERE value IS NOT NULL
         ),
         r AS (
             SELECT *,
@@ -495,7 +517,7 @@ ORACLE = {
         WITH counts AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                    event_type, count(*) AS n_events
-            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 1, 2
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events GROUP BY 1, 2
         )
         SELECT window_start,
                CAST(row_number() OVER (
@@ -512,7 +534,8 @@ ORACLE = {
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                        / count(*) AS v
-            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 1, 2
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events
+            GROUP BY 1, 2
         ),
         grid AS (
             SELECT event_type,
@@ -561,8 +584,8 @@ ORACLE = {
     "stream_join_outer": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
                p.ts AS purchase_ts, p.value AS purchase_value
-        FROM (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'click') c
-        LEFT JOIN (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'purchase') p
+        FROM (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
     """,
@@ -572,7 +595,8 @@ ORACLE = {
                    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                    count(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 1, 2
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events
+            GROUP BY 1, 2
         ),
         grid AS (
             SELECT event_type, unnest(generate_series(lo, hi,
@@ -594,8 +618,8 @@ ORACLE = {
     "stream_join_interval": """
         SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
                p.ts AS purchase_ts, p.value AS purchase_value
-        FROM (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'click') c
-        JOIN (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events WHERE event_type = 'purchase') p
+        FROM (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
     """,
@@ -606,19 +630,19 @@ ORACLE = {
                CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 2
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events GROUP BY 2
         UNION ALL
         SELECT 'hour',
                CAST(date_trunc('hour', ts) AS TIMESTAMP),
                COUNT(*),
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 2
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events GROUP BY 2
         UNION ALL
         SELECT 'day',
                CAST(date_trunc('day', ts) AS TIMESTAMP),
                COUNT(*),
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY 2
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events GROUP BY 2
     """,
     "stream_tumbling": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -626,7 +650,7 @@ ORACLE = {
                event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events
         GROUP BY 1, 2, 3
     """,
     "stream_sliding": """
@@ -634,7 +658,7 @@ ORACLE = {
                     - i * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events, UNNEST(generate_series(0, 3)) AS t(i)
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events, UNNEST(generate_series(0, 3)) AS t(i)
         GROUP BY 1, 2
     """,
     "stream_session": """
@@ -643,7 +667,7 @@ ORACLE = {
                    CASE WHEN epoch_us(ts) - epoch_us(
                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         ) >= 1800000000 THEN 1 ELSE 0 END AS new_session
-            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events
         ),
         numbered AS (
             SELECT user_id, ts,
@@ -669,19 +693,19 @@ ORACLE = {
                event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events
         GROUP BY 1, 2, 3
     """,
     "stream_stateful_count": """
         SELECT user_id, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY user_id
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events GROUP BY user_id
     """,
     "stream_dedup": """
         SELECT event_id,
                MIN(ts) AS ts,
                MIN(user_id) AS user_id,
                MIN(event_type) AS event_type
-        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events) events GROUP BY event_id
+        FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events GROUP BY event_id
     """,
 }

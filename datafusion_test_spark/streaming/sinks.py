@@ -110,6 +110,14 @@ def stream_stateful_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # column-prune BEFORE the Python boundary: the state op needs only
+    # (user_id, value), and every extra column pays Arrow serialization
+    # per micro-batch at 100 TB.  Also a correctness guard: pandas
+    # timestamps are ns-resolution ([1677, 2262] representable), so a
+    # year-9999 ts row would crash the Arrow→pandas conversion inside the
+    # worker (time corpus, round 8) — the state op never ships a column
+    # it doesn't reduce over.
+    src = src.select("user_id", "value")
     out = src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",

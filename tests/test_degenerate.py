@@ -327,3 +327,83 @@ DUP_SENSITIVE = [
 def test_no_crash_on_dup(spark, corpora, name):
     queries = registry_queries()
     queries[name](spark, f"{corpora}/dup").collect()
+
+
+# round-8 time-edges corpus: adversarial calendar instants (epoch
+# boundaries, the 1582 Julian gap, leap days, time_t max, year 1/9999).
+# First sweep found three real classes, all pinned here: (a) grid-deriving
+# ops exploding the min..max time grid on ONE out-of-domain row
+# (rollup_gapfill: 2.5 GiB driver result; ts_resample_interp: hang) — the
+# sane-time-domain contract (_util.sane_ts_filter) bounds them; (b) window
+# END / derived-instant arithmetic at 9999-12-31 overflowing the
+# representable year (stream_tumbling, fn_date); (c) the Arrow→pandas
+# boundary crashing on instants outside pandas' ns range (stream_
+# stateful_run — fixed by column-pruning ts before the Python boundary).
+TIME_SENSITIVE = [
+    "rollup_gapfill",
+    "ts_resample_interp",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_watermark_late",
+    "stream_stateful_run",
+    "fn_date",
+    "scan_orc_roundtrip",
+    "join_asof",            # point-in-time op: must HANDLE ancient/extreme ts
+    "stream_session",
+]
+
+
+@pytest.mark.parametrize("name", TIME_SENSITIVE)
+def test_no_crash_on_time(spark, corpora, name):
+    queries = registry_queries()
+    queries[name](spark, f"{corpora}/time").collect()
+
+
+def test_sane_ts_helpers_engine_parity(spark):
+    """sane_ts_filter()/sql_sane_ts_where() keep/drop exactly the same
+    rows in both engines across the edge instants the time corpus plants:
+    the [1900, 2100) boundaries are half-open, year-1/9999 extremes drop,
+    NULL drops (a grid cannot anchor on it), and everything operational
+    survives.  Reads REAL parquet for the same reason as the finite pin."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_test_spark._util import sane_ts_filter, sql_sane_ts_where
+
+    rows = [
+        (0, dt.datetime(1, 1, 2)),                      # drop (ancient)
+        (1, dt.datetime(1582, 10, 10, 12, 0)),          # drop (pre-domain)
+        (2, dt.datetime(1899, 12, 31, 23, 59, 59, 999999)),  # drop (lo-1µs)
+        (3, dt.datetime(1900, 1, 1)),                   # keep (lo inclusive)
+        (4, dt.datetime(1969, 12, 31, 23, 59, 59)),     # keep (pre-epoch)
+        (5, dt.datetime(2024, 2, 29, 12, 0)),           # keep
+        (6, dt.datetime(2099, 12, 31, 23, 59, 59, 999999)),  # keep (hi-1µs)
+        (7, dt.datetime(2100, 1, 1)),                   # drop (hi exclusive)
+        (8, dt.datetime(9999, 12, 31, 23, 59)),         # drop (far future)
+        (9, None),                                      # drop (no anchor)
+    ]
+    t = pa.table(
+        {
+            "i": [r[0] for r in rows],
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="dfts_time_pin_")
+    path = os.path.join(d, "t.parquet")
+    pq.write_table(t, path)
+
+    sdf = sane_ts_filter(spark.read.parquet(path))
+    got = sorted(r["i"] for r in sdf.select("i").collect())
+    con = duckdb.connect()
+    want = sorted(
+        i
+        for (i,) in con.execute(
+            f"SELECT i FROM read_parquet('{path}') WHERE {sql_sane_ts_where('ts')}"
+        ).fetchall()
+    )
+    assert got == want == [3, 4, 5, 6]

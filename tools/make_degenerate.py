@@ -410,6 +410,100 @@ def _ieee_table(t, name):
     return t
 
 
+# ---- time-edges corpus ------------------------------------------------------
+# Calendar/epoch adversarial instants.  The hunt targets: truncate-vs-floor
+# integer division on NEGATIVE pre-epoch microseconds (Spark `div` truncates
+# toward zero, DuckDB `//` floors — they differ exactly on negatives),
+# date_trunc/window bucketing across the epoch, proleptic-Gregorian vs
+# hybrid-calendar handling of the 1582 Julian gap, leap-day and
+# century-leap rules, the 32-bit time_t boundary, and year-9999 extremes
+# (capped a minute short of datetime.max so per-row µs uniquification
+# cannot overflow Python/Arrow datetime).  All values are UTC wall-clock;
+# the DST-gap instants matter if any operator ever localizes.
+import datetime as _dt
+
+_TIME_POOL = [
+    _dt.datetime(1969, 12, 31, 23, 59, 59),      # last pre-epoch second
+    _dt.datetime(1970, 1, 1, 0, 0, 0),           # epoch zero
+    _dt.datetime(1970, 1, 1, 0, 0, 0, 1),        # epoch + 1 µs
+    _dt.datetime(1969, 7, 20, 20, 17, 40),       # deep negative epoch
+    _dt.datetime(1582, 10, 10, 12, 0, 0),        # inside the Julian gap
+    _dt.datetime(1900, 2, 28, 23, 59, 59),       # 1900 is NOT a leap year
+    _dt.datetime(2000, 2, 29, 12, 0, 0),         # century leap day IS real
+    _dt.datetime(2016, 12, 31, 23, 59, 59, 999999),  # leap-second adjacency
+    _dt.datetime(2017, 1, 1, 0, 0, 0),
+    _dt.datetime(2021, 3, 14, 2, 30, 0),         # US DST spring-forward gap
+    _dt.datetime(2021, 11, 7, 1, 30, 0),         # US DST fall-back overlap
+    _dt.datetime(2024, 2, 29, 23, 59, 59, 999999),   # leap-day last µs
+    _dt.datetime(2038, 1, 19, 3, 14, 7),         # 32-bit time_t max
+    _dt.datetime(2038, 1, 19, 3, 14, 8),
+    # 0001-01-02, NOT 01-01: CPython's datetime.fromtimestamp probes
+    # +/-1 day for DST-fold detection, so ANY instant on 0001-01-01
+    # lands in year 0 and raises in every timezone — the engines compute
+    # it fine, but no PySpark driver (non-Arrow collect deserializes via
+    # fromtimestamp) nor pandas client can MATERIALIZE it.  Day two is
+    # the smallest collectible minimum-year instant (round-8 first
+    # sweep: 30 of 32 failures were this one Python-client class).
+    _dt.datetime(1, 1, 2, 0, 0, 0),              # minimum collectible year
+    _dt.datetime(9999, 12, 31, 23, 59, 0),       # maximum year (capped)
+]
+
+_TIME_DATE_POOL = [
+    _dt.datetime(1969, 12, 31),
+    _dt.datetime(1970, 1, 1),
+    _dt.datetime(1582, 10, 10),
+    _dt.datetime(1900, 2, 28),
+    _dt.datetime(2000, 2, 29),
+    _dt.datetime(2024, 2, 29),
+    _dt.datetime(1, 1, 2),  # see the fromtimestamp fold-probe note above
+    _dt.datetime(9999, 12, 31),
+]
+
+_TIME_COLS = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+
+def _time_table(t, name):
+    """Rewrite ~12% of the table's time column (md5-selected rows, same
+    keying as the other modes) with adversarial calendar instants.
+    events.ts values are uniquified with a per-row +idx µs so the ASOF
+    (user_id, ts) / global-ts uniqueness preconditions survive (idx stays
+    < pool spacing, so every edge keeps its semantic: pre-epoch stays
+    pre-epoch, the 9999 cap leaves a minute of headroom).  Date-valued
+    columns stay at midnight (their contract is day granularity)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if name not in _TIME_COLS:
+        return t
+    col = _TIME_COLS[name]
+    keys = list(zip(*[t.column(k).to_pylist() for k in _SUBSET_KEYS[name]]))
+
+    def _h(tag, row):
+        return int(
+            hashlib.md5(
+                (tag + ":" + ":".join(str(v) for v in row)).encode()
+            ).hexdigest(),
+            16,
+        )
+
+    i = t.schema.get_field_index(col)
+    typ = t.schema.field(i).type
+    vals = t.column(col).to_pylist()
+    pool = _TIME_POOL if name == "events" else _TIME_DATE_POOL
+    out, idx = [], 0
+    for v, row in zip(vals, keys):
+        h = _h("time:" + col, row)
+        if v is not None and h % 100 < 12:
+            edge = pool[h % len(pool)]
+            if name == "events":
+                edge = edge + _dt.timedelta(microseconds=idx)
+                idx += 1
+            v = edge
+        out.append(v)
+    return t.set_column(i, t.schema.field(i), pa.array(out, type=typ))
+
+
 # ---- dup-heavy corpus -------------------------------------------------------
 _DUP_K = 4
 # NOT 10_000_000: the self-verifying ANN/dedup entries plant twins at
@@ -475,7 +569,7 @@ def build_subset(src: str, dest_root: str, salt: int) -> None:
 
 
 def build(src: str, dest_root: str) -> None:
-    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode", "ieee", "dup"):
+    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode", "ieee", "dup", "time"):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
@@ -494,6 +588,8 @@ def build(src: str, dest_root: str) -> None:
                 out = _ieee_table(t, name)
             elif mode == "dup":
                 out = _dup_table(t, name)
+            elif mode == "time":
+                out = _time_table(t, name)
             else:
                 out = t.slice(0, 0 if mode == "empty" else 1)
             pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
