@@ -255,11 +255,21 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tagged = _tagged_click_purchase(table(spark, sf_dir, "events"))
     # clicks sort BEFORE purchases at equal ts (is_click desc) so a
-    # same-instant purchase is inside the click's lookahead frame (>=)
+    # same-instant purchase is inside the click's lookahead frame (>=).
+    # The lookahead is phrased as a RUNNING frame over the exact REVERSE
+    # order (desc_nulls_last mirrors asc-nulls-first), NOT first() over
+    # (currentRow, unboundedFollowing): Spark rescans current→end per
+    # row for UnboundedFollowing frames — O(rows²) in one user's events,
+    # a hang on hot users at 100 TB (time corpus, round 8, found on
+    # ts_resample_interp's 1.2M-row partitions).  Same values, O(rows).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", F.desc("is_click"), "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.desc_nulls_last("ts"),
+            F.asc("is_click"),
+            F.desc_nulls_last("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # row-level struct carry, same reason as join_asof: a NULL purchase
     # value must ride the match, not fall through to a later purchase
@@ -270,7 +280,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("p_ts").alias("ts"), F.col("p_value").alias("value")),
         ),
     )
-    nxt = F.first("p", ignorenulls=True).over(w)
+    nxt = F.last("p", ignorenulls=True).over(w)
     return (
         tagged.withColumn("next_ts", nxt["ts"])
         .withColumn("next_value", nxt["value"])
@@ -578,10 +588,17 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # reversed running frame, not an UnboundedFollowing frame — Spark
+    # evaluates the latter by rescanning current→end per row, O(rows²)
+    # in a hot user's partition (see join_asof_forward)
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.desc_nulls_last("ts"),
+            F.desc_nulls_last("is_click"),
+            F.desc_nulls_last("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # row-level struct carries (join_asof's discipline)
     tagged = tagged.withColumn(
@@ -592,7 +609,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     back = F.last("p", ignorenulls=True).over(w_back)
-    fwd = F.first("p", ignorenulls=True).over(w_fwd)
+    fwd = F.last("p", ignorenulls=True).over(w_fwd)
     carried = (
         tagged.withColumn("b_ts", back["ts"])
         .withColumn("b_val", back["value"])

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import ascii_lower
+from .._util import ascii_lower, sql_half_up
 from ..io import table
 from ._expr import shingles_of_words, sql_shingles
 
@@ -133,6 +133,56 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).alias("tok")
     )
     return _pack_bins(spark, d)
+
+
+# Byte budget per export shard for pipeline_shard_binpack (bytes, not
+# tokens: multimodal/export shards are IO-sized, not context-sized).
+_SHARD_BYTES = 8_000
+
+
+def pipeline_shard_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-balanced shard packing in size-DESCENDING order — the
+    straggler-shard mitigation for size-skewed corpora: seq_pack's
+    doc_id-order packing puts whatever sizes arrive together, so one run
+    of large documents yields a shard 10× its neighbors and that shard's
+    writer/reader straggles the whole stage at 100 TB.  Packing the
+    size-sorted stream (next-fit-decreasing, the streaming half of FFD —
+    a deterministic total order, unlike true FFD whose per-bin free-list
+    is inherently sequential) bounds per-shard overshoot by ONE smallest-
+    so-far document and makes shard byte-sums monotone-balanced.
+
+    The prefix sum over (bytes DESC, doc_id) is the same two-phase
+    range-partitioned idiom as _pack_bins — no global-order window, no
+    single-partition stage.  fill_ratio audits the balance claim: every
+    shard except the last lands within [1, 1 + max_doc/budget) of the
+    byte budget.
+    """
+    from .._util import half_up, two_phase_prefix
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.coalesce(F.octet_length("text"), F.lit(0))
+            .cast("long")
+            .alias("b"),
+        )
+        # ascending sort key = bytes DESC (two_phase_prefix ranges
+        # ascending); doc_id tie-break keeps equal-size rows total-ordered
+        # (dup corpus discipline: 4x clones are all equal-size)
+        .withColumn("nb", -F.col("b"))
+    )
+    par = max(4, spark.sparkContext.defaultParallelism // 4)
+    pre, _totals = two_phase_prefix(d, par, ["nb", "doc_id"], sum_cols=("b",))
+    packed = pre.withColumn("shard_id", F.expr(f"pre_b div {_SHARD_BYTES}"))
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("b").alias("bytes_sum"),
+        F.max("b").alias("max_doc_bytes"),
+        half_up(
+            F.sum("b").cast("double") / F.lit(float(_SHARD_BYTES))
+        ).alias("fill_ratio"),
+    )
 
 
 # Target sampling rate per language for domain_mix: <1 downsamples,
@@ -401,6 +451,7 @@ QUERIES = {
     "pipeline_shuffle": pipeline_shuffle,
     "text_contamination": text_contamination,
     "seq_pack": seq_pack,
+    "pipeline_shard_binpack": pipeline_shard_binpack,
     "domain_mix": domain_mix,
     "dedup_url": dedup_url,
     "pipeline_training_shards": pipeline_training_shards,
@@ -541,6 +592,26 @@ ORACLE = {
                COUNT(DISTINCT eg.eval_id) AS n_eval_docs_hit
         FROM cg JOIN eg ON cg.g = eg.g
         GROUP BY cg.doc_id
+    """,
+    "pipeline_shard_binpack": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(COALESCE(strlen(text), 0) AS BIGINT) AS b
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, b,
+                   CAST(COALESCE(SUM(b) OVER (
+                       ORDER BY b DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prefix
+            FROM t
+        )
+        SELECT prefix // {_SHARD_BYTES} AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(b) AS BIGINT) AS bytes_sum,
+               CAST(MAX(b) AS BIGINT) AS max_doc_bytes,
+               {sql_half_up(f"CAST(SUM(b) AS DOUBLE) / {_SHARD_BYTES}")} AS fill_ratio
+        FROM p GROUP BY 1
     """,
     "seq_pack": f"""
         WITH t AS (

@@ -629,7 +629,114 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bradley-Terry MM solver constants (eval_elo_bt): fixed iteration count
+# so both engines state the SAME unrolled updates; per-term 10^6 floor
+# scaling makes every denominator an exact integer sum; gammas are
+# half-up-rounded to 9 decimals and clamped at 1e-6 (a type that loses
+# every kept match legitimately sinks to the clamp, never to div-0).
+_BT_ITERS = 8
+_BT_CLAMP = 0.000001
+
+
+def _bt_step(gam: dict, dirn: dict, wins: dict) -> dict:
+    """One MM update (Hunter 2004), arithmetic chosen to be bit-identical
+    to the unrolled SQL twin: integer term floors, exact integer sums,
+    one double divide, half-up floor at 10^-9, clamp."""
+    den = {}
+    for (i, j), n in dirn.items():
+        den[i] = den.get(i, 0) + math.floor(
+            n * 1000000.0 / (gam[i] + gam[j]) + 0.5
+        )
+    out = {}
+    for i, d in den.items():
+        g = (
+            math.floor(
+                wins.get(i, 0) / (d / 1000000.0) * 1000000000.0 + 0.5
+            )
+            / 1000000000.0
+        )
+        out[i] = max(g, _BT_CLAMP)
+    return out
+
+
+def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength scores from pairwise preference outcomes —
+    the arena-style aggregate ranking (how LLM leaderboards turn pairwise
+    votes into a scale).  A "duel" is a user who engaged with two event
+    types unequally: the type with the higher event count wins (ties are
+    no-contest).  Types are kept only if they have >= 1 win AND >= 1 loss
+    (the standard BT identifiability condition); strengths come from
+    _BT_ITERS fixed MM iterations.
+
+    Determinism across engines: the duel/win/match aggregation is exact
+    integer SQL; the MM iteration's denominators are sums of
+    floor(n·10^6 / (γ_i+γ_j)) — exact integers — and each new γ is one
+    double divide, half-up floored at 10^-9, clamped at 1e-6.  The
+    oracle states the SAME 8 updates as unrolled CTEs (graph_kcore's
+    fixed-round discipline), so every intermediate is bit-equal.
+
+    Scale (100 TB): the duel expansion is per-user (≤ types² rows per
+    user, the join_basket_lift bound) and collapses map-side-combined
+    into a ≤ types² comparison graph — the solver then runs on
+    SUFFICIENT STATISTICS, a bounded O(types²) relation (collected:
+    ≤ 210 rows at 15 types; the d×d-gramian-partials discipline —
+    model fitting happens on aggregates, never on events)."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    duel = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .filter(F.col("a.n") != F.col("b.n"))
+        .select(
+            F.when(
+                F.col("a.n") > F.col("b.n"), F.col("a.event_type")
+            )
+            .otherwise(F.col("b.event_type"))
+            .alias("w"),
+            F.when(
+                F.col("a.n") > F.col("b.n"), F.col("b.event_type")
+            )
+            .otherwise(F.col("a.event_type"))
+            .alias("l"),
+        )
+    )
+    wl = duel.groupBy("w", "l").agg(F.count(F.lit(1)).alias("n"))
+    rows = wl.collect()  # bounded: <= |event types|^2 rows
+
+    winners = {r["w"] for r in rows}
+    losers = {r["l"] for r in rows}
+    kept = winners & losers
+    dirn: dict = {}
+    wins: dict = {}
+    for r in rows:
+        if r["w"] in kept and r["l"] in kept:
+            dirn[(r["w"], r["l"])] = dirn.get((r["w"], r["l"]), 0) + r["n"]
+            dirn[(r["l"], r["w"])] = dirn.get((r["l"], r["w"]), 0) + r["n"]
+            wins[r["w"]] = wins.get(r["w"], 0) + r["n"]
+    nodes = sorted({i for (i, _j) in dirn})
+    gam = {i: 1.0 for i in nodes}
+    for _ in range(_BT_ITERS):
+        gam = _bt_step(gam, dirn, wins)
+    matches = {}
+    for (i, _j), n in dirn.items():
+        matches[i] = matches.get(i, 0) + n
+    out = [
+        (t, wins.get(t, 0), matches[t], gam[t]) for t in nodes
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_wins bigint, n_matches bigint, bt_gamma double",
+    )
+
+
 QUERIES = {
+    "eval_elo_bt": eval_elo_bt,
     "eval_bootstrap_ci": eval_bootstrap_ci,
     "eval_filter_parity": eval_filter_parity,
     "eval_ab_ztest": eval_ab_ztest,
@@ -974,3 +1081,76 @@ ORACLE = {
 }
 
 ORACLE["eval_filter_parity"] = _filter_parity_oracle()
+
+
+def _bt_sql() -> str:
+    """Unrolled Bradley-Terry MM — the SAME _BT_ITERS updates and the
+    SAME scaled-floor arithmetic as _bt_step, stated as chained CTEs."""
+    upd = (
+        "greatest(floor(MIN(w.w)"
+        " / (SUM(CAST(floor(d.n * 1000000.0 / (gi.gamma + gj.gamma) + 0.5)"
+        " AS BIGINT)) / 1000000.0)"
+        " * 1000000000.0 + 0.5) / 1000000000.0, {clamp})"
+    ).format(clamp=_BT_CLAMP)
+    its = []
+    for k in range(1, _BT_ITERS + 1):
+        its.append(
+            f"""
+        it{k} AS MATERIALIZED (
+            SELECT d.i AS type, {upd} AS gamma
+            FROM dirn d
+            JOIN it{k - 1} gi ON gi.type = d.i
+            JOIN it{k - 1} gj ON gj.type = d.j
+            JOIN wins w ON w.t = d.i
+            GROUP BY d.i
+        )"""
+        )
+    return f"""
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        duel AS (
+            SELECT CASE WHEN a.n > b.n THEN a.event_type
+                        ELSE b.event_type END AS w,
+                   CASE WHEN a.n > b.n THEN b.event_type
+                        ELSE a.event_type END AS l
+            FROM c a
+            JOIN c b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+            WHERE a.n <> b.n
+        ),
+        wl AS MATERIALIZED (SELECT w, l, count(*) AS n FROM duel GROUP BY 1, 2),
+        kept AS (SELECT w AS t FROM wl INTERSECT SELECT l FROM wl),
+        kwl AS (
+            SELECT w, l, n FROM wl
+            WHERE w IN (SELECT t FROM kept) AND l IN (SELECT t FROM kept)
+        ),
+        wins AS MATERIALIZED (
+            SELECT k.t, CAST(COALESCE(SUM(kwl.n), 0) AS BIGINT) AS w
+            FROM kept k LEFT JOIN kwl ON kwl.w = k.t GROUP BY k.t
+        ),
+        dirn AS MATERIALIZED (
+            SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+                SELECT w AS i, l AS j, n FROM kwl
+                UNION ALL SELECT l AS i, w AS j, n FROM kwl
+            ) GROUP BY 1, 2
+        ),
+        it0 AS (
+            SELECT DISTINCT i AS type, CAST(1.0 AS DOUBLE) AS gamma
+            FROM dirn
+        ),{",".join(its)}
+        SELECT g.type AS event_type,
+               w.w AS n_wins,
+               m.n_matches,
+               g.gamma AS bt_gamma
+        FROM it{_BT_ITERS} g
+        JOIN wins w ON w.t = g.type
+        JOIN (
+            SELECT i, CAST(SUM(n) AS BIGINT) AS n_matches
+            FROM dirn GROUP BY i
+        ) m ON m.i = g.type
+    """
+
+
+ORACLE["eval_elo_bt"] = _bt_sql()

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import ascii_lower, dsum, half_up, r4, sql_dsum
+from .._util import ascii_lower, dsum, half_up, r4, sql_dsum, sql_half_up
 from ..io import table
 
 # BPE-ish word/number/punctuation tokenizer (shared by Spark and oracle).
@@ -796,7 +796,73 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR hashed-feature space: md5-prefix bucketing (2 hex chars = 256
+# buckets).  The public method (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") hashes n-grams into a
+# bounded feature space precisely so the target/background models stay
+# broadcastable at any corpus size.
+_DSIR_TARGET_LANG = "en"
+_DSIR_BUCKETS = 256
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-document mean likelihood ratio
+    of hashed-unigram features under a target model (lang='en' documents)
+    vs the background model (the whole corpus), Laplace +1 smoothed.
+
+    Same exactness discipline as text_ngram_lm: the per-token statistic
+    is the RATIO ((c_t+1)·(T_b+V)) / ((c_b+1)·(T_t+V)) instead of its
+    log — both products are exact integers (< 2^53, cast-to-double
+    lossless), so each token's r is ONE IEEE divide and the engines agree
+    to the last bit; the doc score is the decimal-carried mean.  A
+    log-space score would order documents identically per token but
+    drags in libm.
+
+    Scale: both models are ≤ V=256 rows — broadcast; the two count
+    aggregations are the only token-volume shuffles (map-side combined),
+    and the scoring join is map-side.  At 100 TB this is DSIR's own
+    architecture: the hashed feature space exists so the model never
+    grows with the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(ascii_lower("text"), " ")).alias("term"),
+    ).withColumn("bkt", F.substring(F.md5("term"), 1, 2))
+    c_b = tok.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_b"))
+    c_t = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    model = c_b.join(c_t, "bkt", "left").select(
+        "bkt", "c_b", F.coalesce("c_t", F.lit(0)).alias("c_t")
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("t_b"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_t"),
+    )
+    v = F.lit(_DSIR_BUCKETS)
+    r = ((F.col("c_t") + 1) * (F.col("t_b") + v)).cast("double") / (
+        (F.col("c_b") + 1) * (F.col("t_t") + v)
+    ).cast("double")
+    scored = tok.join(F.broadcast(model), "bkt").crossJoin(
+        F.broadcast(totals)
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        half_up(
+            F.sum(r.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dsir_weight"),
+    )
+
+
 QUERIES = {
+    "text_dsir_weights": text_dsir_weights,
     "text_keywords_rake": text_keywords_rake,
     "text_blocklist_filter": text_blocklist_filter,
     "corpus_vocab_growth": corpus_vocab_growth,
@@ -883,6 +949,38 @@ _BLOCK_SQL = "[" + ", ".join(f"'{t}'" for t in _BLOCK_TERMS) + "]"
 _STOP_ALL_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
 
 ORACLE = {
+    "text_dsir_weights": f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   substring(md5(unnest(string_split(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))), 1, 2) AS bkt
+            FROM documents
+        ),
+        cb AS (SELECT bkt, count(*) AS c_b FROM tok GROUP BY 1),
+        ct AS (SELECT bkt, count(*) AS c_t FROM tok
+               WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+        tot AS (
+            SELECT count(*) AS t_b,
+                   COALESCE(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                                     THEN 1 ELSE 0 END), 0) AS t_t
+            FROM tok
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CAST((COALESCE(c_t, 0) + 1) * (t_b + {_DSIR_BUCKETS})
+                        AS DOUBLE)
+                   / CAST((c_b + 1) * (t_t + {_DSIR_BUCKETS}) AS DOUBLE)
+                       AS r
+            FROM tok
+            JOIN cb USING (bkt)
+            LEFT JOIN ct USING (bkt)
+            CROSS JOIN tot
+        )
+        SELECT doc_id, lang, COUNT(*) AS n_tokens,
+               {sql_half_up("CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")}
+                   AS dsir_weight
+        FROM scored GROUP BY doc_id, lang
+    """,
     "text_keywords_rake": f"""
         WITH d AS (
             SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws

@@ -291,10 +291,19 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "nearest next known" as a RUNNING frame over the DESCENDING order,
+    # NOT first() over (currentRow, unboundedFollowing): Spark evaluates
+    # an UnboundedFollowing frame by rescanning current→end for EVERY
+    # row — O(rows²) per partition.  Invisible on a 720-hour month
+    # (260k ops), a hard hang on the time corpus's 1.2M-hour span
+    # (~10¹² ops) — and exactly the partition shape a years-deep backfill
+    # has at 100 TB.  The descending running frame is the same value,
+    # O(rows), at the cost of one extra in-partition sort (same single
+    # exchange: both windows hash-partition on event_type).
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     known_t = F.when(F.col("v").isNotNull(), F.col("t"))
     filled = j.select(
@@ -304,8 +313,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(known_t, ignorenulls=True).over(w_prev).alias("pt"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(known_t, ignorenulls=True).over(w_next).alias("nt"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(known_t, ignorenulls=True).over(w_next).alias("nt"),
     )
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))

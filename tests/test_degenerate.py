@@ -356,7 +356,11 @@ TIME_SENSITIVE = [
 @pytest.mark.parametrize("name", TIME_SENSITIVE)
 def test_no_crash_on_time(spark, corpora, name):
     queries = registry_queries()
-    queries[name](spark, f"{corpora}/time").collect()
+    df = queries[name](spark, f"{corpora}/time")
+    # full evaluation WITHOUT an O(result) driver transfer: the grid ops
+    # legitimately emit ~6M rows on this corpus (the noop sink runs the
+    # whole plan JVM-side; cross-engine parity is check_oracles' job)
+    df.write.mode("overwrite").format("noop").save()
 
 
 def test_sane_ts_helpers_engine_parity(spark):
