@@ -129,7 +129,14 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtype="object",
         )
 
-    li = table(spark, sf_dir, "lineitem")
+    # column-prune BEFORE the Python boundary: the aggregate reads two
+    # columns, and every other lineitem column would pay Arrow
+    # serialization per batch — including l_shipdate, whose extreme
+    # instants (time corpus, round 8) don't even CONVERT to pandas'
+    # ns-resolution timestamps.  Never ship a column the UDF doesn't use.
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
     return li.groupBy("l_returnflag").applyInPandas(
         geo_mean, schema="l_returnflag string, geo_price double"
     )
@@ -200,16 +207,24 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts column silently MISSING for some groups.  Each side therefore
     gets its own scan — the same discipline as self-join aliasing.
     """
-    clicks = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select("user_id", "ts")
-    )
-    purchases = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts")
-    )
+    # sane-time-domain quarantine (time corpus, round 8): ts IS this
+    # op's payload and it crosses the Arrow→pandas boundary, where only
+    # ns-resolution instants ([1677, 2262]) are representable — a single
+    # year-9999 event kills the worker.  The quarantine also keeps the
+    # nullable-group float64 fallback exact ([1900, 2100) micros < 2^53).
+    # Both oracle sides carry the matching WHERE.
+    from .._util import sane_ts_filter
+
+    clicks = sane_ts_filter(
+        table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "click"
+        )
+    ).select("user_id", "ts")
+    purchases = sane_ts_filter(
+        table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+    ).select("user_id", "ts")
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         n_c, n_p = len(left), len(right)
@@ -325,11 +340,19 @@ ORACLE = {
     "udf_cogrouped": """
         WITH c AS (
             SELECT user_id, count(*) AS n_clicks, min(ts) AS first_click
-            FROM events WHERE event_type = 'click' GROUP BY user_id
+            FROM events
+            WHERE ts >= TIMESTAMP '1900-01-01'
+              AND ts < TIMESTAMP '2100-01-01'
+              AND event_type = 'click'
+            GROUP BY user_id
         ),
         p AS (
             SELECT user_id, count(*) AS n_purchases, max(ts) AS last_purchase
-            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            FROM events
+            WHERE ts >= TIMESTAMP '1900-01-01'
+              AND ts < TIMESTAMP '2100-01-01'
+              AND event_type = 'purchase'
+            GROUP BY user_id
         )
         SELECT COALESCE(c.user_id, p.user_id) AS user_id,
                COALESCE(n_clicks, 0) AS n_clicks,
