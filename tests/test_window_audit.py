@@ -50,6 +50,7 @@ _SITE_ALLOWLIST = {
     "corpus_vocab_growth": "prefix frame over corpus/50 checkpoint buckets",
     "ivf_centroids": "row_number over orderBy().limit(k) centroid seeds",
     "_pq_train": "row_number over orderBy().limit(_PQ_K) seed ids",
+    "eval_bootstrap_ci": "rank over groupBy(b) of the B<=200 resample spine",
 }
 
 # registry entries whose final optimized plan retains an unpartitioned
