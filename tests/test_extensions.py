@@ -156,3 +156,71 @@ def test_graph_cc_partitions_edge_nodes(spark, sf_dir):
         .count()
     )
     assert sum(c["n_nodes"] for c in comps) == nodes
+
+
+def test_shard_binpack_balance_bound(spark, sf_dir):
+    """Next-fit-decreasing invariant: every shard's byte fill is within
+    [budget, budget + max_doc) except possibly the LAST (smallest
+    shard_id order = largest docs first; only the tail shard may be
+    underfull), and totals are conserved."""
+    import duckdb
+
+    from datafusion_test_spark.pipeline.curation import (
+        _SHARD_BYTES, pipeline_shard_binpack,
+    )
+
+    rows = sorted(
+        pipeline_shard_binpack(spark, sf_dir).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert rows
+    total = duckdb.sql(
+        f"SELECT COALESCE(SUM(COALESCE(strlen(text),0)),0) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["bytes_sum"] for r in rows) == total
+    for r in rows[:-1]:
+        # a non-final shard closed because the NEXT doc overflowed it:
+        # >= budget - max remaining doc; and overshoot < its own max doc
+        assert r["bytes_sum"] + r["max_doc_bytes"] > _SHARD_BYTES
+    # sizes are packed in DESCENDING order: shard max_doc_bytes monotone
+    maxes = [r["max_doc_bytes"] for r in rows]
+    assert maxes == sorted(maxes, reverse=True)
+
+
+def test_dsir_weights_target_scores_higher(spark, sf_dir):
+    """DSIR sanity on real data: the mean importance weight of target-
+    language documents must exceed the mean of non-target documents
+    (the whole point of the statistic), and every weight is positive."""
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark.pipeline.text import (
+        _DSIR_TARGET_LANG, text_dsir_weights,
+    )
+
+    df = text_dsir_weights(spark, sf_dir)
+    agg = (
+        df.groupBy(F.col("lang") == _DSIR_TARGET_LANG)
+        .agg(F.avg("dsir_weight").alias("m"), F.min("dsir_weight").alias("lo"))
+        .collect()
+    )
+    by = {bool(r[0]): r for r in agg if r[0] is not None}
+    assert by[True]["m"] > by[False]["m"]
+    assert all(r["lo"] > 0 for r in agg)
+
+
+def test_elo_bt_gamma_orders_by_win_rate_extremes(spark, sf_dir):
+    """BT sanity: every kept type has >= 1 win and >= 1 loss; gammas are
+    positive; and the type with the best win RATE outranks the worst
+    (BT strengths are monotone in dominance for a connected duel graph)."""
+    from datafusion_test_spark.pipeline.evals import eval_elo_bt
+
+    rows = eval_elo_bt(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_wins"] < r["n_matches"]
+        assert r["bt_gamma"] > 0
+    best = max(rows, key=lambda r: r["n_wins"] / r["n_matches"])
+    worst = min(rows, key=lambda r: r["n_wins"] / r["n_matches"])
+    if best["n_wins"] / best["n_matches"] > worst["n_wins"] / worst["n_matches"]:
+        assert best["bt_gamma"] > worst["bt_gamma"]
