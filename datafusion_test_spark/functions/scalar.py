@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .._util import ascii_lower, sane_ts_filter, sql_sane_ts_where
+from .._util import ascii_lower, sane_ts_filter
 from ..io import table
 
 

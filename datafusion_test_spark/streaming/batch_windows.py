@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._util import sane_ts_filter, sql_sane_ts_where, DEC, finite
+from .._util import sane_ts_filter, DEC, finite
 from ..io import table
 
 
