@@ -501,3 +501,59 @@ def test_stream_transactional_sink_exactly_once_under_replay(spark, sf_dir):
     assert row["exactly_once"] and row["no_duplicates"]
     assert row["n_visible"] == row["n_events"] > 0
     assert row["replay_invisible"]  # more attempts staged than committed
+
+
+def test_sane_ts_quarantine_prevents_watermark_poisoning(spark, tmp_path):
+    """The round-8 sane-time-domain contract, proven on the REAL streaming
+    path: one corrupt far-future event would otherwise advance the
+    watermark past all live traffic (every subsequent real event arrives
+    'late' and is dropped).  With sane_ts_filter applied BEFORE
+    withWatermark, the poison event is quarantined and real events that
+    arrive after it still create their windows."""
+    from datafusion_test_spark._util import sane_ts_filter
+
+    src_dir = str(tmp_path / "poison_src")
+    spark.createDataFrame([], "ts timestamp, k string").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    src = spark.readStream.schema("ts timestamp, k string").parquet(src_dir)
+    agg = (
+        sane_ts_filter(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_poison")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def feed(rows):
+            spark.createDataFrame(rows, "ts timestamp, k string").write.mode(
+                "append"
+            ).parquet(src_dir)
+
+        import datetime as dt
+
+        feed([(dt.datetime(2024, 1, 1, 0, 5), "a")])
+        time.sleep(4)
+        # the poison: a corrupt far-future instant (year 9999)
+        feed([(dt.datetime(9999, 12, 1, 0, 0), "poison")])
+        time.sleep(4)
+        # a REAL event after the poison — must still be aggregated
+        feed([(dt.datetime(2024, 1, 1, 6, 0), "a")])
+        time.sleep(4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("t_poison").collect()
+    starts = {r["w"]["start"] for r in rows}
+    import datetime as dt
+
+    assert dt.datetime(2024, 1, 1, 6, 0) in starts  # not dropped as late
+    assert all(s.year < 2100 for s in starts)       # poison quarantined
