@@ -147,11 +147,19 @@ def shingles_of_words(w: Column, n: int = 3) -> Column:
 
 
 def sql_shingles(text: str, n: int = 3) -> str:
-    """DuckDB twin of :func:`shingles`."""
-    w = f"string_split({text}, ' ')"
+    """DuckDB twin of :func:`shingles`.
+
+    The split is bound ONCE via a correlated scalar subquery.  The naive
+    inline form re-evaluated `string_split(text)` inside the per-element
+    lambda (no CSE across lambda captures), turning shingling O(words²):
+    measured 79 s and tens of GB for ONE 24k-word document vs 0.03 s
+    bound (long-document corpus, round 8).  The Spark twin never had the
+    hazard — its call sites pass a pre-split column."""
+    w = "__shw"
     parts = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(n))
     return (
-        f"CASE WHEN len({w}) >= {n} THEN "
+        f"(SELECT CASE WHEN len({w}) >= {n} THEN "
         f"list_distinct(list_transform(generate_series(1, len({w}) - {n - 1}), "
-        f"i -> {parts})) ELSE [] END"
+        f"i -> {parts})) ELSE [] END "
+        f"FROM (SELECT string_split({text}, ' ') AS {w}) __shs)"
     )

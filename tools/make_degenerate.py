@@ -504,6 +504,66 @@ def _time_table(t, name):
     return t.set_column(i, t.schema.field(i), pa.array(out, type=typ))
 
 
+# ---- long-document corpus ---------------------------------------------------
+# Multi-hundred-KB documents (~1000x the synthetic ~500 B norm).  The hunt:
+# quadratic-in-length text ops (per-pair edit distance, shingle explosion),
+# regex behavior on giant tokens, shuffle record sizes, and driver collects
+# of huge cells.  Four shapes, md5-assigned to ~8 docs:
+#   rep   — one sentence repeated (repetition/boilerplate detectors see a
+#           pathological doc; n-gram models see max-count collisions)
+#   uniq  — tens of thousands of DISTINCT tokens (vocab/tfidf/minhash row
+#           explosion concentrates in single documents)
+#   giant — a single ~100 KB token with no spaces (tokenizers must stay
+#           O(len); whitespace splits see ONE enormous word)
+#   mixed — long mixed prose with punctuation (the realistic big page)
+_LONG_N = 8
+
+
+def _long_text(kind: int, seed: int) -> str:
+    if kind == 0:    # rep: ~200 KB, 40-char sentence x 5000
+        return (f"the quick dataset row {seed % 97} repeats here. " * 5000).strip()
+    if kind == 1:    # uniq: ~170 KB of distinct tokens
+        return " ".join(f"w{seed % 7}x{i}" for i in range(24000))
+    if kind == 2:    # giant: single ~100 KB token
+        return "ab" * 50000
+    # mixed: ~250 KB prose
+    unit = (
+        f"Data page {seed % 13}, with commas, numbers 12{seed % 10} and "
+        "trailing clauses; also URLs like http://example.com/a?b=c. "
+    )
+    return (unit * 2500).strip()
+
+
+def _long_table(t, name):
+    """Rewrite _LONG_N md5-selected documents' text with multi-hundred-KB
+    payloads (n_chars kept consistent — metadata that lies about the blob
+    is a different corpus's job)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if name != "documents":
+        return t
+    keys = list(zip(*[t.column(k).to_pylist() for k in _SUBSET_KEYS[name]]))
+    ranked = sorted(
+        range(len(keys)),
+        key=lambda i: hashlib.md5(
+            ("long:" + ":".join(str(v) for v in keys[i])).encode()
+        ).hexdigest(),
+    )[:_LONG_N]
+    chosen = {i: rank for rank, i in enumerate(ranked)}
+    texts = t.column("text").to_pylist()
+    nchars = t.column("n_chars").to_pylist()
+    for i, rank in chosen.items():
+        texts[i] = _long_text(rank % 4, rank)
+        nchars[i] = len(texts[i])
+    ti = t.schema.get_field_index("text")
+    t = t.set_column(ti, t.schema.field(ti), pa.array(texts, type=pa.string()))
+    ni = t.schema.get_field_index("n_chars")
+    t = t.set_column(ni, t.schema.field(ni), pa.array(nchars, type=t.schema.field(ni).type))
+    return t
+
+
 # ---- dup-heavy corpus -------------------------------------------------------
 _DUP_K = 4
 # NOT 10_000_000: the self-verifying ANN/dedup entries plant twins at
@@ -569,7 +629,7 @@ def build_subset(src: str, dest_root: str, salt: int) -> None:
 
 
 def build(src: str, dest_root: str) -> None:
-    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode", "ieee", "dup", "time"):
+    for mode in ("empty", "tiny", "const", "pairs", "skew", "nulls", "unicode", "ieee", "dup", "time", "long"):
         dest = os.path.join(dest_root, mode)
         os.makedirs(dest, exist_ok=True)
         for name in TABLES:
@@ -590,6 +650,8 @@ def build(src: str, dest_root: str) -> None:
                 out = _dup_table(t, name)
             elif mode == "time":
                 out = _time_table(t, name)
+            elif mode == "long":
+                out = _long_table(t, name)
             else:
                 out = t.slice(0, 0 if mode == "empty" else 1)
             pq.write_table(out, os.path.join(dest, f"{name}.parquet"))
