@@ -146,6 +146,37 @@ def shingles_of_words(w: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def md5_capped_sample(arr: Column, cap: int) -> Column:
+    """Deterministic sample of ≤ ``cap`` elements from a string array: the
+    ``cap`` smallest by ``md5(element)`` (full element appended as the
+    tiebreak, so the key set is distinct and the selection is a pure
+    function of the element SET — input order never matters).  Used to
+    bound per-document shingle work in the near-dup index: MinHash over a
+    bounded shingle sample is the standard long-document mitigation, and
+    the md5 draw makes Spark and the DuckDB oracle twin
+    (:func:`sql_md5_capped`) sample identically.  Both engines emit
+    lowercase-hex md5 over UTF-8 bytes and compare strings bytewise, so
+    the selected sets are bit-identical (pinned incl. unicode in
+    tests/test_properties.py).  Lambdas reference only their own argument,
+    so the expression is safe under any optimizer substitution (no
+    per-element re-evaluation hazard — see _exploded_shingles in
+    pipeline/dedup.py for the hazard this discipline avoids)."""
+    keyed = F.array_sort(F.transform(arr, lambda s: F.concat(F.md5(s), s)))
+    return F.when(F.size(arr) <= cap, arr).otherwise(
+        F.transform(F.slice(keyed, 1, cap), lambda k: F.substring(k, 33, 2147483647))
+    )
+
+
+def sql_md5_capped(arr: str, cap: int) -> str:
+    """DuckDB twin of :func:`md5_capped_sample` (same key, same order,
+    same slice; ``k[33:]`` strips the 32-char hex prefix)."""
+    return (
+        f"CASE WHEN len({arr}) <= {cap} THEN {arr} "
+        f"ELSE list_transform(list_sort(list_transform({arr}, s -> md5(s) || s))"
+        f"[1:{cap}], k -> k[33:]) END"
+    )
+
+
 def sql_shingles(text: str, n: int = 3) -> str:
     """DuckDB twin of :func:`shingles`.
 

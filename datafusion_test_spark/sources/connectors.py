@@ -561,8 +561,18 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             if (st := md.row_group(rg).column(idx).statistics) is not None
             and st.has_min_max
         ]
-        lo = min((s.min for s in stats), default=None)
-        hi = max((s.max for s in stats), default=None)
+        # The "stat-less must be read" contract is per ROW GROUP, not per
+        # file: a file mixing stat-bearing and stat-less row groups has an
+        # UNKNOWN true min (the stat-less group may hold rows below any
+        # stat-bearing min), so its bound must be open (lo=None -> always
+        # read), never the min over only the groups that happen to carry
+        # stats.  Unreachable with Spark-written parquet (stats always
+        # written) but the fallback contract must hold for any writer.
+        if len(stats) < md.num_row_groups:
+            lo, hi = None, None
+        else:
+            lo = min((s.min for s in stats), default=None)
+            hi = max((s.max for s in stats), default=None)
         manifest.append((path, md.num_rows, lo, hi))
     # prune: overlap test against (-inf, thr]; stat-less files with rows
     # must be read, zero-row files never

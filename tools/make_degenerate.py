@@ -411,9 +411,15 @@ def _ieee_table(t, name):
 
 
 # ---- time-edges corpus ------------------------------------------------------
-# Calendar/epoch adversarial instants.  The hunt targets: truncate-vs-floor
-# integer division on NEGATIVE pre-epoch microseconds (Spark `div` truncates
-# toward zero, DuckDB `//` floors — they differ exactly on negatives),
+# Calendar/epoch adversarial instants.  The hunt targets: division rounding
+# on NEGATIVE pre-epoch microseconds — measured on this build (r9 advisor
+# check, `SELECT -7 // 2`): Spark `div` AND DuckDB integer `//` BOTH
+# truncate toward zero (-7 // 2 = -3), so for INTEGER operands the engines
+# agree, which is exactly why drift_psi's '(lo_us+hi_us) div 2' vs '// 2'
+# midpoints match; the documented divergence class exists only if either
+# engine's semantics change, or if an oracle lets `//` see non-integer
+# operands (DuckDB `-7.5 // 2` = -3.75 on this build — not floor division
+# — so never twin Spark `div` with a float-typed `//`),
 # date_trunc/window bucketing across the epoch, proleptic-Gregorian vs
 # hybrid-calendar handling of the 1582 Julian gap, leap-day and
 # century-leap rules, the 32-bit time_t boundary, and year-9999 extremes
