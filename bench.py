@@ -213,6 +213,18 @@ HEADLINE = [
     "udf_grouped_train",
     "fn_allocate_proportional",
     "agg_wilson_rank",
+    # round-8 growth slate (VERDICT r8 item 3: every new entry joins the
+    # bench groups the round it lands; these ten missed r8's close)
+    "plan_aqe_skew_join",
+    "scan_manifest_prune",
+    "dedup_paragraph",
+    "stream_transactional_sink",
+    "drift_psi",
+    "eval_bootstrap_ci",
+    "graph_connected_components",
+    "pipeline_shard_binpack",
+    "text_dsir_weights",
+    "eval_elo_bt",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

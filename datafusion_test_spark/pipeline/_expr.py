@@ -177,6 +177,31 @@ def sql_md5_capped(arr: str, cap: int) -> str:
     )
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def sql_indexed_unnest(text: str, n: int = 1, lower: bool = False) -> str:
+    """Lateral-free token/n-gram explode for DuckDB oracles: an
+    ``unnest((SELECT ...))`` expression yielding structs
+    ``{'pos': <0-based>, 'w1': tok[i], ..., 'w<n>': tok[i+n-1]}``.
+
+    The split is bound ONCE per row in a correlated scalar subquery — the
+    round-8 sql_shingles discipline.  The lateral shape it replaces
+    (``FROM cte, unnest(generate_series(1, len(w))) t(i)`` + ``w[i]``)
+    re-evaluates the inlined ``string_split`` once per GENERATED row —
+    O(words²·len) per document; measured 237.5 s → 0.3 s on the long
+    corpus's bigram relation with identical output (round 9)."""
+    src = f"translate({text}, '{_UPPER}', '{_LOWER}')" if lower else text
+    fields = ", ".join(f"'w{k + 1}': __w[i+{k}]" for k in range(n))
+    return (
+        f"unnest((SELECT CASE WHEN len(__w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(__w) - {n - 1}), "
+        f"i -> {{'pos': i - 1, {fields}}}) ELSE [] END "
+        f"FROM (SELECT string_split({src}, ' ') AS __w) __s))"
+    )
+
+
 def sql_shingles(text: str, n: int = 3) -> str:
     """DuckDB twin of :func:`shingles`.
 

@@ -659,6 +659,115 @@ def _bt_step(gam: dict, dirn: dict, wins: dict) -> dict:
     return out
 
 
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) — THE inter-annotator agreement
+    statistic for human-labeled SFT/preference data (handles missing
+    ratings, unlike Cohen's kappa).  Ratings are synthesized
+    deterministically from documents: 3 annotators, each present per doc
+    with ~15/16 probability (md5 draw), rating a base category
+    (md5(doc_id) mod 4) that each annotator independently flips to the
+    next category with ~1/8 probability — so agreement is high but
+    imperfect and alpha lands strictly inside (0, 1).
+
+    Exactness: the whole computation is integer until ONE final divide.
+    Per pairable unit (m_u >= 2 ratings), the off-diagonal coincidence
+    mass is m_u² − Σ_c n_uc² (no category self-join needed), weighted by
+    2/(m_u−1) ∈ {1, 2} — integers, no ratio per unit.  Margins reduce to
+    raw per-category counts over pairable units (Σ_u n_uc(m_u−1)/(m_u−1)).
+    α = [2·(N²−Σn_c²) − Do₂·(N−1)] / [2·(N²−Σn_c²)], one half-up round.
+    Properties pinned in tests/test_properties.py: perfect agreement ⇒
+    α = 1; category relabeling leaves α unchanged.
+
+    Scale (100 TB): two map-side-combined aggregates (by unit, then by
+    category) — the coincidence MATRIX never materializes, only its
+    diagonal mass and margins; no collect, no window.
+    """
+    # distinct: a unit is rated once per annotator even on corpora that
+    # repeat doc_id rows (const/dup axes) — this also pins m_u <= 3, which
+    # is what keeps the 2/(m_u-1) weight an exact integer below
+    d = table(spark, sf_dir, "documents").select("doc_id").distinct()
+    base = (
+        F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(concat(cast(doc_id as string), ':c')), 1, 1)) - 1"
+        )
+        % 4
+    )
+    r = (
+        d.select("doc_id", base.alias("base"), F.explode(F.expr("array(1,2,3)")).alias("k"))
+        .filter(
+            F.expr(
+                "substring(md5(concat(cast(doc_id as string), ':', "
+                "cast(k as string), ':p')), 1, 1)"
+            )
+            != F.lit("f")
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.when(
+                F.expr(
+                    "substring(md5(concat(cast(doc_id as string), ':', "
+                    "cast(k as string), ':f')), 1, 1)"
+                ).isin("0", "1"),
+                (F.col("base") + 1) % 4,
+            )
+            .otherwise(F.col("base"))
+            .alias("c"),
+        )
+    )
+    return _alpha_of_ratings(r)
+
+
+def _alpha_of_ratings(r: DataFrame) -> DataFrame:
+    """Nominal Krippendorff alpha over a (doc_id, k, c) rating relation —
+    the integer-exact coincidence computation (see eval_krippendorff_alpha
+    docstring).  Domain: m_u <= 3 ratings per unit (the ×2 scaling makes
+    2/(m_u−1) exact only for m ∈ {2,3}; callers guarantee it by distinct
+    doc_id × 3 annotators).  Factored out so tests/test_properties.py can
+    pin the mathematical properties (perfect agreement ⇒ α = 1; category
+    relabeling invariance) on constructed rating fixtures."""
+    nuc = r.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n_uc"))
+    per_u = nuc.groupBy("doc_id").agg(
+        F.sum("n_uc").alias("m_u"),
+        F.sum(F.col("n_uc") * F.col("n_uc")).alias("ss"),
+    ).filter(F.col("m_u") >= 2)
+    # Do2 = sum over pairable units of (m² − Σn²)·2/(m−1); margins = raw
+    # per-category counts restricted to pairable units (left_semi keeps
+    # the aggregate map-side combinable)
+    do2_row = per_u.agg(
+        F.coalesce(
+            F.sum(
+                (F.col("m_u") * F.col("m_u") - F.col("ss"))
+                * F.when(F.col("m_u") == 2, F.lit(2)).otherwise(F.lit(1))
+            ),
+            F.lit(0),
+        ).alias("do2"),
+        F.coalesce(F.sum("m_u"), F.lit(0)).alias("n_ratings"),
+        F.count(F.lit(1)).alias("n_units"),
+    )
+    marg = (
+        nuc.join(per_u.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("c")
+        .agg(F.sum("n_uc").alias("n_c"))
+        .agg(F.coalesce(F.sum(F.col("n_c") * F.col("n_c")), F.lit(0)).alias("ssm"))
+    )
+    de_den = 2 * (F.col("n_ratings") * F.col("n_ratings") - F.col("ssm"))
+    return do2_row.crossJoin(marg).select(
+        "n_units",
+        "n_ratings",
+        F.col("do2").cast("bigint").alias("do_s2"),
+        de_den.cast("bigint").alias("de_den2"),
+        F.when(
+            de_den > 0,
+            half_up(
+                (de_den - F.col("do2") * (F.col("n_ratings") - 1))
+                / de_den.cast("double")
+            ),
+        ).alias("alpha"),
+    )
+
+
 def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strength scores from pairwise preference outcomes —
     the arena-style aggregate ranking (how LLM leaderboards turn pairwise
@@ -736,6 +845,7 @@ def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "eval_krippendorff_alpha": eval_krippendorff_alpha,
     "eval_elo_bt": eval_elo_bt,
     "eval_bootstrap_ci": eval_bootstrap_ci,
     "eval_filter_parity": eval_filter_parity,
@@ -830,6 +940,56 @@ def _filter_parity_oracle() -> str:
 
 
 ORACLE = {
+    # same md5 draws (presence/flip), same integer coincidence identities
+    # (m² − Σn² off-diagonal mass, 2/(m−1) ∈ {1,2} weights), one half-up
+    # divide at the end — see eval_krippendorff_alpha's docstring
+    "eval_krippendorff_alpha": f"""
+        WITH d AS (SELECT DISTINCT doc_id FROM documents),
+        b AS (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR) || ':c'), 1, 1))
+                    - 1) % 4 AS base
+            FROM d
+        ),
+        r AS (
+            SELECT doc_id, k,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(k AS VARCHAR) || ':f'), 1, 1)
+                            IN ('0', '1')
+                        THEN (base + 1) % 4 ELSE base END AS c
+            FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(k AS VARCHAR) || ':p'), 1, 1) <> 'f'
+        ),
+        nuc AS (SELECT doc_id, c, COUNT(*) AS n_uc FROM r GROUP BY doc_id, c),
+        per_u AS (
+            SELECT doc_id, SUM(n_uc) AS m_u, SUM(n_uc * n_uc) AS ss
+            FROM nuc GROUP BY doc_id HAVING SUM(n_uc) >= 2
+        ),
+        do2 AS (
+            SELECT COALESCE(SUM((m_u * m_u - ss)
+                       * (CASE WHEN m_u = 2 THEN 2 ELSE 1 END)), 0) AS do2,
+                   COALESCE(SUM(m_u), 0) AS n_ratings,
+                   COUNT(*) AS n_units
+            FROM per_u
+        ),
+        marg AS (
+            SELECT COALESCE(SUM(n_c * n_c), 0) AS ssm FROM (
+                SELECT c, SUM(n_uc) AS n_c
+                FROM nuc SEMI JOIN per_u USING (doc_id)
+                GROUP BY c
+            )
+        )
+        SELECT CAST(n_units AS BIGINT) AS n_units,
+               CAST(n_ratings AS BIGINT) AS n_ratings,
+               CAST(do2 AS BIGINT) AS do_s2,
+               CAST(2 * (n_ratings * n_ratings - ssm) AS BIGINT) AS de_den2,
+               CASE WHEN 2 * (n_ratings * n_ratings - ssm) > 0 THEN
+                   {sql_half_up("(2 * (n_ratings * n_ratings - ssm) - do2 * (n_ratings - 1)) / CAST(2 * (n_ratings * n_ratings - ssm) AS DOUBLE)")}
+               END AS alpha
+        FROM do2 CROSS JOIN marg
+    """,
     # identical md5-draw Poisson weights, decimal-carried half-up means,
     # exact rank selection; frozen CDF hex thresholds inlined from
     # _BOOT_CDF_HEX so both engines share the constants

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
+from ._expr import sql_indexed_unnest
 from .text import _HITS_SQL, _PRED_SQL, langid_exprs
 
 _MIN_QUALITY = 0.5
@@ -441,12 +442,11 @@ ORACLE = {
         GROUP BY t.user_id
     """,
     "pipeline_span_corruption": f"""
-        WITH d AS (
-            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ),
-        tok AS (
-            SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS tok
-            FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+        WITH tok AS (
+            SELECT doc_id, u.pos AS pos, u.w1 AS tok FROM (
+                SELECT doc_id, {sql_indexed_unnest("text", 1)} AS u
+                FROM documents
+            )
         ),
         m AS (
             SELECT doc_id, pos, tok,

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._util import DEC, ascii_lower, finite, half_up, sql_half_up as _sql_half_up
+from ._expr import sql_indexed_unnest
 from ..io import table
 
 # Quality thresholds, chosen to discriminate on the synthetic corpus
@@ -950,20 +951,16 @@ ORACLE = {
         base AS (SELECT doc_id, len(w) AS n_words, w FROM d),
         g2 AS (
             SELECT doc_id, max(c) AS top2_cnt FROM (
-                SELECT doc_id, w[i] || ' ' || w[i+1] AS gram, count(*) AS c
-                FROM (SELECT doc_id, w,
-                             unnest(generate_series(1, len(w) - 1)) AS i
-                      FROM base WHERE len(w) >= 2)
+                SELECT doc_id, u.w1 || ' ' || u.w2 AS gram, count(*) AS c
+                FROM (SELECT doc_id, {sql_indexed_unnest("text", 2)} AS u FROM documents)
                 GROUP BY doc_id, gram
             ) GROUP BY doc_id
         ),
         g3 AS (
             SELECT doc_id, max(c) AS top3_cnt FROM (
-                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram,
+                SELECT doc_id, u.w1 || ' ' || u.w2 || ' ' || u.w3 AS gram,
                        count(*) AS c
-                FROM (SELECT doc_id, w,
-                             unnest(generate_series(1, len(w) - 2)) AS i
-                      FROM base WHERE len(w) >= 3)
+                FROM (SELECT doc_id, {sql_indexed_unnest("text", 3)} AS u FROM documents)
                 GROUP BY doc_id, gram
             ) GROUP BY doc_id
         )
@@ -987,12 +984,8 @@ ORACLE = {
             SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
         ),
         bi AS (
-            SELECT doc_id, w[k] AS w1, w[k+1] AS w2
-            FROM (
-                SELECT doc_id, w,
-                       unnest(generate_series(1, len(w) - 1)) AS k
-                FROM wd WHERE len(w) >= 2
-            )
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+            FROM (SELECT doc_id, {sql_indexed_unnest("text", 2, lower=True)} AS u FROM documents)
         ),
         ref AS (
             SELECT DISTINCT w1, w2 FROM bi WHERE doc_id % 2 = 0

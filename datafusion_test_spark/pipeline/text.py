@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .._util import ascii_lower, dsum, half_up, r4, sql_dsum, sql_half_up
 from ..io import table
+from ._expr import sql_indexed_unnest
 
 # BPE-ish word/number/punctuation tokenizer (shared by Spark and oracle).
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -195,8 +196,19 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PHONE_RE = r"\+1-555-[0-9]{4}"
+# RFC 5321 length bounds ({1,64} local part, {1,253} domain) instead of
+# unbounded `+`, for COST not semantics: Java's backtracking engine restarts
+# the greedy local-part munch at every scan position, O(len²) on a 100 KB
+# token with no '@' (measured 41.6 s per regexp pass on the long corpus's
+# giant-token doc — the whole "pii_scrub 520 s" item was this, on the SPARK
+# side; DuckDB's RE2 is linear-time and was never the cost).  With the bound
+# each restart munches ≤64 chars → linear.  Identical pattern text on both
+# engines (RE2 has no possessive quantifiers and diverges from Java on \b
+# next to non-ASCII letters — both rejected alternatives); >64-char local
+# parts match their 64-char suffix on BOTH engines (parity-checked incl.
+# unicode-adjacent, >64/>253 overflow, and multi-match rows).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"  # literal-prefixed: scan restarts are O(1)
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,7 +906,9 @@ _PRED_SQL = "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'und' " + " ".join(
     f"WHEN hits_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in sorted(_STOP)
 ) + " END"
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# oracle twins of _EMAIL_RE/_PHONE_RE — keep the strings byte-identical
+# (the RFC length bounds are a Java-cost fix; see the _EMAIL_RE comment)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+1-555-[0-9]{4}"
 
 _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
@@ -982,13 +996,12 @@ ORACLE = {
         FROM scored GROUP BY doc_id, lang
     """,
     "text_keywords_rake": f"""
-        WITH d AS (
-            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws
-            FROM documents
-        ),
-        tok AS (
-            SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS w
-            FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+        WITH tok AS (
+            SELECT doc_id, u.pos AS pos, u.w1 AS w FROM (
+                SELECT doc_id,
+                       {sql_indexed_unnest("text", 1, lower=True)} AS u
+                FROM documents
+            )
         ),
         flt AS (
             SELECT * FROM tok
@@ -1163,14 +1176,13 @@ ORACLE = {
                     AS DOUBLE) / 10000 AS score
         FROM s ORDER BY score_dec DESC, doc_id LIMIT {_BM25_TOPK}
     """,
-    "text_ngram_lm": """
-        WITH w AS (
-            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
-        ),
-        bi AS (
-            SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-            FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
-            WHERE len(w) >= 2
+    "text_ngram_lm": f"""
+        WITH bi AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+                SELECT doc_id,
+                       {sql_indexed_unnest("text", 2, lower=True)} AS u
+                FROM documents
+            )
         ),
         c12 AS (
             SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
@@ -1354,13 +1366,17 @@ ORACLE = {
         SELECT doc_id,
                -- NULL text has no fingerprint (Spark's fold over a NULL
                -- array is NULL; list_prepend(0, NULL) here folds to 0)
+               -- char list bound once: substr(text, i, 1) by CHARACTER
+               -- position is O(i) on UTF-8 (scan from the start), so the
+               -- per-index form is O(len²) per doc — 27.9 s -> 0.61 s on a
+               -- 250 KB document, identical values incl. unicode (round 9)
                CASE WHEN text IS NULL THEN NULL ELSE
-               list_reduce(
+               (SELECT list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
-                       list_transform(generate_series(1, length(text)),
-                                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-                   (acc, c) -> (acc * 31 + c) % 1000000007
-               ) END AS fingerprint
+                       list_transform(__c, ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)
+                FROM (SELECT string_split(text, '') AS __c) __s) END
+               AS fingerprint
         FROM documents
     """,
     "text_topterms": """

@@ -411,6 +411,79 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.select(*o.columns)
 
 
+def scan_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level lineage scan — `_metadata.file_path` + `_metadata.row_index`,
+    the lakehouse audit idiom: which physical file did a row come from, and
+    is the in-file row numbering contiguous?  (What Delta/Iceberg expose for
+    row-level tracking; Spark serves both as hidden metadata columns on any
+    file scan, no table format required.)
+
+    Layout: orders written partitionBy(bucket = o_orderkey % 4) after a
+    repartition(1), pinning exactly ONE parquet file per bucket directory so
+    the per-file contract is oracle-stateable (the repartition(1) is a
+    harness determinism device, NOT the production shape — per-file lineage
+    works identically with any file count; only the n_files=1 pin would go).
+
+    Driver-verified contracts per bucket, all computed from the ACTUAL
+    metadata columns: n_files (distinct file_path) = 1; path_ok — every
+    file's path embeds its own bucket value (`bucket=N`), i.e. lineage
+    column ↔ physical layout agree; idx_ok — row_index is exactly
+    0..n_rows-1 per file (min 0, max n-1, sum n(n-1)/2, order-insensitive
+    so the check is independent of which row got which index).
+
+    Plan property (tests/test_plans.py): metadata columns must not widen
+    ReadSchema — the scan reads o_orderkey only.  At 100 TB lineage is
+    footer-free constant-space bookkeeping per row; the aggregate is one
+    shuffle on (bucket, file).
+    """
+    out = os.path.join(scratch_dir("dfts_lineage_"), "orders_lineage")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    (
+        o.withColumn("bucket", (F.col("o_orderkey") % 4).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    # explicit schema: an empty source writes no partition dirs (cf.
+    # write_partitioned) and a schema-less read of bare _SUCCESS raises
+    schema = "o_orderkey bigint, bucket int"
+    rt = spark.read.schema(schema).parquet(out)
+    per_file = (
+        rt.select(
+            "bucket",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+            "o_orderkey",
+        )
+        .groupBy("bucket", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ri").alias("ri_min"),
+            F.max("ri").alias("ri_max"),
+            F.sum("ri").alias("ri_sum"),
+            F.min("o_orderkey").alias("min_okey"),
+            F.max("o_orderkey").alias("max_okey"),
+            F.sum("o_orderkey").alias("sum_okey"),
+        )
+    )
+    return per_file.groupBy("bucket").agg(
+        F.count_distinct("fp").cast("bigint").alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.every(
+            (F.col("ri_min") == 0)
+            & (F.col("ri_max") == F.col("n") - 1)
+            & (2 * F.col("ri_sum") == F.col("n") * (F.col("n") - 1))
+        ).alias("idx_ok"),
+        F.every(
+            F.col("fp").contains(F.concat(F.lit("bucket="), F.col("bucket")))
+        ).alias("path_ok"),
+        F.min("min_okey").alias("min_okey"),
+        F.max("max_okey").alias("max_okey"),
+        F.sum("sum_okey").alias("sum_okey"),
+    )
+
+
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (upsert) expressed as a full-outer join —
     what Delta/Iceberg MERGE compiles to, runnable on plain parquet.
@@ -820,6 +893,7 @@ QUERIES = {
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "layout_zonemap": layout_zonemap,
     "scan_manifest_prune": scan_manifest_prune,
+    "scan_row_lineage": scan_row_lineage,
     "scan_schema_evolution": scan_schema_evolution,
     "scan_json_corrupt": scan_json_corrupt,
     "scan_time_travel": scan_time_travel,
@@ -995,6 +1069,22 @@ ORACLE = {
         FROM orders
         WHERE o_totalprice <= 150000.0
         GROUP BY o_orderpriority
+    """,
+    # lineage contracts stated from the layout RULE (bucket = okey % 4,
+    # one file per bucket dir): Spark computes n_files/idx_ok/path_ok from
+    # the ACTUAL metadata columns, so a broken row_index or file pinning
+    # hash-mismatches the stated TRUE/1
+    "scan_row_lineage": """
+        SELECT CAST(o_orderkey % 4 AS INT) AS bucket,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS idx_ok,
+               TRUE AS path_ok,
+               MIN(o_orderkey) AS min_okey,
+               MAX(o_orderkey) AS max_okey,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+        FROM orders
+        GROUP BY 1
     """,
     "layout_zonemap": """
         SELECT COUNT(*) AS n_rows,

@@ -335,3 +335,37 @@ def test_safe_corr_matches_duckdb_and_nulls_on_zero_variance(spark):
     const = spark.createDataFrame([(1.0, v) for _, v in rows], "x double, y double")
     assert const.agg(safe_corr("x", "y").alias("c")).collect()[0]["c"] is None
     assert con.execute("SELECT corr(x, x * 0 + 1) FROM t").fetchone()[0] is None
+
+
+def test_krippendorff_alpha_properties(spark):
+    """Pins for _alpha_of_ratings (eval_krippendorff_alpha's core):
+    perfect agreement ⇒ α = 1; category relabeling leaves α unchanged;
+    independent-looking disagreement pushes α below 1; units with a
+    single rating are excluded (no pairable information)."""
+    from datafusion_test_spark.pipeline.evals import _alpha_of_ratings
+
+    def alpha(rows):
+        r = spark.createDataFrame(rows, "doc_id long, k int, c int")
+        return _alpha_of_ratings(r).collect()[0]
+
+    # perfect agreement over 4 units x 3 annotators
+    perfect = [(u, k, u % 3) for u in range(4) for k in (1, 2, 3)]
+    row = alpha(perfect)
+    assert row["alpha"] == 1.0 and row["do_s2"] == 0
+    assert row["n_units"] == 4 and row["n_ratings"] == 12
+
+    # mixed agreement: one unit splits 2-vs-1
+    mixed = [(0, 1, 0), (0, 2, 0), (0, 3, 1),
+             (1, 1, 1), (1, 2, 1), (1, 3, 1),
+             (2, 1, 2), (2, 2, 2)]
+    a1 = alpha(mixed)
+    assert a1["alpha"] is not None and a1["alpha"] < 1.0
+
+    # category relabeling invariance (0<->2 swap)
+    relabeled = [(u, k, {0: 2, 1: 1, 2: 0}[c]) for u, k, c in mixed]
+    assert alpha(relabeled)["alpha"] == a1["alpha"]
+
+    # single-rating units carry no pairable information
+    padded = mixed + [(9, 1, 3)]
+    a2 = alpha(padded)
+    assert a2["n_units"] == a1["n_units"] and a2["alpha"] == a1["alpha"]
