@@ -225,6 +225,12 @@ HEADLINE = [
     "pipeline_shard_binpack",
     "text_dsir_weights",
     "eval_elo_bt",
+    # round-9 slate
+    "scan_row_lineage",
+    "eval_krippendorff_alpha",
+    "text_bpe_train",
+    "stream_session_gap_stats",
+    "agg_tdigest_quantiles_bucketed",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -17,7 +17,7 @@ reproducibility* on an elastic cluster, not just oracle hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._util import dsum, finite, half_up, r4, safe_corr, sql_dsum, sql_half_up
@@ -1247,7 +1247,59 @@ def agg_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_tdigest_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-histogram quantiles — the streaming/mergeable quantile shape
+    (what a t-digest/GK sketch approximates), phrased so the statistic is
+    EXACT and SQL-twinnable: values are floored into unit buckets, the
+    per-(type, bucket) histogram is one map-side-combined count aggregate
+    (fixed-size state — the eval_auc carrier note's prescription past
+    2·10⁹ rows), and the p50/p90/p99 BUCKETS are read off the cumulative
+    histogram.  "Quantile bucket" = the smallest bucket whose cumulative
+    count reaches ceil(q·N) — integer rank arithmetic end to end, both
+    engines truncating division identically (the r9 advisor note).
+
+    Scale: the only O(N) work is the histogram aggregate; the cumulative
+    window runs over O(#buckets) rows per type.  NULL / non-finite values
+    are absent (finite-measurement contract).
+    """
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_type", finite("value").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    h = (
+        e.select("event_type", F.floor("v").cast("bigint").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = h.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    def q_bucket(pct: int):
+        # ceil(N·pct/100) in INTEGER division (Spark DIV ≡ DuckDB // for
+        # integers — both truncate toward zero; r9 advisor note)
+        rank = F.expr(f"(n * {pct} + 99) DIV 100")
+        return F.min(F.when(F.col("cum") >= rank, F.col("bucket"))).alias(
+            f"p{pct}_bucket"
+        )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        q_bucket(50),
+        q_bucket(90),
+        q_bucket(99),
+    )
+
+
 QUERIES = {
+    "agg_tdigest_quantiles_bucketed": agg_tdigest_quantiles_bucketed,
     "agg_wilson_rank": agg_wilson_rank,
     "agg_anova_eta": agg_anova_eta,
     "agg_abc_class": agg_abc_class,
@@ -1287,6 +1339,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    # same unit-bucket histogram, same integer ceil-rank selection
+    "agg_tdigest_quantiles_bucketed": """
+        WITH e AS (
+            SELECT event_type, value AS v
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value
+                  END) AS value) FROM events) events
+            WHERE value IS NOT NULL
+        ),
+        h AS (
+            SELECT event_type, CAST(floor(v) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM e GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT event_type, bucket, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM h
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END)
+                   AS p50_bucket,
+               MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket END)
+                   AS p90_bucket,
+               MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END)
+                   AS p99_bucket
+        FROM c GROUP BY event_type
+    """,
     "agg_wilson_rank": """
         WITH g AS (
             SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,

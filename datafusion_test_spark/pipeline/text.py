@@ -873,7 +873,126 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 6
+_BPE_EOW = "</w>"
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE merge-table training (Sennrich et al. 2016,
+    arXiv:1508.07909) — ``_BPE_ROUNDS`` fixed rounds of "count adjacent
+    symbol pairs, merge the most frequent".  Completes the tokenizer
+    story next to text_tokens' BPE-ish regex and text_vocab_build.
+
+    Shape (the standard reduction): training runs on the VOCABULARY
+    relation (distinct word, occurrence count), never on the corpus —
+    at 100 TB the token explode collapses map-side into O(vocab) rows
+    and every later round is vocabulary-sized.  Each word is a row-form
+    symbol sequence (characters + a terminal '</w>'); each round is one
+    pair-count aggregate (map-side combined, weighted by word count), a
+    1-row top-pair collect (bounded-collect discipline), and a windowed
+    merge partitioned by word.
+
+    Merge semantics, stated identically in the oracle's unrolled
+    MATERIALIZED CTEs (the eval_elo_bt pattern): candidates are positions
+    where (sym, next sym) = (l, r); consecutive candidates only arise
+    when l = r, where left-to-right non-overlapping application keeps the
+    1st, 3rd, ... of each run (gaps-and-islands + row_number parity —
+    'aaaa' merges to 'aa','aa', 'aaa' to 'aa','a').  Ties on pair count
+    break lexicographically on (l, r) — binary string compare, identical
+    in both engines.  Rounds after the pair supply is exhausted emit
+    nothing on both sides.
+
+    Returns the merge table: (merge_round, left_sym, right_sym, merged,
+    pair_count).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    d = table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    # the word itself never reaches the output — carry md5(word) as the
+    # sequence key, NOT the word: a symbol row per character times the
+    # full word string is O(len²) bytes per word (a single 100 KB token
+    # OOMed the executor; 32 hex bytes per row is flat at any word length)
+    seq = vocab.select(
+        F.md5(F.col("w").cast("binary")).alias("word"),
+        "wcount",
+        F.posexplode(
+            F.concat(F.split("w", ""), F.array(F.lit(_BPE_EOW)))
+        ).alias("pos", "sym"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    wnd = Window.partitionBy("word").orderBy("pos")
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pc = (
+            seq.select(
+                "word", "wcount", F.col("sym").alias("l"),
+                F.lead("sym").over(wnd).alias("r"),
+            )
+            .filter(F.col("r").isNotNull())
+            .groupBy("l", "r")
+            .agg(F.sum("wcount").alias("c"))
+        )
+        top = pc.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((rnd, l, r, l + r, int(c)))
+        cand = seq.select(
+            "word", "wcount", "pos", "sym",
+            (
+                (F.col("sym") == F.lit(l))
+                & (F.lead("sym").over(wnd) == F.lit(r))
+            ).alias("cand"),
+        )
+        takes = (
+            cand.filter("cand")
+            .select(
+                "word", "pos",
+                (F.col("pos") - F.row_number().over(wnd)).alias("island"),
+            )
+            .select(
+                "word", "pos",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("word", "island").orderBy("pos")
+                    ) % 2 == 1
+                ).alias("take"),
+            )
+        )
+        flagged = cand.join(takes, ["word", "pos"], "left").select(
+            "word", "wcount", "pos", "sym",
+            F.coalesce("take", F.lit(False)).alias("take"),
+        )
+        seq = (
+            flagged.withColumn(
+                "absorbed",
+                F.coalesce(F.lag("take").over(wnd), F.lit(False)),
+            )
+            .filter(~F.col("absorbed"))
+            .select(
+                "word", "wcount",
+                (F.row_number().over(wnd) - 1).alias("pos"),
+                F.when(F.col("take"), F.lit(l + r)).otherwise(F.col("sym")).alias("sym"),
+            )
+            # eager checkpoint: 6 rounds of stacked windows+joins otherwise
+            # compound the lineage (the dedup_clusters star-contraction
+            # lesson); each round restarts from a materialized relation
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
 QUERIES = {
+    "text_bpe_train": text_bpe_train,
     "text_dsir_weights": text_dsir_weights,
     "text_keywords_rake": text_keywords_rake,
     "text_blocklist_filter": text_blocklist_filter,
@@ -1394,3 +1513,94 @@ ORACLE = {
         ) WHERE rk <= 5
     """,
 }
+
+
+def _bpe_sql() -> str:
+    """Unrolled-CTE oracle for text_bpe_train: _BPE_ROUNDS round blocks,
+    each MATERIALIZED (DuckDB inlines plain CTEs — a seq CTE referenced by
+    both the pair count and the merge would otherwise recompute, and the
+    round-state lesson from eval_elo_bt applies verbatim).  Each block is
+    the exact SQL statement of the Spark round: windowed pair lead, top-1
+    by (count DESC, l, r), gaps-and-islands parity take, absorb + renumber."""
+    sym_list = (
+        "unnest((SELECT list_transform(generate_series(1, len(__c) + 1), "
+        "i -> {'pos': i - 1, 'w1': CASE WHEN i <= len(__c) THEN __c[i] "
+        f"ELSE '{_BPE_EOW}' END}}) "
+        "FROM (SELECT string_split(w, '') AS __c) __s)) AS u"
+    )
+    parts = [
+        "WITH vocab AS MATERIALIZED (",
+        "    SELECT u.w1 AS w, CAST(count(*) AS BIGINT) AS wcount FROM (",
+        f"        SELECT {sql_indexed_unnest('text', 1)} AS u FROM documents",
+        "    ) GROUP BY u.w1",
+        "),",
+        "seq1 AS MATERIALIZED (",
+        # md5(w), not w, as the sequence key — the Spark twin's O(len²)
+        # row-payload note applies to the CTE materialization too
+        "    SELECT md5(w) AS word, wcount, u.pos AS pos, u.w1 AS sym FROM (",
+        f"        SELECT w, wcount, {sym_list} FROM vocab",
+        "    )",
+        "),",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts += [
+            f"pc{r} AS MATERIALIZED (",
+            "    SELECT l, r, SUM(wcount) AS c FROM (",
+            "        SELECT wcount, sym AS l,",
+            "               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r",
+            f"        FROM seq{r}",
+            "    ) WHERE r IS NOT NULL GROUP BY l, r",
+            "),",
+            f"top{r} AS MATERIALIZED (",
+            f"    SELECT l, r, c FROM pc{r} ORDER BY c DESC, l ASC, r ASC LIMIT 1",
+            "),",
+            f"cand{r} AS MATERIALIZED (",
+            "    SELECT s.word, s.wcount, s.pos, s.sym,",
+            "           (s.sym = t.l AND",
+            "            lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r)",
+            "               AS cand",
+            f"    FROM seq{r} s CROSS JOIN top{r} t",
+            "),",
+            f"takes{r} AS MATERIALIZED (",
+            "    SELECT word, pos, (rn2 % 2 = 1) AS take FROM (",
+            "        SELECT word, pos,",
+            "               row_number() OVER (PARTITION BY word, island ORDER BY pos) AS rn2",
+            "        FROM (",
+            "            SELECT word, pos,",
+            "                   pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS island",
+            f"            FROM cand{r} WHERE cand",
+            "        )",
+            "    )",
+            "),",
+            f"seq{r + 1} AS MATERIALIZED (",
+            "    SELECT word, wcount,",
+            "           CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos,",
+            f"           CASE WHEN take THEN (SELECT l || r FROM top{r}) ELSE sym END AS sym",
+            "    FROM (",
+            "        SELECT f.*,",
+            "               COALESCE(lag(f.take) OVER (PARTITION BY f.word ORDER BY f.pos), FALSE) AS absorbed",
+            "        FROM (",
+            "            SELECT c.word, c.wcount, c.pos, c.sym,",
+            "                   COALESCE(k.take, FALSE) AS take",
+            f"            FROM cand{r} c LEFT JOIN takes{r} k USING (word, pos)",
+            "        ) f",
+            "    ) WHERE NOT absorbed",
+            "),",
+        ]
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {r} AS merge_round, l, r AS rr, c FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    parts += [
+        "merges AS (",
+        f"        {unions}",
+        ")",
+        "SELECT CAST(merge_round AS INT) AS merge_round,",
+        "       l AS left_sym, rr AS right_sym, l || rr AS merged,",
+        "       CAST(c AS BIGINT) AS pair_count",
+        "FROM merges",
+    ]
+    return "\n".join(parts)
+
+
+ORACLE["text_bpe_train"] = _bpe_sql()

@@ -432,7 +432,9 @@ def scan_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the check is independent of which row got which index).
 
     Plan property (tests/test_plans.py): metadata columns must not widen
-    ReadSchema — the scan reads o_orderkey only.  At 100 TB lineage is
+    ReadSchema with stored columns — the scan reads o_orderkey only
+    (file_path stays constant per-file metadata; row_index surfaces as
+    the reader-generated `_tmp_metadata_row_index`).  At 100 TB lineage is
     footer-free constant-space bookkeeping per row; the aggregate is one
     shuffle on (bucket, file).
     """

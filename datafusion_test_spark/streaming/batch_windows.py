@@ -431,6 +431,77 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling(ev)
 
 
+def stream_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session inter-event gap distribution — the engagement-rhythm
+    statistic session analytics reads next to session counts (how bursty
+    is a user's activity WITHIN a session?).  Same sessionization as
+    stream_session (30-min gap, the F.session_window-equivalent lag/sum
+    marking; equality pinned in pytest), then per (user, session):
+    event count, gap count, and min/max/sum/mean of the inter-event gaps.
+
+    Gaps are integer MICROSECONDS end to end (unix_micros both engines);
+    only the mean divides, rounded half-up once.  A session's first event
+    has no gap (n_gaps = n_events − 1); single-event sessions emit NULL
+    gap stats (no observation ≠ zero gap — the nulls-corpus discipline).
+
+    Scale: one lag window + one running sum per user partition (the
+    sessionize shape), one grouped aggregate — streaming-equivalent to
+    session_window state + applyInPandasWithState gap tracking, which
+    tests/test_streaming.py exercises on the real micro-batch path.
+    """
+    from .._util import half_up
+
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_id", "ts")
+        .withColumn(
+            "gap",
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev),
+        )
+        .withColumn(
+            "new_session",
+            F.when(F.col("gap") >= gap_us, 1).otherwise(0).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    in_session_gap = F.when(
+        (F.col("new_session") == 0) & F.col("gap").isNotNull(), F.col("gap")
+    )
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(in_session_gap).alias("n_gaps"),
+            F.min(in_session_gap).alias("min_gap_us"),
+            F.max(in_session_gap).alias("max_gap_us"),
+            F.sum(in_session_gap).alias("sum_gap_us"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            "sum_gap_us",
+            F.when(
+                F.col("n_gaps") > 0,
+                half_up(F.col("sum_gap_us") / F.col("n_gaps").cast("double")),
+            ).alias("mean_gap_us"),
+        )
+        .drop("session_seq")
+    )
+
+
 def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window top-k — the trending-items query of a streaming
     dashboard: within each 1-hour tumbling window, the top-3 event types
@@ -477,6 +548,7 @@ def rank_windowed_counts(counts: DataFrame) -> DataFrame:
 
 
 QUERIES = {
+    "stream_session_gap_stats": stream_session_gap_stats,
     "stream_topk_windowed": stream_topk_windowed,
     "ts_resample_interp": ts_resample_interp,
     "stream_tumbling": stream_tumbling,
@@ -669,6 +741,40 @@ ORACLE = {
                COUNT(*) AS n_events
         FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events, UNNEST(generate_series(0, 3)) AS t(i)
         GROUP BY 1, 2
+    """,
+    "stream_session_gap_stats": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - epoch_us(
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   ) AS gap
+            FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01') events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN gap >= 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM marked
+        ),
+        numbered AS (
+            SELECT *, SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq,
+                   CASE WHEN new_session = 0 AND gap IS NOT NULL THEN gap END AS g
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(COUNT(g) AS BIGINT) AS n_gaps,
+               MIN(g) AS min_gap_us,
+               MAX(g) AS max_gap_us,
+               CAST(SUM(g) AS BIGINT) AS sum_gap_us,
+               CASE WHEN COUNT(g) > 0 THEN
+                   CAST(floor(SUM(g) / CAST(COUNT(g) AS DOUBLE)
+                        * 10000 + 0.5) AS DOUBLE) / 10000
+               END AS mean_gap_us
+        FROM numbered
+        GROUP BY user_id, session_seq
     """,
     "stream_session": """
         WITH marked AS (

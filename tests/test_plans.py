@@ -439,3 +439,32 @@ def test_aqe_skew_join_restores_session_confs(spark):
     joins.plan_aqe_skew_join(spark, SF_SMALL).collect()
     after = {k: spark.conf.get(k, None) for k in before}
     assert before == after
+
+
+def test_row_lineage_metadata_does_not_widen_read_schema(spark, sf_dir):
+    """scan_row_lineage's plan pin: `_metadata.file_path`/`row_index` are
+    served as constant/generated metadata per scan, NOT as data columns —
+    ReadSchema on the lineage layout's scan must contain only o_orderkey
+    (bucket is a partition column, also outside ReadSchema)."""
+    from datafusion_test_spark.sources import connectors
+
+    df = connectors.scan_row_lineage(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the lineage re-read scan is the one over the scratch layout
+    scans = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    lineage_scans = [s for s in scans if "o_orderkey" in s]
+    assert lineage_scans, plan
+    for s in lineage_scans:
+        # file_path is constant per-file metadata — never a read column;
+        # row_index surfaces only as the reader-GENERATED
+        # _tmp_metadata_row_index field (not a stored column); no stored
+        # data column beyond o_orderkey may appear
+        assert "file_path" not in s, s
+        stored = [
+            f for f in s[len("struct<"):].rstrip(">").split(",")
+            if f and not f.startswith("_tmp_metadata_")
+        ]
+        assert stored == ["o_orderkey:bigint"], f"ReadSchema widened: {s}"

@@ -557,3 +557,85 @@ def test_sane_ts_quarantine_prevents_watermark_poisoning(spark, tmp_path):
 
     assert dt.datetime(2024, 1, 1, 6, 0) in starts  # not dropped as late
     assert all(s.year < 2100 for s in starts)       # poison quarantined
+
+
+def test_session_gap_stats_sessions_match_streaming_state(
+    spark, sf_dir, events_dir
+):
+    """stream_session_gap_stats' session layer must equal the
+    session_window STATE-STORE result on the real micro-batch path: the
+    (user, session_start, n_events) set from the batch gap-stats operator
+    is exactly the streaming session set (same 30-min gap rule)."""
+    from datafusion_test_spark.streaming import batch_windows
+
+    def sessions(df):
+        return df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    streamed = sorted(
+        map(
+            tuple,
+            _run_stream_over_events(
+                spark, events_dir, sessions, "t_gap_sess_stream"
+            )
+            .select("user_id", F.col("w.start").alias("s"), "n_events")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            batch_windows.stream_session_gap_stats(spark, sf_dir)
+            .select("user_id", "session_start", "n_events")
+            .collect(),
+        )
+    )
+    assert got == streamed
+
+
+def test_session_gap_stats_values_on_fixture(spark):
+    """Hand-built sessions pin the gap arithmetic: a 3-event session with
+    10-min and 20-min gaps (min/max/sum/mean in exact µs), a single-event
+    session with NULL gap stats (no observation, not zero), and a gap of
+    exactly 30 min opening a NEW session."""
+    import datetime as dt
+
+    from datafusion_test_spark.streaming.batch_windows import (
+        stream_session_gap_stats,
+    )
+    from datafusion_test_spark.io import table as _table
+    import datafusion_test_spark.streaming.batch_windows as bw
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 100, t0, 1.0),
+        (1, 101, t0 + dt.timedelta(minutes=10), 1.0),
+        (1, 102, t0 + dt.timedelta(minutes=30), 1.0),
+        # exactly 30 min after 102 -> new session, single event
+        (1, 103, t0 + dt.timedelta(minutes=60), 1.0),
+        (2, 200, t0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    orig = bw._events
+    bw._events = lambda spark, sf_dir: df
+    try:
+        out = {
+            (r["user_id"], r["session_start"]): r
+            for r in stream_session_gap_stats(spark, "ignored").collect()
+        }
+    finally:
+        bw._events = orig
+    s1 = out[(1, t0)]
+    assert s1["n_events"] == 3 and s1["n_gaps"] == 2
+    assert s1["min_gap_us"] == 600_000_000
+    assert s1["max_gap_us"] == 1_200_000_000
+    assert s1["sum_gap_us"] == 1_800_000_000
+    assert s1["mean_gap_us"] == 900_000_000.0
+    s2 = out[(1, t0 + dt.timedelta(minutes=60))]
+    assert s2["n_events"] == 1 and s2["n_gaps"] == 0
+    assert s2["min_gap_us"] is None and s2["mean_gap_us"] is None
+    s3 = out[(2, t0)]
+    assert s3["n_events"] == 1 and s3["sum_gap_us"] is None
