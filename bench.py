@@ -231,6 +231,8 @@ HEADLINE = [
     "text_bpe_train",
     "stream_session_gap_stats",
     "agg_tdigest_quantiles_bucketed",
+    # round-10 slate
+    "scan_parquet_bloom",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
@@ -312,6 +314,12 @@ def main() -> None:
                     "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                     "load1_start": load_start,
                     "load1_end": round(os.getloadavg()[0], 2),
+                    # VERDICT r9 item 3: a busy box produced broad phantom
+                    # 1.3-1.9x "regressions" in r9's driver bench; flag the
+                    # condition IN the record so no reader mistakes machine
+                    # state for a code regression.  Numbers from a flagged
+                    # run need an A/B on unchanged code before comparison.
+                    "load1_high": load_start > 2.0,
                 },
             }
         )

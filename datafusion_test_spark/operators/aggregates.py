@@ -1260,12 +1260,20 @@ def agg_tdigest_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale: the only O(N) work is the histogram aggregate; the cumulative
     window runs over O(#buckets) rows per type.  NULL / non-finite values
-    are absent (finite-measurement contract).
+    are absent (finite-measurement contract), and finite values outside
+    ±2⁶³ are excluded by the SAME bound on both engines — Spark's
+    float→BIGINT cast saturates to Long.MAX where DuckDB's CAST raises a
+    Conversion Error (r9 advisor), so the bucket domain is pinned to the
+    representable range rather than left to diverging overflow rules.
     """
     e = (
         table(spark, sf_dir, "events")
         .select("event_type", finite("value").alias("v"))
         .filter(F.col("v").isNotNull())
+        .filter(
+            (F.col("v") >= F.lit(-9223372036854775808.0))
+            & (F.col("v") < F.lit(9223372036854775808.0))
+        )
     )
     h = (
         e.select("event_type", F.floor("v").cast("bigint").alias("bucket"))
@@ -1346,6 +1354,8 @@ ORACLE = {
             FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value
                   END) AS value) FROM events) events
             WHERE value IS NOT NULL
+              AND value >= -9223372036854775808.0
+              AND value <  9223372036854775808.0
         ),
         h AS (
             SELECT event_type, CAST(floor(v) AS BIGINT) AS bucket,

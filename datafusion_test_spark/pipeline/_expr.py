@@ -160,7 +160,15 @@ def md5_capped_sample(arr: Column, cap: int) -> Column:
     tests/test_properties.py).  Lambdas reference only their own argument,
     so the expression is safe under any optimizer substitution (no
     per-element re-evaluation hazard — see _exploded_shingles in
-    pipeline/dedup.py for the hazard this discipline avoids)."""
+    pipeline/dedup.py for the hazard this discipline avoids).
+
+    PRECONDITION (r9 advisor): the array must contain no NULL elements.
+    A NULL element yields a NULL sort key, and the engines disagree on
+    where NULL keys sort (Spark array_sort: NULLs last; DuckDB
+    list_sort: configurable default order) — the twins could then select
+    DIFFERENT subsets.  Every current caller feeds concat_ws shingles,
+    which are never NULL; a future caller with a nullable array must
+    filter NULL elements identically on both engines first."""
     keyed = F.array_sort(F.transform(arr, lambda s: F.concat(F.md5(s), s)))
     return F.when(F.size(arr) <= cap, arr).otherwise(
         F.transform(F.slice(keyed, 1, cap), lambda k: F.substring(k, 33, 2147483647))
@@ -169,7 +177,8 @@ def md5_capped_sample(arr: Column, cap: int) -> Column:
 
 def sql_md5_capped(arr: str, cap: int) -> str:
     """DuckDB twin of :func:`md5_capped_sample` (same key, same order,
-    same slice; ``k[33:]`` strips the 32-char hex prefix)."""
+    same slice; ``k[33:]`` strips the 32-char hex prefix).  Same no-NULL-
+    element precondition as the Spark side (see md5_capped_sample)."""
     return (
         f"CASE WHEN len({arr}) <= {cap} THEN {arr} "
         f"ELSE list_transform(list_sort(list_transform({arr}, s -> md5(s) || s))"

@@ -223,6 +223,17 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-oracle-checked end to end (match counts, scrubbed length, and a
     no-residual-PII boolean per row).  Pure regexp expressions: at 100 TB
     this is a map-only pass inside whole-stage codegen, no shuffle.
+
+    Redaction contract (r9 advisor): the email pattern carries RFC 5321
+    length bounds ({1,64} local part), so an RFC-OVERLONG local part
+    (>64 chars — not a valid address) is redacted only through its
+    64-char suffix and leaves the leading characters as residue, on BOTH
+    engines identically.  This is deliberate: the bound is what makes the
+    Java-regex pass linear on giant tokens (see _EMAIL_RE note), valid
+    addresses are always fully redacted, and the `clean` check states the
+    same bounded pattern, so the contract is self-consistent.  Pipelines
+    that must also mask invalid overlong locals should add a dedicated
+    residue pass rather than unbounding this pattern.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = (

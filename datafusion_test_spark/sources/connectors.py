@@ -673,6 +673,159 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_probe_file(spark: SparkSession, path: str, column: str,
+                      hits: list[str], misses: list[str]):
+    """Probe a parquet file's bloom filters via parquet-mr — the SAME
+    reader-side library Spark's scan uses for bloom row-group filtering
+    (org.apache.parquet.hadoop.ParquetFileReader), reached through the
+    session's JVM gateway.  Driver-side O(n_rowgroups) metadata work, the
+    scan_manifest_prune footer-read shape.
+
+    Returns (rg_total, rg_with_bloom, miss_cells, miss_excluded,
+    hit_probes, hit_found) where a "cell" is one (probe value, bloomed
+    row group) pair: miss_excluded counts cells the bloom EXCLUDES (the
+    row-group skip a reader performs on a miss), hit_found counts hit
+    probes with at least one maybe-contains row group (bloom filters
+    have no false negatives, so a present value can never lose its row
+    group)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    rg_total = rg_bloom = miss_cells = miss_excluded = hit_found = 0
+    try:
+        blocks = reader.getRowGroups()
+        blooms = []
+        for i in range(blocks.size()):
+            block = blocks.get(i)
+            rg_total += 1
+            cols = block.getColumns()
+            for j in range(cols.size()):
+                cc = cols.get(j)
+                if cc.getPath().toDotString() == column:
+                    bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                    if bf is not None:
+                        rg_bloom += 1
+                        blooms.append(bf)
+                    break
+        Binary = jvm.org.apache.parquet.io.api.Binary
+        for v in misses:
+            for bf in blooms:
+                miss_cells += 1
+                if not bf.findHash(bf.hash(Binary.fromString(v))):
+                    miss_excluded += 1
+        for v in hits:
+            if any(
+                bf.findHash(bf.hash(Binary.fromString(v))) for bf in blooms
+            ) or not blooms:
+                hit_found += 1
+    finally:
+        reader.close()
+    return rg_total, rg_bloom, miss_cells, miss_excluded, len(hits), hit_found
+
+
+def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter point lookup — the IO-skip structure for
+    predicates min/max statistics CANNOT serve: an equality probe on a
+    high-cardinality column with no clustering correlation (user ids,
+    request ids, content hashes).  Zone maps prune by range; when every
+    row group's [min,max] spans the whole key domain, only a bloom
+    filter lets the reader skip row groups on a miss.  At 100 TB this is
+    the difference between reading 3 row groups and 30,000 for a
+    needle-in-haystack lookup — the same manifest-level IO proof
+    scan_manifest_prune established, one level deeper in the file.
+
+    Layout: orders written with `parquet.bloom.filter.enabled#key` (key =
+    'k' || o_orderkey, a string surrogate uncorrelated with file order),
+    per-row-group ndv sized to the 256 KB row groups, and dictionary
+    encoding DISABLED for the column (parquet-mr omits the bloom when a
+    fully-dictionary-encoded chunk can already answer membership exactly
+    — plain-encoded is the shape where the bloom is load-bearing).
+    repartition(1) pins one file (harness determinism, as in
+    scan_row_lineage; probing iterates files so any count works).
+
+    Driver-verified contracts, probed through parquet-mr's OWN
+    BloomFilter reader (the code path Spark's vectorized scan consults
+    for pushed Eq predicates, so the skip decision proven here is the
+    reader's real one):
+      * bloom_written — every row group carries a bloom for `key`;
+      * miss_ok — ≥ 90% of (absent-key probe × bloomed row group) cells
+        are EXCLUDED (16 deterministic absent keys; expected exclusion
+        ~99% at the configured fpp, so the margin absorbs the bloom's
+        false-positive allowance — and the bloom content is a pure
+        function of the data, so the outcome is stable per corpus);
+      * hit_ok — no present key (min/max surrogate) is excluded from all
+        row groups: blooms have NO false negatives, exact semantics.
+    All three are vacuously true on an empty corpus (zero row groups) —
+    the oracle states them as constants (scan_row_lineage pattern).
+
+    Data plane: the point lookup itself runs through a normal Spark scan
+    with the Eq predicate PUSHED (PushedFilters pin in PLANS.md) —
+    count + deterministic price sum over the matched rows, recomputed by
+    the oracle from the source table.  The 1-row min/max collect that
+    picks the probe keys is bounded driver-side metadata (the
+    scan_manifest_prune footer-loop class).
+    """
+    out = os.path.join(scratch_dir("dfts_bloom_"), "orders_bloom")
+    o = table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("k"), F.col("o_orderkey").cast("string")).alias("key"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    (
+        o.repartition(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", "16384")
+        .option("parquet.enable.dictionary#key", "false")
+        .option("parquet.block.size", 262144)
+        .option("parquet.page.size", 65536)
+        .parquet(out)
+    )
+    row = (
+        table(spark, sf_dir, "orders")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .first()
+    )
+    hit_keys = [] if row["lo"] is None else [f"k{row['lo']}", f"k{row['hi']}"]
+    miss_keys = [f"miss{i}" for i in range(16)]  # 'k<digits>' never matches
+    rg_total = rg_bloom = cells = excluded = probes = found = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t, b, c, e, p, h = _bloom_probe_file(
+            spark, os.path.join(out, f), "key", hit_keys, miss_keys
+        )
+        rg_total += t
+        rg_bloom += b
+        cells += c
+        excluded += e
+        probes += p
+        found += h
+    bloom_written = rg_bloom == rg_total
+    miss_ok = cells == 0 or excluded * 10 >= cells * 9
+    hit_ok = found == probes
+    # the point lookup: schema-stated read (empty corpus writes a bare
+    # _SUCCESS dir), literal Eq predicate → PushedFilters on `key`
+    rt = spark.read.schema("key string, o_orderkey bigint, o_totalprice double").parquet(out)
+    hit = rt.filter(F.col("key") == (hit_keys[0] if hit_keys else "k"))
+    return (
+        rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .crossJoin(
+            hit.agg(
+                F.count(F.lit(1)).cast("bigint").alias("hit_n"),
+                dsum(F.col("o_totalprice"), "hit_sum_price"),
+            )
+        )
+        .withColumn("bloom_written", F.lit(bool(bloom_written)))
+        .withColumn("miss_ok", F.lit(bool(miss_ok)))
+        .withColumn("hit_ok", F.lit(bool(hit_ok)))
+    )
+
+
 def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-clustered parquet layout + a data-skipping proof read from the
     parquet FOOTERS — the zone-map/Z-order-lite pattern every 100 TB lake
@@ -895,6 +1048,7 @@ QUERIES = {
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "layout_zonemap": layout_zonemap,
     "scan_manifest_prune": scan_manifest_prune,
+    "scan_parquet_bloom": scan_parquet_bloom,
     "scan_row_lineage": scan_row_lineage,
     "scan_schema_evolution": scan_schema_evolution,
     "scan_json_corrupt": scan_json_corrupt,
@@ -918,11 +1072,11 @@ _TT_V2_SUM = sql_dsum(
 ORACLE = {
     # the same every-7th-space newline injection restated over the view —
     # a sheared row (multiLine off) would break counts and char mass
-    "scan_csv_multiline": """
+    "scan_csv_multiline": r"""
         WITH d AS (
             SELECT doc_id, lang,
                    regexp_replace(text, '((?:\S+ ){6}\S+) ',
-                                  '\\1' || chr(10), 'g') AS mtext
+                                  '\1' || chr(10), 'g') AS mtext
             FROM documents
         )
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1071,6 +1225,25 @@ ORACLE = {
         FROM orders
         WHERE o_totalprice <= 150000.0
         GROUP BY o_orderpriority
+    """,
+    # bloom contracts stated as constants (scan_row_lineage pattern):
+    # Spark computes bloom_written/miss_ok/hit_ok from parquet-mr's OWN
+    # bloom reader; the oracle restates the data-plane point lookup
+    # (key = 'k'||o_orderkey is injective, so the key probe selects
+    # exactly the min-orderkey rows)
+    "scan_parquet_bloom": """
+        SELECT
+            CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+            CAST((SELECT count(*) FROM orders
+                  WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AS BIGINT) AS hit_n,
+            (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             FROM orders
+             WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                AS hit_sum_price,
+            TRUE AS bloom_written,
+            TRUE AS miss_ok,
+            TRUE AS hit_ok
     """,
     # lineage contracts stated from the layout RULE (bucket = okey % 4,
     # one file per bucket dir): Spark computes n_files/idx_ok/path_ok from

@@ -8,7 +8,10 @@ root and prints the rotated list:
 
     1. red rows (any check false in their LATEST driver row) — first
     2. entries with NO driver row yet — in current priority order
-    3. green entries — last, in current priority order
+    3. green entries — last, by evidence vintage OLDEST-FIRST (the round
+       of their latest driver row; ties keep current priority order) —
+       the ~50/round budget then always refreshes the stalest evidence
+       (VERDICT r9 item 2 methodology)
 
 Usage: python tools/rotate_priority.py          # prints the list literal
 The output is pasted over the list body in registry.py (between the
@@ -38,12 +41,14 @@ def main() -> None:
         digits = "".join(c for c in os.path.basename(path) if c.isdigit())
         return int(digits or 0)
 
+    vintage: dict[str, int] = {}
     paths = sorted(
         glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_no
     )
     for path in paths:
         for name, row in json.load(open(path)).items():
             latest[name] = row  # later rounds overwrite earlier
+            vintage[name] = round_no(path)
 
     def is_green(row: dict) -> bool:
         return bool(
@@ -56,7 +61,10 @@ def main() -> None:
     current = list(registry._PRIORITY)
     reds = [n for n in current if n in latest and not is_green(latest[n])]
     unchecked = [n for n in current if n not in latest]
-    greens = [n for n in current if n in latest and is_green(latest[n])]
+    greens = sorted(
+        (n for n in current if n in latest and is_green(latest[n])),
+        key=lambda n: (vintage[n], current.index(n)),
+    )
 
     print(
         f"# rotated: {len(reds)} red, {len(unchecked)} never-checked, "
