@@ -1,0 +1,70 @@
+"""Round-ledger and source-hygiene guards (VERDICT r9 items 1 & 4).
+
+Round 9 shipped ROUND9.md with its nine round-close battery cells still
+holding ``{PLACEHOLDER}`` template tokens — the round's own ledger was not
+judge-readable and the judge had to re-run the battery to establish what
+the file should have attested.  These guards make that class of lapse a
+red test instead of a judge finding:
+
+* ``test_round_ledgers_have_no_unfilled_placeholders`` — no committed
+  ROUND*.md may contain a ``{UPPER_SNAKE}`` template token.  Authoring
+  discipline: write battery cells only when the numbers exist; a
+  template with placeholders cannot survive a green pytest run.
+* ``test_no_invalid_escape_sequences`` — every repo .py must compile
+  clean of invalid-escape DeprecationWarning/SyntaxWarning (the r9
+  ``'\\S'`` in the scan_csv_multiline oracle; a future Python makes these
+  a hard error).  Scoped to escape warnings via fresh ``compile()`` of
+  the source text, NOT a blanket -W error (pyspark/pandas internals
+  legitimately emit unrelated DeprecationWarnings).
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+_PLACEHOLDER = re.compile(r"\{[A-Z][A-Z0-9_]*\}")
+
+
+def test_round_ledgers_have_no_unfilled_placeholders():
+    offenders: dict[str, list[str]] = {}
+    for md in sorted(ROOT.glob("ROUND*.md")):
+        hits = _PLACEHOLDER.findall(md.read_text())
+        if hits:
+            offenders[md.name] = sorted(set(hits))
+    assert not offenders, (
+        "round ledger committed with unfilled template placeholders — "
+        f"fill the battery cells with real results first: {offenders}"
+    )
+
+
+def _py_files():
+    for sub in ("datafusion_test_spark", "tests", "tools"):
+        yield from sorted((ROOT / sub).rglob("*.py"))
+    yield ROOT / "bench.py"
+    yield ROOT / "__spark_entry__.py"
+
+
+def test_no_invalid_escape_sequences():
+    offenders = []
+    for py in _py_files():
+        src = py.read_text()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            try:
+                # fresh compile re-triggers compile-time escape warnings
+                # even for already-imported modules
+                compile(src, str(py), "exec")
+            except SyntaxError as exc:  # pragma: no cover - broken source
+                offenders.append((str(py), f"SyntaxError: {exc}"))
+                continue
+        for w in caught:
+            if "invalid escape sequence" in str(w.message):
+                offenders.append((str(py.relative_to(ROOT)), str(w.message)))
+    assert not offenders, (
+        "invalid escape sequence(s) — use raw strings for regex/SQL "
+        f"literals: {offenders}"
+    )
