@@ -55,3 +55,45 @@ def test_bench_groups_name_real_registry_entries():
     assert not bad, f"bench.py names not in the registry: {bad}"
     dup = [n for n in set(bench.HEADLINE) if bench.HEADLINE.count(n) > 1]
     assert not dup, f"duplicate HEADLINE entries double-count the total: {dup}"
+
+
+def test_rotate_priority_orders_greens_by_vintage():
+    """tools/rotate_priority.py's output contract (VERDICT r9 item 2
+    methodology): never-checked entries precede greens, and greens are
+    ordered by the round of their latest driver row, oldest first — so
+    pasting the tool's output always points the ~50-entry driver budget
+    at the stalest evidence."""
+    import glob
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "rotate_priority.py")],
+        capture_output=True, text=True, cwd=root, check=True,
+    ).stdout
+    names = [
+        line.strip().strip('",').strip('"')
+        for line in out.splitlines()
+        if line.strip().startswith('"')
+    ]
+    assert set(names) == set(registry.queries()), "tool must emit every entry"
+
+    vintage: dict[str, int] = {}
+    def rno(p):
+        return int("".join(c for c in os.path.basename(p) if c.isdigit()) or 0)
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=rno):
+        for n in json.load(open(p)):
+            vintage[n] = rno(p)
+    # never-checked entries (no driver row) must come first
+    checked_seen = False
+    green_vintages = []
+    for n in names:
+        if n in vintage:
+            checked_seen = True
+            green_vintages.append(vintage[n])
+        else:
+            assert not checked_seen, f"never-checked {n} sorted after greens"
+    assert green_vintages == sorted(green_vintages), (
+        "green entries not in oldest-vintage-first order"
+    )
