@@ -83,8 +83,9 @@ def test_rotate_priority_orders_greens_by_vintage():
     def rno(p):
         return int("".join(c for c in os.path.basename(p) if c.isdigit()) or 0)
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=rno):
-        for n in json.load(open(p)):
-            vintage[n] = rno(p)
+        with open(p) as fh:
+            for n in json.load(fh):
+                vintage[n] = rno(p)
     # never-checked entries (no driver row) must come first
     checked_seen = False
     green_vintages = []
