@@ -682,12 +682,16 @@ def _bloom_probe_file(spark: SparkSession, path: str, column: str,
     scan_manifest_prune footer-read shape.
 
     Returns (rg_total, rg_with_bloom, miss_cells, miss_excluded,
-    hit_probes, hit_found) where a "cell" is one (probe value, bloomed
-    row group) pair: miss_excluded counts cells the bloom EXCLUDES (the
-    row-group skip a reader performs on a miss), hit_found counts hit
-    probes with at least one maybe-contains row group (bloom filters
-    have no false negatives, so a present value can never lose its row
-    group)."""
+    hit_flags) where a "cell" is one (probe value, bloomed row group)
+    pair: miss_excluded counts cells the bloom EXCLUDES (the row-group
+    skip a reader performs on a miss), and hit_flags is one bool PER HIT
+    KEY — True iff THIS file maybe-contains the key (some row-group
+    bloom finds it, or the file carries no bloom and so cannot exclude).
+    A present key lives in exactly ONE file of a multi-file layout, so
+    the no-false-negative contract is per-key ∨ ACROSS files — the
+    caller ORs flags file-by-file (ADVICE r10: counting found-per-file
+    made hit_ok false for any file count > 1, because the other files'
+    blooms correctly exclude a key they don't hold)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -695,7 +699,8 @@ def _bloom_probe_file(spark: SparkSession, path: str, column: str,
         hpath, conf
     )
     reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
-    rg_total = rg_bloom = miss_cells = miss_excluded = hit_found = 0
+    rg_total = rg_bloom = miss_cells = miss_excluded = 0
+    hit_flags: list[bool] = []
     try:
         blocks = reader.getRowGroups()
         blooms = []
@@ -718,13 +723,16 @@ def _bloom_probe_file(spark: SparkSession, path: str, column: str,
                 if not bf.findHash(bf.hash(Binary.fromString(v))):
                     miss_excluded += 1
         for v in hits:
-            if any(
-                bf.findHash(bf.hash(Binary.fromString(v))) for bf in blooms
-            ) or not blooms:
-                hit_found += 1
+            hit_flags.append(
+                not blooms
+                or any(
+                    bf.findHash(bf.hash(Binary.fromString(v)))
+                    for bf in blooms
+                )
+            )
     finally:
         reader.close()
-    return rg_total, rg_bloom, miss_cells, miss_excluded, len(hits), hit_found
+    return rg_total, rg_bloom, miss_cells, miss_excluded, hit_flags
 
 
 def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,7 +753,12 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully-dictionary-encoded chunk can already answer membership exactly
     — plain-encoded is the shape where the bloom is load-bearing).
     repartition(1) pins one file (harness determinism, as in
-    scan_row_lineage; probing iterates files so any count works).
+    scan_row_lineage); the probe is nonetheless file-count-correct —
+    hit-found is a per-key OR across files, because a present key lives
+    in exactly ONE file and the other files' blooms rightly exclude it
+    (ADVICE r10: the earlier found-count-per-file aggregation would have
+    broken hit_ok under any repartition change; pinned multi-file in
+    tests/test_plans.py).
 
     Driver-verified contracts, probed through parquet-mr's OWN
     BloomFilter reader (the code path Spark's vectorized scan consults
@@ -757,8 +770,9 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~99% at the configured fpp, so the margin absorbs the bloom's
         false-positive allowance — and the bloom content is a pure
         function of the data, so the outcome is stable per corpus);
-      * hit_ok — no present key (min/max surrogate) is excluded from all
-        row groups: blooms have NO false negatives, exact semantics.
+      * hit_ok — every present key (min/max surrogate) is maybe-contained
+        by at least one row group of at least one FILE: blooms have NO
+        false negatives, exact semantics under any output file count.
     All three are vacuously true on an empty corpus (zero row groups) —
     the oracle states them as constants (scan_row_lineage pattern).
 
@@ -792,22 +806,22 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit_keys = [] if row["lo"] is None else [f"k{row['lo']}", f"k{row['hi']}"]
     miss_keys = [f"miss{i}" for i in range(16)]  # 'k<digits>' never matches
-    rg_total = rg_bloom = cells = excluded = probes = found = 0
+    rg_total = rg_bloom = cells = excluded = 0
+    hit_found = [False] * len(hit_keys)
     for f in sorted(os.listdir(out)):
         if not f.endswith(".parquet"):
             continue
-        t, b, c, e, p, h = _bloom_probe_file(
+        t, b, c, e, flags = _bloom_probe_file(
             spark, os.path.join(out, f), "key", hit_keys, miss_keys
         )
         rg_total += t
         rg_bloom += b
         cells += c
         excluded += e
-        probes += p
-        found += h
+        hit_found = [got or new for got, new in zip(hit_found, flags)]
     bloom_written = rg_bloom == rg_total
     miss_ok = cells == 0 or excluded * 10 >= cells * 9
-    hit_ok = found == probes
+    hit_ok = all(hit_found)  # vacuous on an empty corpus (no hit keys)
     # the point lookup: schema-stated read (empty corpus writes a bare
     # _SUCCESS dir), literal Eq predicate → PushedFilters on `key`
     rt = spark.read.schema("key string, o_orderkey bigint, o_totalprice double").parquet(out)

@@ -509,13 +509,67 @@ def test_parquet_bloom_lookup_pushed_and_probe_nonvacuous(spark, sf_dir):
     lo = o.agg(F.min("o_orderkey")).first()[0]
     files = [f for f in sorted(os.listdir(out)) if f.endswith(".parquet")]
     assert files
-    rg = bloomed = cells = excl = probes = found = 0
+    rg = bloomed = cells = excl = 0
+    hit = [False]
     for f in files:
-        t, b, c, e, p, h = connectors._bloom_probe_file(
+        t, b, c, e, flags = connectors._bloom_probe_file(
             spark, os.path.join(out, f), "key",
             [f"k{lo}"], [f"miss{i}" for i in range(16)],
         )
-        rg += t; bloomed += b; cells += c; excl += e; probes += p; found += h
+        rg += t; bloomed += b; cells += c; excl += e
+        hit = [got or new for got, new in zip(hit, flags)]
     assert rg > 0 and bloomed == rg, (rg, bloomed)
-    assert found == probes, "present key excluded — bloom false negative?"
+    assert all(hit), "present key excluded — bloom false negative?"
     assert cells > 0 and excl * 10 >= cells * 9, (excl, cells)
+
+
+def test_parquet_bloom_hit_ok_survives_multi_file_layout(spark, sf_dir):
+    """ADVICE r10 regression pin: hit-found must be a per-key OR across
+    files.  With a MULTI-file bloom layout a present key exists in only
+    one file; every other file's bloom correctly excludes it, so any
+    per-file found-count aggregation reports a false negative that does
+    not exist.  Writes the bloom layout at repartition(4) (keys hashed
+    across files), probes min+max keys through parquet-mr, and requires
+    the cross-file OR to find both — while at least one key must be
+    bloom-excluded by SOME file (proving the multi-file exclusion state
+    the old aggregation tripped on is actually present, not vacuous)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    out = os.path.join(scratch_dir("dfts_bloommf_"), "orders_bloom_mf")
+    o = table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("k"), F.col("o_orderkey").cast("string")).alias("key"),
+        "o_orderkey",
+    )
+    (
+        o.repartition(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", "16384")
+        .option("parquet.enable.dictionary#key", "false")
+        .option("parquet.block.size", 262144)
+        .option("parquet.page.size", 65536)
+        .parquet(out)
+    )
+    row = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    hit_keys = [f"k{row['lo']}", f"k{row['hi']}"]
+    files = [f for f in sorted(os.listdir(out)) if f.endswith(".parquet")]
+    assert len(files) > 1, "multi-file layout required for this pin"
+    found = [False, False]
+    per_file_flags = []
+    for f in files:
+        _, _, _, _, flags = connectors._bloom_probe_file(
+            spark, os.path.join(out, f), "key", hit_keys, []
+        )
+        per_file_flags.append(flags)
+        found = [got or new for got, new in zip(found, flags)]
+    assert all(found), f"cross-file OR lost a present key: {per_file_flags}"
+    assert any(
+        not flag for flags in per_file_flags for flag in flags
+    ), "no file excluded any present key — multi-file state vacuous"
