@@ -41,6 +41,9 @@ _SITE_ALLOWLIST = {
         1, "d x d gramian partials (d = embedding dim), never N rows"),
     ("pipeline/similarity.py", "sim_index_persist"): (
         3, "1-row query-vector fetches against the persisted ANN layout"),
+    ("pipeline/similarity.py", "sim_pairwise_lsh"): (
+        1, "1-row corpus-size + degeneracy probe (sizes the LSH "
+           "signature and selects the vacuity-contract branch)"),
     ("pipeline/text.py", "text_bpe_train"): (
         1, "1-row top-pair fetch per fixed BPE round (6 rounds)"),
     ("sources/connectors.py", "catalog_stats"): (

@@ -174,6 +174,34 @@ def test_sim_pairwise_lsh_top10_is_planted(spark, sf_dir):
     assert all(r["vec_b"] == r["vec_a"] + 10_000_000 for r in rows)
 
 
+def test_sim_pairwise_lsh_degenerate_corpus_emits_vacuity_rows(spark, sf_dir, tmp_path):
+    """VERDICT r10 item 5: a corpus with duplicated base vectors must not
+    be a verification SKIP — the query detects it and emits the vacuity
+    decision itself (10 lowest base vec_ids, NULL pair columns,
+    degenerate=TRUE), which the oracle states exactly.  Built here by
+    cloning two base vectors under fresh vec_ids."""
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark.io import table
+
+    e = table(spark, sf_dir, "embeddings")
+    clones = (
+        e.orderBy("vec_id")
+        .limit(2)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(90_000_000))
+    )
+    out = str(tmp_path / "deg")
+    e.unionByName(clones).write.mode("overwrite").parquet(
+        out + "/embeddings.parquet"
+    )
+    rows = similarity.sim_pairwise_lsh(spark, out).collect()
+    assert len(rows) == 10
+    assert all(r["degenerate"] for r in rows)
+    assert all(r["vec_b"] is None and r["cos_sim"] is None for r in rows)
+    base_low = [r["vec_id"] for r in e.orderBy("vec_id").limit(10).collect()]
+    assert sorted(r["vec_a"] for r in rows) == base_low
+
+
 def test_sim_topk_self_is_top(spark, sf_dir):
     rows = similarity.sim_topk(spark, sf_dir).collect()
     # The query vector is vec_id=min; its self-similarity must rank first.

@@ -57,21 +57,6 @@ def rows_of_spark(df):
     return cols, sorted(data, key=_sortkey)
 
 
-def _embeddings_degenerate(con) -> bool:
-    """True when the embeddings corpus contains ANY duplicated vector
-    across distinct vec_ids — the state that voids sim_pairwise_lsh's
-    planted-pair-dominance oracle precondition (a duplicated base vector
-    creates a cos-1.0 base pair competing with the planted twins; see the
-    allowlist branch in main).  Real corpora have distinct float vectors,
-    so this never fires outside the degenerate gate."""
-    return bool(
-        con.execute(
-            "SELECT count(*) > count(DISTINCT CAST(embedding AS VARCHAR))"
-            " FROM embeddings"
-        ).fetchone()[0]
-    )
-
-
 def rows_of_duck(con, sql):
     cur = con.sql(sql)
     cols_in_order = cur.columns
@@ -144,7 +129,7 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures, passed, rows_only, skipped = [], 0, 0, 0
+    failures, passed, rows_only = [], 0, 0
     # see the rowcount branch below — Spark vs standard SQL on CUBE/ROLLUP
     # over an EMPTY relation (the only known cross-engine semantic gap)
     GROUPING_SETS_EMPTY_DIVERGENCE = {"agg_cube", "agg_rollup", "agg_grouping_sets"}
@@ -197,18 +182,6 @@ def main():
             print(f"FAIL  {name}: cols spark={scols} duck={dcols}")
             continue
         if len(srows) != len(drows):
-            if name == "sim_pairwise_lsh" and _embeddings_degenerate(con):
-                # Documented ORACLE PRECONDITION, not a bug: the oracle
-                # states the planted twins as the exact top-10 because
-                # planted cos=1.0 dominates the real max pair cosine
-                # (~0.6).  A corpus whose vectors are ALL identical makes
-                # EVERY pair cos 1.0, so the top-10 under ties includes
-                # base-base pairs the oracle cannot enumerate without
-                # re-deriving LSH.  Only reachable on a fully-degenerate
-                # embedding corpus (probed, not assumed).
-                skipped += 1
-                print(f"skip  {name}: degenerate-embedding-corpus oracle precondition (NOT verified on this corpus)")
-                continue
             if (
                 name in GROUPING_SETS_EMPTY_DIVERGENCE
                 and not srows
@@ -233,19 +206,6 @@ def main():
                 bad = (i, sr, dr)
                 break
         if bad:
-            if name == "sim_pairwise_lsh" and _embeddings_degenerate(con):
-                # Same documented ORACLE PRECONDITION as the rowcount
-                # branch above, reached through VALUES instead of counts:
-                # duplicated base vectors (e.g. the dup-heavy corpus's
-                # exact clones) create real cos-1.0 pairs that tie the
-                # planted twins, so the vec_id-ordered top-10 contains
-                # base-base pairs the stated oracle cannot enumerate
-                # without re-deriving LSH.  Probed, not assumed — the
-                # probe requires an actually-duplicated vector, which no
-                # real corpus has.
-                skipped += 1
-                print(f"skip  {name}: degenerate-embedding-corpus oracle precondition (NOT verified on this corpus)")
-                continue
             failures.append(name)
             print(f"FAIL  {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
             continue
@@ -254,7 +214,6 @@ def main():
 
     print(
         f"\n{passed} hash-ok, {rows_only} rows-only, {len(failures)} failed"
-        + (f", {skipped} skipped (precondition)" if skipped else "")
         + (f": {failures}" if failures else "")
     )
     sys.exit(1 if failures else 0)
