@@ -233,6 +233,8 @@ HEADLINE = [
     "agg_tdigest_quantiles_bucketed",
     # round-10 slate
     "scan_parquet_bloom",
+    # round-11 slate
+    "scan_parquet_pageindex",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

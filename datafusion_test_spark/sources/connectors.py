@@ -840,6 +840,181 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGE_ROW_LIMIT = 1000
+
+
+def _pageindex_probe_file(spark: SparkSession, path: str, column: str,
+                          point: int | None, below: int | None):
+    """Probe a parquet file's page-level ColumnIndex/OffsetIndex via
+    parquet-mr — the reader-side structures Spark's vectorized scan
+    consults for page skipping when a filter is pushed
+    (spark.sql.parquet.filterPushdown + parquet.filter.columnindex).
+    Driver-side O(n_pages) metadata work, the scan_manifest_prune /
+    _bloom_probe_file footer-read shape.
+
+    Returns (rg_total, rg_indexed, pages_total, granular_bad, unordered,
+    point_pages, below_pages): rg_indexed counts row groups whose target
+    chunk carries BOTH a ColumnIndex and an OffsetIndex; granular_bad
+    counts chunks with fewer pages than ceil(rows / _PAGE_ROW_LIMIT)
+    (the writer's page-row cap makes that floor exact); unordered counts
+    chunks whose boundary order is UNORDERED (the sorted layout must
+    yield ASCENDING); point_pages / below_pages count non-null pages
+    whose [min,max] CONTAINS the probe value — the exact page set a
+    page-index reader scans (INT64 min/max are exact, never truncated,
+    so containment is the reader's real decision)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    rg_total = rg_indexed = pages_total = granular_bad = unordered = 0
+    point_pages = below_pages = 0
+    little = jvm.java.nio.ByteOrder.LITTLE_ENDIAN
+    try:
+        blocks = reader.getRowGroups()
+        for i in range(blocks.size()):
+            block = blocks.get(i)
+            rg_total += 1
+            cols = block.getColumns()
+            for j in range(cols.size()):
+                cc = cols.get(j)
+                if cc.getPath().toDotString() != column:
+                    continue
+                ci = reader.readColumnIndex(cc)
+                oi = reader.readOffsetIndex(cc)
+                if ci is None or oi is None:
+                    break
+                rg_indexed += 1
+                n_pages = oi.getPageCount()
+                pages_total += n_pages
+                rows = block.getRowCount()
+                if n_pages * _PAGE_ROW_LIMIT < rows:
+                    granular_bad += 1
+                if str(ci.getBoundaryOrder()) == "UNORDERED":
+                    unordered += 1
+                mins, maxs, nullp = (
+                    ci.getMinValues(), ci.getMaxValues(), ci.getNullPages()
+                )
+                for p in range(n_pages):
+                    if nullp[p]:
+                        continue
+                    lo = mins.get(p).duplicate().order(little).getLong(0)
+                    hi = maxs.get(p).duplicate().order(little).getLong(0)
+                    if point is not None and lo <= point <= hi:
+                        point_pages += 1
+                    if below is not None and lo <= below <= hi:
+                        below_pages += 1
+                break
+    finally:
+        reader.close()
+    return (rg_total, rg_indexed, pages_total, granular_bad, unordered,
+            point_pages, below_pages)
+
+
+def scan_parquet_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet page-level ColumnIndex skip — the finest tier of the
+    IO-skip ladder this repo proves end-to-end: scan_manifest_prune
+    (file-level min/max), layout_zonemap (row-group zone maps),
+    scan_parquet_bloom (row-group blooms for uncorrelated keys), and now
+    the PAGE-level column index (parquet-mr's ColumnIndex/OffsetIndex,
+    written per data page).  At 100 TB with wide row groups (128 MB+,
+    the production default) a row group is ~10⁵ rows per column page
+    set; row-group stats admit the whole group while the page index
+    narrows a clustered point/range predicate to a handful of 1000-row
+    pages — a further 10-100× IO cut on exactly the scans zone maps
+    already admitted.
+
+    Layout: orders clustered on o_orderkey (repartition(1) +
+    sortWithinPartitions — the layout_zonemap clustering discipline one
+    level down) and written with parquet.page.row.count.limit=1000 so
+    the page tier is materially finer than the row group.
+
+    Driver-verified contracts, probed through parquet-mr's OWN
+    ColumnIndex reader (the structures Spark's vectorized reader uses
+    for page skipping on pushed predicates):
+      * index_written — every row group's o_orderkey chunk carries both
+        a ColumnIndex and an OffsetIndex;
+      * page_granular — every chunk has at least ceil(rows/1000) pages
+        (the writer's page-row cap makes the floor exact — the claim is
+        live at every corpus size, not just the big ones);
+      * ordered_ok — no chunk's boundary order is UNORDERED (the sorted
+        layout must surface as ASCENDING page bounds, which is what lets
+        a reader binary-search pages instead of scanning the index);
+      * point_prune_ok — the global-min key is contained by ≥1 page
+        (page min/max are exact for INT64 — no false negatives) and, when
+        the layout has ≥2 pages, by at most HALF of them (the actual
+        page skip; vacuously true at ≤1 page, the scan_row_lineage
+        vacuity pattern);
+      * below_min_excluded — a key below the global minimum is contained
+        by ZERO pages (the full-skip decision, exact for INT64).
+    All contracts are vacuously true on an empty corpus (zero row
+    groups) — the oracle states them as constants.
+
+    Data plane: the point lookup runs through a normal Spark scan with
+    the Eq predicate PUSHED (PushedFilters pin in PLANS.md) — count +
+    deterministic price sum over the matched rows, recomputed by the
+    oracle from the source table (the scan_parquet_bloom twin).  The
+    1-row min/max collect picking the probe keys is bounded driver-side
+    metadata (the scan_manifest_prune footer-loop class).
+    """
+    out = os.path.join(scratch_dir("dfts_pageidx_"), "orders_pageindex")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (
+        o.repartition(1)
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", _PAGE_ROW_LIMIT)
+        .option("parquet.page.size", 8192)
+        .option("parquet.block.size", 1048576)
+        .parquet(out)
+    )
+    row = o.agg(F.min("o_orderkey").alias("lo")).first()
+    lo = row["lo"]
+    below = None if lo is None else lo - 1
+    rg_total = rg_indexed = pages_total = granular_bad = unordered = 0
+    point_pages = below_pages = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t, idx, pg, gb, uo, pp, bp = _pageindex_probe_file(
+            spark, os.path.join(out, f), "o_orderkey", lo, below
+        )
+        rg_total += t
+        rg_indexed += idx
+        pages_total += pg
+        granular_bad += gb
+        unordered += uo
+        point_pages += pp
+        below_pages += bp
+    index_written = rg_indexed == rg_total
+    page_granular = granular_bad == 0
+    ordered_ok = unordered == 0
+    point_prune_ok = pages_total <= 1 or (
+        point_pages >= 1 and point_pages * 2 <= pages_total
+    )
+    below_min_excluded = below_pages == 0
+    # the point lookup: schema-stated read (empty corpus writes a bare
+    # _SUCCESS dir), literal Eq predicate → PushedFilters on o_orderkey
+    rt = spark.read.schema("o_orderkey bigint, o_totalprice double").parquet(out)
+    hit = rt.filter(F.col("o_orderkey") == (lo if lo is not None else F.lit(-1)))
+    return (
+        rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .crossJoin(
+            hit.agg(
+                F.count(F.lit(1)).cast("bigint").alias("hit_n"),
+                dsum(F.col("o_totalprice"), "hit_sum_price"),
+            )
+        )
+        .withColumn("index_written", F.lit(bool(index_written)))
+        .withColumn("page_granular", F.lit(bool(page_granular)))
+        .withColumn("ordered_ok", F.lit(bool(ordered_ok)))
+        .withColumn("point_prune_ok", F.lit(bool(point_prune_ok)))
+        .withColumn("below_min_excluded", F.lit(bool(below_min_excluded)))
+    )
+
+
 def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-clustered parquet layout + a data-skipping proof read from the
     parquet FOOTERS — the zone-map/Z-order-lite pattern every 100 TB lake
@@ -1063,6 +1238,7 @@ QUERIES = {
     "layout_zonemap": layout_zonemap,
     "scan_manifest_prune": scan_manifest_prune,
     "scan_parquet_bloom": scan_parquet_bloom,
+    "scan_parquet_pageindex": scan_parquet_pageindex,
     "scan_row_lineage": scan_row_lineage,
     "scan_schema_evolution": scan_schema_evolution,
     "scan_json_corrupt": scan_json_corrupt,
@@ -1258,6 +1434,27 @@ ORACLE = {
             TRUE AS bloom_written,
             TRUE AS miss_ok,
             TRUE AS hit_ok
+    """,
+    # page-index contracts stated as constants (scan_parquet_bloom's
+    # pattern one tier down): Spark computes index_written/page_granular/
+    # ordered_ok/point_prune_ok/below_min_excluded from parquet-mr's OWN
+    # ColumnIndex reader; the oracle restates the data-plane point lookup
+    # (Eq on the clustered min key selects exactly the min-orderkey rows)
+    "scan_parquet_pageindex": """
+        SELECT
+            CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+            CAST((SELECT count(*) FROM orders
+                  WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AS BIGINT) AS hit_n,
+            (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             FROM orders
+             WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                AS hit_sum_price,
+            TRUE AS index_written,
+            TRUE AS page_granular,
+            TRUE AS ordered_ok,
+            TRUE AS point_prune_ok,
+            TRUE AS below_min_excluded
     """,
     # lineage contracts stated from the layout RULE (bucket = okey % 4,
     # one file per bucket dir): Spark computes n_files/idx_ok/path_ok from

@@ -50,6 +50,8 @@ _SITE_ALLOWLIST = {
         2, "DESCRIBE TABLE catalog metadata: O(#columns) rows"),
     ("sources/connectors.py", "scan_parquet_bloom"): (
         1, "1-row min/max aggregate picking the bloom probe keys"),
+    ("sources/connectors.py", "scan_parquet_pageindex"): (
+        1, "1-row min aggregate picking the page-index probe key"),
 }
 
 

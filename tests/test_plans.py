@@ -523,6 +523,54 @@ def test_parquet_bloom_lookup_pushed_and_probe_nonvacuous(spark, sf_dir):
     assert cells > 0 and excl * 10 >= cells * 9, (excl, cells)
 
 
+def test_parquet_pageindex_pushed_and_probe_nonvacuous(spark, sf_dir):
+    """scan_parquet_pageindex's pins: (1) the point-lookup Eq predicate
+    reaches PushedFilters on the clustered layout's scan — the hook that
+    lets the vectorized reader consult the page-level ColumnIndex; (2)
+    the parquet-mr probe is NON-VACUOUS on a real corpus: the layout has
+    MORE pages than row groups (the page tier is genuinely finer than
+    zone maps), every chunk is indexed and ordered, the global-min key
+    is contained by at most half the pages (the real page skip), and a
+    below-min key is contained by none (the full skip)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    df = connectors.scan_parquet_pageindex(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey," in plan, plan
+
+    out = os.path.join(scratch_dir("dfts_pageidxpin_"), "orders_pi")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    (
+        o.repartition(1)
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", connectors._PAGE_ROW_LIMIT)
+        .option("parquet.page.size", 8192)
+        .option("parquet.block.size", 1048576)
+        .parquet(out)
+    )
+    row = o.agg(F.min("o_orderkey").alias("lo")).first()
+    lo = row["lo"]
+    rg = idx = pages = gbad = uo = pp = bp = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t, i, pg, gb, u, p, b = connectors._pageindex_probe_file(
+            spark, os.path.join(out, f), "o_orderkey", lo, lo - 1
+        )
+        rg += t; idx += i; pages += pg; gbad += gb; uo += u; pp += p; bp += b
+    assert rg > 0 and idx == rg, (rg, idx)
+    assert pages > rg, f"page tier not finer than row groups: {pages} pages / {rg} groups"
+    assert gbad == 0 and uo == 0, (gbad, uo)
+    assert 1 <= pp and pp * 2 <= pages, f"min key in {pp}/{pages} pages — no page skip"
+    assert bp == 0, f"below-min key contained by {bp} pages"
+
+
 def test_parquet_bloom_hit_ok_survives_multi_file_layout(spark, sf_dir):
     """ADVICE r10 regression pin: hit-found must be a per-key OR across
     files.  With a MULTI-file bloom layout a present key exists in only
