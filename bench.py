@@ -235,6 +235,8 @@ HEADLINE = [
     "scan_parquet_bloom",
     # round-11 slate
     "scan_parquet_pageindex",
+    "eval_length_bias",
+    "pipeline_curriculum_order",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -356,6 +356,70 @@ def pipeline_shuffle(
     return ranked.select("doc_id", "draw", "pos")
 
 
+def pipeline_curriculum_order(
+    spark: SparkSession, sf_dir: str, par: int | None = None
+) -> DataFrame:
+    """Deterministic difficulty-bucket curriculum interleave — the
+    curriculum counterpart of :func:`pipeline_shuffle`: instead of one
+    global pseudorandom permutation, the training order must (a) mix
+    difficulty tiers evenly so every training window sees a balanced
+    difficulty distribution (the bucketed-curriculum recipe: strict
+    easy→hard sorting destroys i.i.d.-ness within a window and is known
+    to destabilize LLM pretraining), and (b) stay REPRODUCIBLE —
+    retries, engines, and partitionings must all emit the same order.
+
+    Three integer-exact steps, each a range-partitioned two-phase rank
+    (never a single-partition window):
+      1. difficulty rank over (n_chars, doc_id) → quartile bucket
+         ((rank-1)·4 DIV n — rank-based, so the buckets are balanced on
+         ANY length distribution, unlike fixed thresholds);
+      2. within-bucket order = the md5(doc_id) draw (pipeline_shuffle's
+         algorithm-defined permutation), ranked per bucket
+         (two_phase_prefix group_cols — 4 groups, bounded offsets);
+      3. global position = rank over (within_rank, bucket): round r
+         emits one example from each non-exhausted bucket, easiest tier
+         first — the deterministic interleave.
+    Documents without a length (NULL n_chars) have no difficulty and are
+    excluded by an explicit observed-rows filter.
+
+    Scale (100 TB): three repartitionByRange exchanges, each the
+    two-phase prefix idiom (local window per range partition + an
+    offsets window over #partitions rows); the bucket spine is a 1-row
+    broadcast.  As with pipeline_shuffle, the LAST exchange IS the
+    curriculum dataset: shard files land in position order and the
+    trainer streams them sequentially; salting the draw with an epoch id
+    re-mixes every epoch at the same cost.
+    """
+    from .._util import two_phase_prefix
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
+    par = par or max(4, spark.sparkContext.defaultParallelism // 4)
+    ranked, totals = two_phase_prefix(
+        d, par, ["n_chars", "doc_id"], rank_as="drank"
+    )
+    b = (
+        ranked.crossJoin(F.broadcast(totals.select("tot_rows")))
+        .withColumn("bucket", F.expr("((drank - 1) * 4) div tot_rows"))
+        .withColumn("draw", F.md5(F.col("doc_id").cast("string")))
+        .select("doc_id", "bucket", "draw")
+    )
+    within, _ = two_phase_prefix(
+        b, par, ["draw", "doc_id"], rank_as="within_rank",
+        group_cols=("bucket",),
+    )
+    ordered, _ = two_phase_prefix(
+        within.select("doc_id", "bucket", "draw", "within_rank"),
+        par,
+        ["within_rank", "bucket"],
+        rank_as="pos",
+    )
+    return ordered.select("doc_id", "bucket", "draw", "within_rank", "pos")
+
+
 _EXPORT_ROWS_PER_SHARD = 64
 
 
@@ -449,6 +513,7 @@ QUERIES = {
     "export_jsonl_shards": export_jsonl_shards,
     "feature_hashing": feature_hashing,
     "pipeline_shuffle": pipeline_shuffle,
+    "pipeline_curriculum_order": pipeline_curriculum_order,
     "text_contamination": text_contamination,
     "seq_pack": seq_pack,
     "pipeline_shard_binpack": pipeline_shard_binpack,
@@ -567,6 +632,38 @@ ORACLE = {
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ) AS BIGINT) AS pos
         FROM documents
+    """,
+    # same three integer-exact ranks as the Spark side: difficulty rank →
+    # rank-based quartile bucket, per-bucket md5-draw rank, interleave
+    # rank over (within_rank, bucket)
+    "pipeline_curriculum_order": """
+        WITH d AS (
+            SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
+        ),
+        r1 AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS drank,
+                   count(*) OVER () AS tot
+            FROM d
+        ),
+        b AS (
+            SELECT doc_id,
+                   CAST(((drank - 1) * 4) // tot AS BIGINT) AS bucket,
+                   md5(CAST(doc_id AS VARCHAR)) AS draw
+            FROM r1
+        ),
+        r2 AS (
+            SELECT doc_id, bucket, draw,
+                   CAST(row_number() OVER (
+                       PARTITION BY bucket ORDER BY draw, doc_id
+                   ) AS BIGINT) AS within_rank
+            FROM b
+        )
+        SELECT doc_id, bucket, draw, within_rank,
+               CAST(row_number() OVER (
+                   ORDER BY within_rank, bucket
+               ) AS BIGINT) AS pos
+        FROM r2
     """,
     "text_contamination": f"""
         WITH ev AS (

@@ -844,7 +844,111 @@ def eval_elo_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LB_MIN_MARGIN = 10.0  # shared with prep._PP_MIN_MARGIN (same pair recipe)
+
+
+def eval_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-data length-confound audit — the check a team runs
+    right after building DPO pairs (pipeline_preference_pairs,
+    prep.py:84): is "chosen" just "longer"?  Reward models are known to
+    prefer verbose responses (the RLHF length-bias literature, e.g.
+    Singhal et al. 2023 "A Long Way to Go: Investigating Length
+    Correlations in RLHF"), and a pair set whose winners are
+    systematically the longer response trains a verbosity policy, not a
+    quality one.
+
+    Pairs are built with EXACTLY the pipeline_preference_pairs recipe
+    (per prompt/user: chosen = first by value DESC, rejected = first by
+    value ASC, row_number tie-breaks, >= 2 completions, reward margin >=
+    10) so the audit covers the same data the pair builder ships.
+    Response length is the completion payload size (length(props),
+    codepoints — identical semantics both engines); pairs where either
+    payload is NULL are excluded by an explicit observed-pairs filter
+    (the r6 nulls-gate discipline).
+
+    Per |length-gap| bucket (tie / 1-9 / 10-49 / 50-199 / 200+,
+    integer CASE thresholds shared verbatim with the oracle) the audit
+    reports n_pairs, how often the LONGER response won, the win rate
+    (one single-divide double over integer counts — bit-stable), and the
+    mean signed delta (chosen minus rejected, integer sum, one divide).
+    An unconfounded pair set sits near 0.5 in every gap bucket; a
+    length-biased one drifts toward 1.0 as the gap grows.
+
+    Scale (100 TB): both row_number windows partition by the prompt key
+    and plan over ONE hash exchange (the prep.py twin's shape); the pair
+    join keys on the prompt; the final aggregate is a map-side-combined
+    groupBy onto <= 5 bucket rows.  No corpus-wide state anywhere.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    w_bot = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.length("props").alias("len"),
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    chosen = ranked.filter((F.col("r_top") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("value").alias("cv"),
+        F.col("len").alias("len_chosen"),
+    )
+    rejected = ranked.filter(F.col("r_bot") == 1).select(
+        "user_id",
+        F.col("value").alias("rv"),
+        F.col("len").alias("len_rejected"),
+    )
+    pairs = (
+        chosen.join(rejected, "user_id")
+        .filter((F.col("cv") - F.col("rv")) >= _LB_MIN_MARGIN)
+        # observed-pairs filter: a NULL payload has no length to audit
+        .filter(
+            F.col("len_chosen").isNotNull()
+            & F.col("len_rejected").isNotNull()
+        )
+        .withColumn("delta", F.col("len_chosen") - F.col("len_rejected"))
+        .withColumn("gap", F.abs(F.col("delta")))
+    )
+    bucket = (
+        F.when(F.col("gap") == 0, "tie")
+        .when(F.col("gap") < 10, "gap_1_9")
+        .when(F.col("gap") < 50, "gap_10_49")
+        .when(F.col("gap") < 200, "gap_50_199")
+        .otherwise("gap_200_plus")
+    )
+    agg = pairs.groupBy(bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("delta") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("longer_wins"),
+        F.sum("delta").cast("bigint").alias("sum_delta"),
+        F.sum("len_chosen").cast("bigint").alias("sum_len_chosen"),
+        F.sum("len_rejected").cast("bigint").alias("sum_len_rejected"),
+    )
+    return agg.select(
+        "gap_bucket",
+        "n_pairs",
+        "longer_wins",
+        (F.col("longer_wins").cast("double") / F.col("n_pairs")).alias(
+            "win_rate_longer"
+        ),
+        (F.col("sum_delta").cast("double") / F.col("n_pairs")).alias(
+            "mean_delta"
+        ),
+        "sum_len_chosen",
+        "sum_len_rejected",
+    )
+
+
 QUERIES = {
+    "eval_length_bias": eval_length_bias,
     "eval_krippendorff_alpha": eval_krippendorff_alpha,
     "eval_elo_bt": eval_elo_bt,
     "eval_bootstrap_ci": eval_bootstrap_ci,
@@ -940,6 +1044,53 @@ def _filter_parity_oracle() -> str:
 
 
 ORACLE = {
+    # the pipeline_preference_pairs recipe verbatim (prep.py oracle),
+    # lengths joined in, then the shared integer CASE buckets; win rate
+    # and mean delta are single divides over integer counts
+    "eval_length_bias": f"""
+        WITH r AS (
+            SELECT user_id, event_id, value, length(props) AS len,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS r_top,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value ASC, event_id
+                   ) AS r_bot,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        chosen AS (
+            SELECT user_id, value AS cv, len AS len_chosen
+            FROM r WHERE r_top = 1 AND n >= 2
+        ),
+        rejected AS (
+            SELECT user_id, value AS rv, len AS len_rejected
+            FROM r WHERE r_bot = 1
+        ),
+        pairs AS (
+            SELECT len_chosen, len_rejected,
+                   len_chosen - len_rejected AS delta,
+                   abs(len_chosen - len_rejected) AS gap
+            FROM chosen c JOIN rejected j USING (user_id)
+            WHERE c.cv - j.rv >= {_LB_MIN_MARGIN}
+              AND len_chosen IS NOT NULL AND len_rejected IS NOT NULL
+        )
+        SELECT CASE WHEN gap = 0 THEN 'tie'
+                    WHEN gap < 10 THEN 'gap_1_9'
+                    WHEN gap < 50 THEN 'gap_10_49'
+                    WHEN gap < 200 THEN 'gap_50_199'
+                    ELSE 'gap_200_plus' END AS gap_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS longer_wins,
+               CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS win_rate_longer,
+               CAST(SUM(delta) AS DOUBLE) / count(*) AS mean_delta,
+               CAST(SUM(len_chosen) AS BIGINT) AS sum_len_chosen,
+               CAST(SUM(len_rejected) AS BIGINT) AS sum_len_rejected
+        FROM pairs
+        GROUP BY 1
+    """,
     # same md5 draws (presence/flip), same integer coincidence identities
     # (m² − Σn² off-diagonal mass, 2/(m−1) ∈ {1,2} weights), one half-up
     # divide at the end — see eval_krippendorff_alpha's docstring

@@ -3203,6 +3203,54 @@ def test_pipeline_shuffle_is_permutation(spark, sf_dir):
     assert by_pos == by_draw
 
 
+def test_pipeline_curriculum_order_interleaves_buckets(spark, sf_dir):
+    """Positions must be exactly 1..N; rank-based quartile buckets must be
+    balanced (sizes differ by at most 1); position order must equal
+    (within_rank, bucket) order — i.e. round r emits one example per
+    non-exhausted bucket, easiest tier first; and within a bucket the
+    order is the reproducible md5 draw."""
+    from datafusion_test_spark.pipeline.curation import (
+        pipeline_curriculum_order,
+    )
+
+    rows = pipeline_curriculum_order(spark, sf_dir).collect()
+    n = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .count()
+    )
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    sizes = {}
+    for r in rows:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
+    by_key = [
+        r["doc_id"]
+        for r in sorted(rows, key=lambda r: (r["within_rank"], r["bucket"]))
+    ]
+    assert by_pos == by_key
+    # while every bucket still has items, consecutive positions cycle the
+    # buckets in ascending order — the deterministic interleave
+    full_rounds = min(sizes.values())
+    seq = [
+        r["bucket"] for r in sorted(rows, key=lambda r: r["pos"])
+    ][: full_rounds * len(sizes)]
+    expect = sorted(sizes) * full_rounds
+    assert seq == [b for i in range(full_rounds) for b in sorted(sizes)]
+    assert seq == expect
+    # within-bucket order is the md5 draw
+    for b in sizes:
+        br = sorted(
+            (r for r in rows if r["bucket"] == b),
+            key=lambda r: r["within_rank"],
+        )
+        assert [r["doc_id"] for r in br] == [
+            r["doc_id"]
+            for r in sorted(br, key=lambda r: (r["draw"], r["doc_id"]))
+        ]
+
+
 def test_sim_ivfpq_invariants(spark, sf_dir):
     from datafusion_test_spark.pipeline.similarity import sim_ivfpq
 
@@ -3395,6 +3443,59 @@ def test_eval_auc_matches_bruteforce(spark, sf_dir):
     assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
     assert got["u2"] == r2 - n_pos * (n_pos + 1)
     assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_eval_length_bias_matches_bruteforce(spark, sf_dir):
+    """The bucketed length-confound audit must equal a driver-side
+    recomputation over the same preference pairs (chosen = max by
+    (value DESC, event_id), rejected = min by (value ASC, event_id),
+    margin >= 10, non-NULL payloads), and every win rate must be a
+    probability."""
+    import collections
+
+    from datafusion_test_spark.pipeline.evals import (
+        _LB_MIN_MARGIN,
+        eval_length_bias,
+    )
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value", F.length("props").alias("len"))
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    want = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for evs in by_user.values():
+        if len(evs) < 2:
+            continue
+        chosen = min(evs, key=lambda r: (-r["value"], r["event_id"]))
+        rejected = min(evs, key=lambda r: (r["value"], r["event_id"]))
+        if not (chosen["value"] - rejected["value"] >= _LB_MIN_MARGIN):
+            continue
+        lc, lr = chosen["len"], rejected["len"]
+        if lc is None or lr is None:
+            continue
+        delta, gap = lc - lr, abs(lc - lr)
+        b = ("tie" if gap == 0 else "gap_1_9" if gap < 10
+             else "gap_10_49" if gap < 50 else "gap_50_199" if gap < 200
+             else "gap_200_plus")
+        acc = want[b]
+        acc[0] += 1
+        acc[1] += 1 if delta > 0 else 0
+        acc[2] += delta
+        acc[3] += lc
+        acc[4] += lr
+    got = {r["gap_bucket"]: r for r in eval_length_bias(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for b, (n, w, d, sc, sr) in want.items():
+        g = got[b]
+        assert (g["n_pairs"], g["longer_wins"]) == (n, w), b
+        assert (g["sum_len_chosen"], g["sum_len_rejected"]) == (sc, sr), b
+        assert g["win_rate_longer"] == w / n and 0.0 <= g["win_rate_longer"] <= 1.0
+        assert g["mean_delta"] == d / n
 
 
 def test_eval_prf_partition_and_f1(spark, sf_dir):

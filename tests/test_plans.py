@@ -250,6 +250,20 @@ def test_pipeline_shuffle_no_global_data_window(spark, sf_dir):
     assert "windowspecdefinition(draw" not in plan
 
 
+def test_pipeline_curriculum_order_no_global_data_window(spark, sf_dir):
+    """All three curriculum ranks (difficulty, within-bucket draw,
+    interleave position) must ride the pid-partitioned two-phase prefix —
+    never a single-partition row_number over a data-scale order."""
+    from datafusion_test_spark.pipeline.curation import (
+        pipeline_curriculum_order,
+    )
+
+    plan = _plan(pipeline_curriculum_order(spark, sf_dir))
+    assert "windowspecdefinition(_pid" in plan
+    for datacol in ("n_chars", "draw", "within_rank"):
+        assert f"windowspecdefinition({datacol}" not in plan, datacol
+
+
 def test_drift_ks_no_global_data_window(spark, sf_dir):
     """Cumulative KS counts ride the pid-partitioned prefix window; the
     only unpartitioned window is over the #partitions-row offsets."""

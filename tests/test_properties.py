@@ -94,6 +94,24 @@ def test_pipeline_shuffle_partition_count_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_pipeline_curriculum_order_partition_count_invariant(spark, sf_dir):
+    """Curriculum positions (all three stacked two-phase ranks) are a pure
+    function of the data, not of the partition count."""
+    from datafusion_test_spark.pipeline.curation import (
+        pipeline_curriculum_order,
+    )
+
+    a = {
+        r["doc_id"]: (r["bucket"], r["pos"])
+        for r in pipeline_curriculum_order(spark, sf_dir, par=3).collect()
+    }
+    b = {
+        r["doc_id"]: (r["bucket"], r["pos"])
+        for r in pipeline_curriculum_order(spark, sf_dir, par=7).collect()
+    }
+    assert a == b
+
+
 def test_two_phase_prefix_matches_pandas_cumsum(spark):
     """The shared helper must reproduce pandas' exclusive cumsum and rank
     for arbitrary (unsorted, duplicate-keyed) inputs at several partition
