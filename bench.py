@@ -276,7 +276,52 @@ def _bench_group(spark, qs, names, sf_dir) -> dict[str, float]:
     return times
 
 
+def _run_pair_baseline(rev: str) -> dict:
+    """Run this same benchmark on another git rev in a disposable worktree
+    and return its JSON record (VERDICT r10 item 4: cross-round bench
+    numbers carry no signal without a SAME-BOX SAME-SESSION pair — r9's
+    box state alone produced a 1.57x spread on identical code).  The
+    baseline record is also saved to tools/bench_pair_baseline_<rev>.json
+    so the round ledger can point at it."""
+    import subprocess
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="dfts_benchpair_")
+    subprocess.run(
+        ["git", "-C", root, "worktree", "add", "--detach", wt, rev],
+        check=True, capture_output=True,
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            check=True, capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": wt},
+            cwd=wt,
+        ).stdout
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        baseline = json.loads(line)
+    finally:
+        subprocess.run(
+            ["git", "-C", root, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+    baseline["rev"] = rev
+    path = os.path.join(root, "tools", f"bench_pair_baseline_{rev[:9]}.json")
+    with open(path, "w") as f:
+        f.write(json.dumps(baseline) + "\n")
+    return {
+        "rev": rev,
+        "headline_wall_sec": baseline["value"],
+        "load1_start": baseline["machine"]["load1_start"],
+        "json": os.path.relpath(path, root),
+    }
+
+
 def main() -> None:
+    pair_rev = None
+    if "--pair" in sys.argv:
+        pair_rev = sys.argv[sys.argv.index("--pair") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Machine condition recorded IN the output (VERDICT r3 item 5): a uniform
@@ -284,6 +329,10 @@ def main() -> None:
     # only by narrative; load1 at start/end makes it attributable in-data.
     # (Spark's own executor threads inflate load DURING the run, so the
     # honest contention signal is load measured before the session starts.)
+    # the baseline leg runs FIRST (own subprocess, own SparkSession) so
+    # both legs share the box state of one session
+    paired = _run_pair_baseline(pair_rev) if pair_rev else None
+
     load_start = round(os.getloadavg()[0], 2)
     spark = get_session("bench")
 
@@ -325,6 +374,7 @@ def main() -> None:
                     # run need an A/B on unchanged code before comparison.
                     "load1_high": load_start > 2.0,
                 },
+                **({"paired_baseline": paired} if paired else {}),
             }
         )
     )

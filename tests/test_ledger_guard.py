@@ -68,3 +68,28 @@ def test_no_invalid_escape_sequences():
         "invalid escape sequence(s) — use raw strings for regex/SQL "
         f"literals: {offenders}"
     )
+
+
+def test_round_bench_records_attest_a_same_session_pair():
+    """VERDICT r10 item 4: single-run cross-round bench numbers carry no
+    signal (identical r9 code measured 201.95 s at r9 close vs 128.92 s
+    one round later — a 1.57x spread from box state alone).  From round
+    11 on, any ROUND*.md that reports a headline bench number must attest
+    a same-session prior-HEAD baseline pair: the word "paired" plus a
+    pointer to the baseline record (tools/bench_pair_baseline_*.json from
+    `python bench.py --pair <rev>`, or another tools/bench_*.json run in
+    the same session)."""
+    offenders = []
+    for md in sorted(ROOT.glob("ROUND*.md")):
+        n = int("".join(c for c in md.stem if c.isdigit()) or 0)
+        if n < 11:
+            continue  # grandfathered: the discipline starts at r11
+        text = md.read_text()
+        if "headline" not in text.lower():
+            continue  # no bench cell yet (ledger still in progress)
+        if "paired" not in text.lower() or "tools/bench_" not in text:
+            offenders.append(md.name)
+    assert not offenders, (
+        "bench cell without a same-session baseline pair — run "
+        f"`python bench.py --pair <prior-HEAD>` and cite it: {offenders}"
+    )

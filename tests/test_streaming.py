@@ -346,6 +346,112 @@ def test_streaming_outer_join_emits_on_eviction(spark, sf_dir, events_dir):
     assert not missing, f"evictable unmatched clicks not emitted: {sorted(missing)[:5]}"
 
 
+def test_streaming_interval_join_state_discards_redelivery(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 item 7: the stream-stream interval join's STATE path
+    pinned under simulated redelivery, symmetric with stream_session's
+    state pin.  Three micro-batches (maxFilesPerTrigger=1): (1) the full
+    corpus — joined with the initial watermark, populating click state;
+    (2) a single far-future purchase that ADVANCES the watermark past
+    every click's eviction horizon (click_ts + 30 min), so the end-of-
+    batch state cleanup empties the click store (inner-join state removal
+    runs at batch commit, AFTER that batch's probe — which is exactly why
+    the redelivery must arrive one batch later to pin eviction); (3) a
+    REDELIVERY of old purchases.  The state contract: the redelivered
+    input joins NOTHING because the matching click state is gone — the
+    streamed MULTISET equals the batch join exactly (a double-match would
+    surface as a duplicate row, which set-equality tests miss)."""
+    import datetime
+    import os
+
+    delay_s = 10
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    batch = sorted(
+        map(tuple, batch_windows.interval_join(clicks, purchases).collect())
+    )
+    assert batch, "no attributed clicks at this sf — pin would be vacuous"
+
+    d = str(tmp_path / "redeliver_src")
+    ev.repartition(1).write.mode("overwrite").parquet(d)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # watermark pump: one purchase 1 h past the corpus max — advances the
+    # watermark beyond click_ts + 30 min for EVERY click, matches nothing
+    # (the 30-min bound looks backward from purchase_ts only 30 min)
+    pump = spark.createDataFrame(
+        [(987_654_321, max_ts + datetime.timedelta(hours=1),
+          999_999_999, "purchase", 0.0, None)],
+        ev.schema,
+    )
+    pump.repartition(1).write.mode("append").parquet(d)
+    # state cleanup at the pump batch's commit uses the watermark IN
+    # EFFECT during that batch — min(side max ts) − delay, computed from
+    # the corpus batch — so only clicks below THAT horizon are provably
+    # evicted before the replay probes; redeliver purchases strictly
+    # below it (31 min absorbs the 30-min bound + boundary convention)
+    side_max = [
+        ev.filter(F.col("event_type") == t).agg(F.max("ts")).collect()[0][0]
+        for t in ("click", "purchase")
+    ]
+    horizon = (
+        min(side_max)
+        - datetime.timedelta(seconds=delay_s)
+        - datetime.timedelta(minutes=31)
+    )
+    replay = purchases.filter(F.col("ts") < horizon)
+    n_replayed = replay.count()
+    assert n_replayed > 0, "redelivery batch empty — pin would be vacuous"
+    # non-vacuity: some redelivered purchase DID match a click in batch
+    # mode, so a non-evicting engine would emit a duplicate for it
+    assert any(
+        r[3] < horizon for r in batch
+    ), "no attributed purchase behind the horizon — pin would be vacuous"
+    replay.repartition(1).write.mode("append").parquet(d)
+    # FileStreamSource orders files by modification time: pin the intended
+    # batch order explicitly instead of relying on write latency
+    files = sorted(
+        (f for f in os.listdir(d) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(d, f)),
+    )
+    assert len(files) == 3
+    now = int(os.path.getmtime(os.path.join(d, files[-1]))) + 10
+    for i, f in enumerate(files):
+        os.utime(os.path.join(d, f), (now + 10 * i, now + 10 * i))
+
+    schema = spark.read.parquet(d).schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+    out = batch_windows.interval_join(
+        src().filter(F.col("event_type") == "click")
+        .withWatermark("ts", f"{delay_s} seconds"),
+        src().filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", f"{delay_s} seconds"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ssjoin_redeliver")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = sorted(
+        map(tuple, spark.table("t_ssjoin_redeliver").collect())
+    )
+    assert streamed == batch, (
+        f"{len(streamed)} streamed vs {len(batch)} batch rows — "
+        f"redelivered late purchases ({n_replayed}) leaked into the join"
+    )
+
+
 def test_stream_idempotent_sink_survives_redelivery(spark, sf_dir):
     """Every micro-batch is delivered twice; the key-anti-join upsert must
     leave exactly one row per source event — the exactly-once-by-
