@@ -287,6 +287,10 @@ def _run_pair_baseline(rev: str) -> dict:
     import tempfile
 
     root = os.path.dirname(os.path.abspath(__file__))
+    rev = subprocess.run(
+        ["git", "-C", root, "rev-parse", rev],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
     wt = tempfile.mkdtemp(prefix="dfts_benchpair_")
     subprocess.run(
         ["git", "-C", root, "worktree", "add", "--detach", wt, rev],
