@@ -585,6 +585,74 @@ def test_parquet_pageindex_pushed_and_probe_nonvacuous(spark, sf_dir):
     assert bp == 0, f"below-min key contained by {bp} pages"
 
 
+def test_parquet_pageindex_descending_layout_is_ordered_not_unordered(spark, sf_dir):
+    """ordered_ok's contract boundary: a DESC-clustered chunk must read
+    back as DESCENDING boundary order — ordered (prunable by binary
+    search), merely reversed — while a deliberately interleaved layout
+    reads back UNORDERED.  Pins that the probe's UNORDERED counter
+    distinguishes genuine disorder from reversed clustering, so the
+    operator's sorted-layout claim cannot pass vacuously."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def boundary_orders(out):
+        orders = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(out, f))
+            infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                hpath, conf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+            try:
+                blocks = reader.getRowGroups()
+                for i in range(blocks.size()):
+                    cols = blocks.get(i).getColumns()
+                    for j in range(cols.size()):
+                        cc = cols.get(j)
+                        if cc.getPath().toDotString() != "o_orderkey":
+                            continue
+                        ci = reader.readColumnIndex(cc)
+                        oi = reader.readOffsetIndex(cc)
+                        if ci is not None and oi.getPageCount() > 1:
+                            orders.append(str(ci.getBoundaryOrder()))
+                        break
+            finally:
+                reader.close()
+        return orders
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def write(df, tag):
+        out = os.path.join(scratch_dir(f"dfts_pibo_{tag}_"), "orders_pi")
+        (
+            df.repartition(1)
+            .write.mode("overwrite")
+            .option("parquet.page.row.count.limit", connectors._PAGE_ROW_LIMIT)
+            .option("parquet.page.size", 8192)
+            .option("parquet.block.size", 1048576)
+            .parquet(out)
+        )
+        return out
+
+    desc = boundary_orders(write(o.sortWithinPartitions(F.desc("o_orderkey")), "d"))
+    assert desc and all(b == "DESCENDING" for b in desc), desc
+    # interleave: odd keys first then even, each ascending — page mins
+    # alternate across the halves' ranges, so no single order fits
+    shuffled = boundary_orders(
+        write(o.sortWithinPartitions((F.col("o_orderkey") % 2).desc(), "o_orderkey"), "u")
+    )
+    assert shuffled and any(b == "UNORDERED" for b in shuffled), shuffled
+
+
 def test_parquet_bloom_hit_ok_survives_multi_file_layout(spark, sf_dir):
     """ADVICE r10 regression pin: hit-found must be a per-key OR across
     files.  With a MULTI-file bloom layout a present key exists in only
