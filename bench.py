@@ -297,14 +297,24 @@ def _run_pair_baseline(rev: str) -> dict:
         check=True, capture_output=True,
     )
     try:
-        out = subprocess.run(
+        # PREPEND the worktree (ADVICE r11): replacing PYTHONPATH outright
+        # would run the baseline leg without any session-provided deps,
+        # breaking the same-session-pair premise of identical environments
+        prior = os.environ.get("PYTHONPATH", "")
+        pypath = wt + (os.pathsep + prior if prior else "")
+        proc = subprocess.run(
             [sys.executable, os.path.join(wt, "bench.py")],
             check=True, capture_output=True, text=True,
-            env={**os.environ, "PYTHONPATH": wt},
+            env={**os.environ, "PYTHONPATH": pypath},
             cwd=wt,
-        ).stdout
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        baseline = json.loads(line)
+        )
+        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not json_lines:
+            raise RuntimeError(
+                f"baseline rev {rev[:9]} printed no JSON record line; "
+                f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+            )
+        baseline = json.loads(json_lines[-1])
     finally:
         subprocess.run(
             ["git", "-C", root, "worktree", "remove", "--force", wt],
@@ -325,7 +335,10 @@ def _run_pair_baseline(rev: str) -> dict:
 def main() -> None:
     pair_rev = None
     if "--pair" in sys.argv:
-        pair_rev = sys.argv[sys.argv.index("--pair") + 1]
+        idx = sys.argv.index("--pair")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("bench.py: --pair requires a git rev argument")
+        pair_rev = sys.argv[idx + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Machine condition recorded IN the output (VERDICT r3 item 5): a uniform

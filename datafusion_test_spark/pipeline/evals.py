@@ -947,8 +947,211 @@ def eval_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-data position-confound audit — the second of the three
+    documented preference-collection confounds next to eval_length_bias
+    (length / position / format): annotators and LLM judges measurably
+    favor the FIRST-presented response (the position-bias literature,
+    e.g. Zheng et al. 2023 "Judging LLM-as-a-Judge", which swaps
+    presentation order to detect it), so a pair set whose winners are
+    systematically the earlier-listed completion encodes presentation
+    order, not quality.
+
+    Pairs are built with EXACTLY the pipeline_preference_pairs recipe
+    (prep.py:84 — per prompt/user: chosen = first by value DESC,
+    rejected = first by value ASC, row_number tie-breaks, ≥ 2
+    completions, reward margin ≥ 10).  Position is the completion's
+    presentation rank inside its prompt group — row_number over
+    (user_id ORDER BY event_id), the generation/display order both
+    engines state identically (event ids are unique, so the rank is
+    total-order deterministic).
+
+    Per reward-MARGIN bucket (10-199 / 200-239 / 240-299 / 300+, shared
+    double CASE thresholds sized to the corpus margin quartiles so every
+    bucket is populated — bucketing by preference strength shows whether
+    position dominates exactly where the signal should be strongest) the
+    audit reports the pair count, how often the EARLIER-POSITIONED
+    response won, the win rate (one single-divide double over integer
+    counts), and integer position-sum anchors.  An unconfounded pair set
+    sits near 0.5 in every margin bucket.
+
+    Scale (100 TB): all three row_number windows partition by the prompt
+    key and plan over ONE hash exchange (the prep.py twin's shape); the
+    pair join keys on the prompt; the final aggregate is a
+    map-side-combined groupBy onto ≤ 4 bucket rows.  No corpus-wide
+    state anywhere.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    w_bot = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    w_pos = Window.partitionBy("user_id").orderBy(F.asc("event_id"))
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    chosen = ranked.filter((F.col("r_top") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("value").alias("cv"),
+        F.col("pos").alias("pos_chosen"),
+    )
+    rejected = ranked.filter(F.col("r_bot") == 1).select(
+        "user_id",
+        F.col("value").alias("rv"),
+        F.col("pos").alias("pos_rejected"),
+    )
+    pairs = (
+        chosen.join(rejected, "user_id")
+        .withColumn("margin", F.col("cv") - F.col("rv"))
+        .filter(F.col("margin") >= _LB_MIN_MARGIN)
+    )
+    bucket = (
+        F.when(F.col("margin") < 200, "m_10_199")
+        .when(F.col("margin") < 240, "m_200_239")
+        .when(F.col("margin") < 300, "m_240_299")
+        .otherwise("m_300_plus")
+    )
+    agg = pairs.groupBy(bucket.alias("margin_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("pos_chosen") < F.col("pos_rejected"), 1).otherwise(0)
+        ).cast("bigint").alias("first_wins"),
+        F.sum("pos_chosen").cast("bigint").alias("sum_pos_chosen"),
+        F.sum("pos_rejected").cast("bigint").alias("sum_pos_rejected"),
+    )
+    return agg.select(
+        "margin_bucket",
+        "n_pairs",
+        "first_wins",
+        (F.col("first_wins").cast("double") / F.col("n_pairs")).alias(
+            "win_rate_first"
+        ),
+        "sum_pos_chosen",
+        "sum_pos_rejected",
+    )
+
+
+def eval_format_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-data format-confound audit — the third documented
+    preference confound (length / position / format): reward models and
+    LLM judges favor visibly STRUCTURED responses (markdown lists,
+    key-value notation, numbers) independent of content quality, so a
+    pair set whose winners are systematically the more-formatted
+    response trains a formatting policy (the style-vs-substance failure
+    the RLHF format-bias analyses document).
+
+    Pairs are built with EXACTLY the pipeline_preference_pairs recipe
+    (prep.py:84).  The format score of a completion payload is the
+    count of three structural markers, each a deterministic expression
+    both engines state identically:
+      * opens structured — first character is '{' or '[' (JSON/list
+        notation);
+      * key-value notation — contains the '":' key separator;
+      * numeric content — matches the multi-digit regex [0-9][0-9].
+    On this synthetic corpus the payloads are uniformly JSON-shaped, so
+    the discriminating marker is the numeric one; the marker SET is
+    nonetheless evaluated in full because the degenerate/unicode
+    corpora (and any real corpus) vary all three.  Pairs where either
+    payload is NULL are excluded by an explicit observed-pairs filter
+    (the r6 nulls-gate discipline — a missing payload has no format to
+    audit, and silently scoring it 0 would count absence as plainness).
+
+    Per |format-gap| bucket (tie / 1 / 2 / 3 — the score domain is
+    0..3, integer CASE shared verbatim with the oracle) the audit
+    reports n_pairs, how often the MORE-FORMATTED response won, the win
+    rate (single divide over integer counts), the mean signed score
+    delta (chosen minus rejected), and integer score-sum anchors.
+
+    Scale (100 TB): marker scoring is a whole-stage-codegen projection;
+    both row_number windows partition by the prompt key over ONE hash
+    exchange; the final aggregate is a map-side-combined groupBy onto
+    ≤ 4 bucket rows.  No corpus-wide state anywhere.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    score = (
+        F.when(F.substring("props", 1, 1).isin("{", "["), 1).otherwise(0)
+        + F.when(F.instr("props", '":') > 0, 1).otherwise(0)
+        + F.when(F.col("props").rlike("[0-9][0-9]"), 1).otherwise(0)
+    )
+    fmt = F.when(F.col("props").isNotNull(), score)  # NULL payload → NULL
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    w_bot = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        fmt.alias("fmt"),
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    chosen = ranked.filter((F.col("r_top") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("value").alias("cv"),
+        F.col("fmt").alias("fmt_chosen"),
+    )
+    rejected = ranked.filter(F.col("r_bot") == 1).select(
+        "user_id",
+        F.col("value").alias("rv"),
+        F.col("fmt").alias("fmt_rejected"),
+    )
+    pairs = (
+        chosen.join(rejected, "user_id")
+        .filter((F.col("cv") - F.col("rv")) >= _LB_MIN_MARGIN)
+        # observed-pairs filter: a NULL payload has no format to audit
+        .filter(
+            F.col("fmt_chosen").isNotNull()
+            & F.col("fmt_rejected").isNotNull()
+        )
+        .withColumn("delta", F.col("fmt_chosen") - F.col("fmt_rejected"))
+        .withColumn("gap", F.abs(F.col("delta")))
+    )
+    bucket = (
+        F.when(F.col("gap") == 0, "tie")
+        .when(F.col("gap") == 1, "gap_1")
+        .when(F.col("gap") == 2, "gap_2")
+        .otherwise("gap_3")
+    )
+    agg = pairs.groupBy(bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("delta") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("fmt_wins"),
+        F.sum("delta").cast("bigint").alias("sum_delta"),
+        F.sum("fmt_chosen").cast("bigint").alias("sum_fmt_chosen"),
+        F.sum("fmt_rejected").cast("bigint").alias("sum_fmt_rejected"),
+    )
+    return agg.select(
+        "gap_bucket",
+        "n_pairs",
+        "fmt_wins",
+        (F.col("fmt_wins").cast("double") / F.col("n_pairs")).alias(
+            "win_rate_fmt"
+        ),
+        (F.col("sum_delta").cast("double") / F.col("n_pairs")).alias(
+            "mean_delta"
+        ),
+        "sum_fmt_chosen",
+        "sum_fmt_rejected",
+    )
+
+
 QUERIES = {
     "eval_length_bias": eval_length_bias,
+    "eval_position_bias": eval_position_bias,
+    "eval_format_bias": eval_format_bias,
     "eval_krippendorff_alpha": eval_krippendorff_alpha,
     "eval_elo_bt": eval_elo_bt,
     "eval_bootstrap_ci": eval_bootstrap_ci,
@@ -1088,6 +1291,105 @@ ORACLE = {
                CAST(SUM(delta) AS DOUBLE) / count(*) AS mean_delta,
                CAST(SUM(len_chosen) AS BIGINT) AS sum_len_chosen,
                CAST(SUM(len_rejected) AS BIGINT) AS sum_len_rejected
+        FROM pairs
+        GROUP BY 1
+    """,
+    # the pair recipe verbatim, presentation rank = row_number over
+    # (user_id, event_id), margin buckets as shared double CASE
+    "eval_position_bias": f"""
+        WITH r AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS r_top,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value ASC, event_id
+                   ) AS r_bot,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ) AS pos,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        chosen AS (
+            SELECT user_id, value AS cv, pos AS pos_chosen
+            FROM r WHERE r_top = 1 AND n >= 2
+        ),
+        rejected AS (
+            SELECT user_id, value AS rv, pos AS pos_rejected
+            FROM r WHERE r_bot = 1
+        ),
+        pairs AS (
+            SELECT c.cv - j.rv AS margin, pos_chosen, pos_rejected
+            FROM chosen c JOIN rejected j USING (user_id)
+            WHERE c.cv - j.rv >= {_LB_MIN_MARGIN}
+        )
+        SELECT CASE WHEN margin < 200 THEN 'm_10_199'
+                    WHEN margin < 240 THEN 'm_200_239'
+                    WHEN margin < 300 THEN 'm_240_299'
+                    ELSE 'm_300_plus' END AS margin_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN pos_chosen < pos_rejected
+                             THEN 1 ELSE 0 END) AS BIGINT) AS first_wins,
+               CAST(SUM(CASE WHEN pos_chosen < pos_rejected
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS win_rate_first,
+               CAST(SUM(pos_chosen) AS BIGINT) AS sum_pos_chosen,
+               CAST(SUM(pos_rejected) AS BIGINT) AS sum_pos_rejected
+        FROM pairs
+        GROUP BY 1
+    """,
+    # the pair recipe verbatim, the three structural markers restated as
+    # the same CASE/substring/strpos/regexp expressions, NULL payloads
+    # excluded by the observed-pairs filter
+    "eval_format_bias": f"""
+        WITH r AS (
+            SELECT user_id, event_id, value,
+                   CASE WHEN props IS NULL THEN NULL ELSE
+                       (CASE WHEN substring(props, 1, 1) IN ('{{', '[')
+                             THEN 1 ELSE 0 END)
+                       + (CASE WHEN strpos(props, '":') > 0
+                               THEN 1 ELSE 0 END)
+                       + (CASE WHEN regexp_matches(props, '[0-9][0-9]')
+                               THEN 1 ELSE 0 END)
+                   END AS fmt,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS r_top,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value ASC, event_id
+                   ) AS r_bot,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        chosen AS (
+            SELECT user_id, value AS cv, fmt AS fmt_chosen
+            FROM r WHERE r_top = 1 AND n >= 2
+        ),
+        rejected AS (
+            SELECT user_id, value AS rv, fmt AS fmt_rejected
+            FROM r WHERE r_bot = 1
+        ),
+        pairs AS (
+            SELECT fmt_chosen, fmt_rejected,
+                   fmt_chosen - fmt_rejected AS delta,
+                   abs(fmt_chosen - fmt_rejected) AS gap
+            FROM chosen c JOIN rejected j USING (user_id)
+            WHERE c.cv - j.rv >= {_LB_MIN_MARGIN}
+              AND fmt_chosen IS NOT NULL AND fmt_rejected IS NOT NULL
+        )
+        SELECT CASE WHEN gap = 0 THEN 'tie'
+                    WHEN gap = 1 THEN 'gap_1'
+                    WHEN gap = 2 THEN 'gap_2'
+                    ELSE 'gap_3' END AS gap_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fmt_wins,
+               CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS win_rate_fmt,
+               CAST(SUM(delta) AS DOUBLE) / count(*) AS mean_delta,
+               CAST(SUM(fmt_chosen) AS BIGINT) AS sum_fmt_chosen,
+               CAST(SUM(fmt_rejected) AS BIGINT) AS sum_fmt_rejected
         FROM pairs
         GROUP BY 1
     """,

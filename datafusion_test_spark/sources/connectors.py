@@ -861,7 +861,13 @@ def _pageindex_probe_file(spark: SparkSession, path: str, column: str,
     yield ASCENDING); point_pages / below_pages count non-null pages
     whose [min,max] CONTAINS the probe value — the exact page set a
     page-index reader scans (INT64 min/max are exact, never truncated,
-    so containment is the reader's real decision)."""
+    so containment is the reader's real decision).
+
+    INT64-only by contract (ADVICE r11): the decode is a little-endian
+    getLong, which would silently misread any other primitive type, so
+    the target chunk's type is asserted before decoding.  The
+    variable-length BINARY tier (truncated bounds, one-sided
+    containment) is :func:`_pageindex_probe_file_str`."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -882,6 +888,13 @@ def _pageindex_probe_file(spark: SparkSession, path: str, column: str,
                 cc = cols.get(j)
                 if cc.getPath().toDotString() != column:
                     continue
+                ptype = str(cc.getPrimitiveType().getPrimitiveTypeName())
+                if ptype != "INT64":
+                    raise ValueError(
+                        f"_pageindex_probe_file decodes INT64 bounds only; "
+                        f"column {column!r} is {ptype} (use the BINARY "
+                        f"variant _pageindex_probe_file_str)"
+                    )
                 ci = reader.readColumnIndex(cc)
                 oi = reader.readOffsetIndex(cc)
                 if ci is None or oi is None:
@@ -946,7 +959,9 @@ def scan_parquet_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         (page min/max are exact for INT64 — no false negatives) and, when
         the layout has ≥2 pages, by at most HALF of them (the actual
         page skip; vacuously true at ≤1 page, the scan_row_lineage
-        vacuity pattern);
+        vacuity pattern, and when a probed min-key multiplicity shows the
+        minimum owning ≥ half the rows — ADVICE r11: the unique-ish-key
+        precondition is probed, not assumed);
       * below_min_excluded — a key below the global minimum is contained
         by ZERO pages (the full-skip decision, exact for INT64).
     All contracts are vacuously true on an empty corpus (zero row
@@ -970,9 +985,19 @@ def scan_parquet_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parquet.block.size", 1048576)
         .parquet(out)
     )
-    row = o.agg(F.min("o_orderkey").alias("lo")).first()
-    lo = row["lo"]
+    row = o.agg(
+        F.min("o_orderkey").alias("lo"),
+        F.count("o_orderkey").alias("nn"),
+    ).first()
+    lo, nn = row["lo"], row["nn"]
     below = None if lo is None else lo - 1
+    # min-key multiplicity probe (ADVICE r11): the "≤ half the pages"
+    # claim presumes the min key does not itself OWN a large share of the
+    # sorted layout.  A corpus where the minimum repeats across most rows
+    # legitimately admits most pages — probe the multiplicity (bounded
+    # 1-row aggregate) and fold it into the vacuity condition instead of
+    # leaving the unique-ish-key precondition implicit.
+    m_min = 0 if lo is None else o.filter(F.col("o_orderkey") == lo).count()
     rg_total = rg_indexed = pages_total = granular_bad = unordered = 0
     point_pages = below_pages = 0
     for f in sorted(os.listdir(out)):
@@ -991,8 +1016,12 @@ def scan_parquet_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_written = rg_indexed == rg_total
     page_granular = granular_bad == 0
     ordered_ok = unordered == 0
-    point_prune_ok = pages_total <= 1 or (
-        point_pages >= 1 and point_pages * 2 <= pages_total
+    point_prune_ok = (
+        pages_total <= 1
+        or (point_pages >= 1 and point_pages * 2 <= pages_total)
+        # vacuity: the min key owns ≥ half the rows, so admitting more
+        # than half the pages is the CORRECT reader decision (ADVICE r11)
+        or (point_pages >= 1 and 2 * m_min >= nn)
     )
     below_min_excluded = below_pages == 0
     # the point lookup: schema-stated read (empty corpus writes a bare
@@ -1011,6 +1040,251 @@ def scan_parquet_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("page_granular", F.lit(bool(page_granular)))
         .withColumn("ordered_ok", F.lit(bool(ordered_ok)))
         .withColumn("point_prune_ok", F.lit(bool(point_prune_ok)))
+        .withColumn("below_min_excluded", F.lit(bool(below_min_excluded)))
+    )
+
+
+_PAGE_TRUNC_LEN = 16  # parquet.columnindex.truncate.length for the layout
+_KEY_PAD = 12  # zero-padded digits: lex order == numeric order, unique
+_KEY_SUFFIX = "x" * 20  # shared tail pushes every key PAST the truncation
+
+
+def _pageindex_probe_file_str(spark: SparkSession, path: str, column: str,
+                              point: bytes | None, fp: bytes | None,
+                              below: bytes | None):
+    """BINARY twin of :func:`_pageindex_probe_file` — probe a parquet
+    file's page-level ColumnIndex for a STRING column, where parquet-mr
+    TRUNCATES the stored page bounds (BinaryTruncator,
+    parquet.columnindex.truncate.length): min is cut to a prefix (rounds
+    DOWN) and max is cut with its last byte incremented (rounds UP), so
+    the stored [min,max] only CONTAINS the true page range.  Containment
+    against truncated bounds is therefore ONE-SIDED — false positives
+    are legal, false negatives are not — which is exactly the weaker
+    contract a reader on any URL/doc-id clustered lake table runs under.
+
+    Returns (rg_total, rg_indexed, pages_total, granular_bad, unordered,
+    point_pages, fp_pages, below_pages, overlong_bounds): the first five
+    as in the INT64 probe; point/fp/below_pages count non-null pages
+    whose stored (truncated) bounds admit the probe bytes under UNSIGNED
+    lexicographic order (parquet's UTF8 sort order — python bytes
+    comparison is the same order); overlong_bounds counts stored bounds
+    LONGER than the configured truncation length (must be zero when
+    every value exceeds the limit: truncation observably fired).
+    Driver-side O(n_pages) metadata work, the _bloom_probe_file class.
+    Asserts the chunk's primitive type is BINARY (ADVICE r11 — the
+    decode-kind/type mismatch must fail loudly, not misread)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    binary = jvm.org.apache.parquet.io.api.Binary
+    rg_total = rg_indexed = pages_total = granular_bad = unordered = 0
+    point_pages = fp_pages = below_pages = overlong_bounds = 0
+    try:
+        blocks = reader.getRowGroups()
+        for i in range(blocks.size()):
+            block = blocks.get(i)
+            rg_total += 1
+            cols = block.getColumns()
+            for j in range(cols.size()):
+                cc = cols.get(j)
+                if cc.getPath().toDotString() != column:
+                    continue
+                ptype = str(cc.getPrimitiveType().getPrimitiveTypeName())
+                if ptype != "BINARY":
+                    raise ValueError(
+                        f"_pageindex_probe_file_str decodes BINARY bounds "
+                        f"only; column {column!r} is {ptype} (use "
+                        f"_pageindex_probe_file for INT64)"
+                    )
+                ci = reader.readColumnIndex(cc)
+                oi = reader.readOffsetIndex(cc)
+                if ci is None or oi is None:
+                    break
+                rg_indexed += 1
+                n_pages = oi.getPageCount()
+                pages_total += n_pages
+                rows = block.getRowCount()
+                if n_pages * _PAGE_ROW_LIMIT < rows:
+                    granular_bad += 1
+                if str(ci.getBoundaryOrder()) == "UNORDERED":
+                    unordered += 1
+                mins, maxs, nullp = (
+                    ci.getMinValues(), ci.getMaxValues(), ci.getNullPages()
+                )
+                for p in range(n_pages):
+                    if nullp[p]:
+                        continue
+                    lo = bytes(
+                        binary.fromReusedByteBuffer(
+                            mins.get(p).duplicate()
+                        ).getBytes()
+                    )
+                    hi = bytes(
+                        binary.fromReusedByteBuffer(
+                            maxs.get(p).duplicate()
+                        ).getBytes()
+                    )
+                    if max(len(lo), len(hi)) > _PAGE_TRUNC_LEN:
+                        overlong_bounds += 1
+                    if point is not None and lo <= point <= hi:
+                        point_pages += 1
+                    if fp is not None and lo <= fp <= hi:
+                        fp_pages += 1
+                    if below is not None and lo <= below <= hi:
+                        below_pages += 1
+                break
+    finally:
+        reader.close()
+    return (rg_total, rg_indexed, pages_total, granular_bad, unordered,
+            point_pages, fp_pages, below_pages, overlong_bounds)
+
+
+def _pageindex_string_key():
+    """The clustered string surrogate both engines derive from orders:
+    o_orderkey zero-padded to _KEY_PAD digits (fixed width — UNSIGNED
+    lexicographic order equals numeric order, and the discriminating
+    digits sit INSIDE the truncation window so page bounds stay
+    selective) plus a constant 20-char tail that pushes every key PAST
+    parquet.columnindex.truncate.length (so truncation demonstrably
+    fires on every stored bound)."""
+    return F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), _KEY_PAD, "0"),
+        F.lit(_KEY_SUFFIX),
+    )
+
+
+def scan_parquet_pageindex_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet page-index skip on a STRING column — the truncation tier
+    of the IO-skip ladder, queued by ROUND11 as the semantics the INT64
+    proof (scan_parquet_pageindex) cannot cover: parquet-mr stores
+    TRUNCATED page bounds for variable-length BINARY columns
+    (BinaryTruncator, parquet.columnindex.truncate.length — min rounds
+    DOWN to a prefix, max rounds UP by incrementing the last kept byte),
+    so stored bounds only ENCLOSE the true page range.  Every real lake
+    hits this tier on URL / doc-id / content-hash clustered tables; at
+    100 TB the difference between exact and truncated bounds is the
+    difference between a page skip that is a proof and one that is a
+    one-sided filter — false positives legal, false negatives not.  The
+    layout makes BOTH effects observable: keys are
+    lpad(o_orderkey, 12, '0') || 'x'*20 (32 chars, truncation length
+    16), so the discriminating digits survive truncation (pruning stays
+    real) while the constant tail guarantees every bound is cut.
+
+    Driver-verified contracts, probed through parquet-mr's OWN
+    ColumnIndex reader on the truncated bounds:
+      * index_written / page_granular / ordered_ok — as the INT64 twin
+        (sorted layout must read back ASCENDING: prefix truncation is
+        order-preserving);
+      * trunc_real — every stored bound is ≤ 16 bytes while every data
+        value is 32 chars: truncation OBSERVABLY fired on every page
+        (the claim that separates this operator from the INT64 twin);
+      * point_contained — the global-min key is admitted by ≥1 page:
+        truncated bounds enclose true ranges, so false NEGATIVES are
+        impossible (the one-sided contract's hard half);
+      * point_prune_ok — the min key is admitted by at most HALF the
+        pages (pruning survives truncation because the discriminating
+        digits sit inside the window); vacuous at ≤1 page or when a
+        probed min-key multiplicity shows the minimum owning ≥ half the
+        rows (the ADVICE r11 probe, built in from day one);
+      * fp_admitted — a key STRICTLY ABOVE the global max (max key +
+        'z', provably absent) is nonetheless admitted by ≥1 page: the
+        incremented-max bound overadmits, which is the legal
+        false-positive half of the contract stated as an observed fact,
+        not an allowance (exact INT64 bounds would exclude this probe —
+        pinned in tests/test_plans.py);
+      * below_min_excluded — the empty string (below every non-empty
+        key) is admitted by ZERO pages: prefix-truncated minima are
+        still valid lower bounds, so the full skip below the domain
+        survives truncation.
+    All contracts are vacuously true on an empty corpus (zero pages) —
+    the oracle states them as constants (scan_parquet_bloom pattern).
+
+    Data plane: the point lookup runs through a normal Spark scan with
+    the string Eq predicate PUSHED (PushedFilters pin in PLANS.md) —
+    count + deterministic price sum over the matched rows, recomputed by
+    the oracle from the source table with the SAME key derivation.  The
+    1-row min/max/count collect and the min-key multiplicity count are
+    bounded driver-side probes (the scan_manifest_prune footer class).
+    """
+    out = os.path.join(scratch_dir("dfts_pageidx_s_"), "orders_pageindex_str")
+    o = table(spark, sf_dir, "orders").select(
+        _pageindex_string_key().alias("key"), "o_totalprice"
+    )
+    (
+        o.repartition(1)
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", _PAGE_ROW_LIMIT)
+        .option("parquet.columnindex.truncate.length", _PAGE_TRUNC_LEN)
+        # page byte cap sized so the 1000-row cap binds first (32-char
+        # keys: 1000 rows ≈ 36 KB < 64 KB) — the granularity contract
+        # stays the row cap's, as in the INT64 twin
+        .option("parquet.page.size", 65536)
+        .option("parquet.block.size", 1048576)
+        .parquet(out)
+    )
+    row = o.agg(
+        F.min("key").alias("lo"),
+        F.max("key").alias("hi"),
+        F.count("key").alias("nn"),
+    ).first()
+    lo, hi, nn = row["lo"], row["hi"], row["nn"]
+    m_min = 0 if lo is None else o.filter(F.col("key") == lo).count()
+    point = None if lo is None else lo.encode("utf-8")
+    fp = None if hi is None else hi.encode("utf-8") + b"z"
+    below = None if lo is None else b""
+    rg_total = rg_indexed = pages_total = granular_bad = unordered = 0
+    point_pages = fp_pages = below_pages = overlong = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t, idx, pg, gb, uo, pp, fpp, bp, ob = _pageindex_probe_file_str(
+            spark, os.path.join(out, f), "key", point, fp, below
+        )
+        rg_total += t
+        rg_indexed += idx
+        pages_total += pg
+        granular_bad += gb
+        unordered += uo
+        point_pages += pp
+        fp_pages += fpp
+        below_pages += bp
+        overlong += ob
+    index_written = rg_indexed == rg_total
+    page_granular = granular_bad == 0
+    ordered_ok = unordered == 0
+    trunc_real = overlong == 0
+    point_contained = lo is None or point_pages >= 1
+    point_prune_ok = (
+        pages_total <= 1
+        or (point_pages >= 1 and point_pages * 2 <= pages_total)
+        or (point_pages >= 1 and 2 * m_min >= nn)
+    )
+    fp_admitted = hi is None or fp_pages >= 1
+    below_min_excluded = below_pages == 0
+    # the point lookup: schema-stated read (empty corpus writes a bare
+    # _SUCCESS dir), literal string Eq predicate → PushedFilters on key
+    rt = spark.read.schema("key string, o_totalprice double").parquet(out)
+    hit = rt.filter(F.col("key") == (lo if lo is not None else ""))
+    return (
+        rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .crossJoin(
+            hit.agg(
+                F.count(F.lit(1)).cast("bigint").alias("hit_n"),
+                dsum(F.col("o_totalprice"), "hit_sum_price"),
+            )
+        )
+        .withColumn("index_written", F.lit(bool(index_written)))
+        .withColumn("page_granular", F.lit(bool(page_granular)))
+        .withColumn("ordered_ok", F.lit(bool(ordered_ok)))
+        .withColumn("trunc_real", F.lit(bool(trunc_real)))
+        .withColumn("point_contained", F.lit(bool(point_contained)))
+        .withColumn("point_prune_ok", F.lit(bool(point_prune_ok)))
+        .withColumn("fp_admitted", F.lit(bool(fp_admitted)))
         .withColumn("below_min_excluded", F.lit(bool(below_min_excluded)))
     )
 
@@ -1239,6 +1513,7 @@ QUERIES = {
     "scan_manifest_prune": scan_manifest_prune,
     "scan_parquet_bloom": scan_parquet_bloom,
     "scan_parquet_pageindex": scan_parquet_pageindex,
+    "scan_parquet_pageindex_string": scan_parquet_pageindex_string,
     "scan_row_lineage": scan_row_lineage,
     "scan_schema_evolution": scan_schema_evolution,
     "scan_json_corrupt": scan_json_corrupt,
@@ -1454,6 +1729,32 @@ ORACLE = {
             TRUE AS page_granular,
             TRUE AS ordered_ok,
             TRUE AS point_prune_ok,
+            TRUE AS below_min_excluded
+    """,
+    # truncated-bounds tier: same constant-contract pattern; the data
+    # plane rebuilds the SAME 32-char surrogate key (fixed-width
+    # zero-padding makes the lexicographic min the numeric min) and
+    # restates the point lookup from the source table
+    "scan_parquet_pageindex_string": f"""
+        WITH k AS (
+            SELECT lpad(CAST(o_orderkey AS VARCHAR), {_KEY_PAD}, '0')
+                       || '{_KEY_SUFFIX}' AS key,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT
+            CAST((SELECT count(*) FROM k) AS BIGINT) AS n_rows,
+            CAST((SELECT count(*) FROM k
+                  WHERE key = (SELECT min(key) FROM k)) AS BIGINT) AS hit_n,
+            (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             FROM k WHERE key = (SELECT min(key) FROM k)) AS hit_sum_price,
+            TRUE AS index_written,
+            TRUE AS page_granular,
+            TRUE AS ordered_ok,
+            TRUE AS trunc_real,
+            TRUE AS point_contained,
+            TRUE AS point_prune_ok,
+            TRUE AS fp_admitted,
             TRUE AS below_min_excluded
     """,
     # lineage contracts stated from the layout RULE (bucket = okey % 4,

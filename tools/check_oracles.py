@@ -130,9 +130,10 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, passed, rows_only = [], 0, 0
-    # see the rowcount branch below — Spark vs standard SQL on CUBE/ROLLUP
-    # over an EMPTY relation (the only known cross-engine semantic gap)
-    GROUPING_SETS_EMPTY_DIVERGENCE = {"agg_cube", "agg_rollup", "agg_grouping_sets"}
+    # No allowlists (r12): the last one — the empty-input grouping-sets
+    # engine divergence — became a stated witnessed-rows contract in the
+    # agg_rollup/agg_cube/agg_grouping_sets query+oracle pairs themselves
+    # (HAVING COUNT(*) >= 1 on both engines; VERDICT r11 item 4).
 
     for name, fn in sorted(qs.items()):
         if only and name not in only:
@@ -182,21 +183,6 @@ def main():
             print(f"FAIL  {name}: cols spark={scols} duck={dcols}")
             continue
         if len(srows) != len(drows):
-            if (
-                name in GROUPING_SETS_EMPTY_DIVERGENCE
-                and not srows
-                and len(drows) == 1
-            ):
-                # Documented engine divergence, not a repo bug: over an
-                # EMPTY input relation the SQL standard (and DuckDB) emit
-                # the global () grouping-set row for CUBE/ROLLUP/GROUPING
-                # SETS, while Spark's grouped aggregation emits no rows at
-                # all.  Only reachable on a fully-empty table — any real
-                # scale produces identical row sets (hash-verified at
-                # sf0.001/0.01/0.1 every sweep).
-                passed += 1
-                print(f"ok    {name}: 0 rows (empty-input grouping-sets divergence, allowlisted)")
-                continue
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
             continue
