@@ -237,6 +237,10 @@ HEADLINE = [
     "scan_parquet_pageindex",
     "eval_length_bias",
     "pipeline_curriculum_order",
+    # round-12 slate
+    "scan_parquet_pageindex_string",
+    "eval_position_bias",
+    "eval_format_bias",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -51,7 +51,9 @@ _SITE_ALLOWLIST = {
     ("sources/connectors.py", "scan_parquet_bloom"): (
         1, "1-row min/max aggregate picking the bloom probe keys"),
     ("sources/connectors.py", "scan_parquet_pageindex"): (
-        1, "1-row min aggregate picking the page-index probe key"),
+        1, "1-row min/count aggregate picking the page-index probe key"),
+    ("sources/connectors.py", "scan_parquet_pageindex_string"): (
+        1, "1-row min/max/count aggregate picking the string probe keys"),
 }
 
 

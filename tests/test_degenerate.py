@@ -504,3 +504,39 @@ def test_shingle_explode_hang_proof(spark, sf_dir):
             assert line.count("sh_arr") == 1, f"array retained through Generate: {line}"
             assert "explode(sh_arr" in line, f"inline shingle expr in Generate: {line}"
     assert saw_outer_generate, plan
+
+
+def test_grouping_sets_witnessed_contract_on_empty_input(spark, corpora):
+    """The former checker allowlist, converted to a stated contract
+    (r12, VERDICT r11 item 4): agg_rollup/agg_cube/agg_grouping_sets
+    emit only grouping-set rows WITNESSED by >= 1 input row.  Over an
+    empty relation the SQL standard (and DuckDB) natively emit an
+    unwitnessed global () row with count 0 while Spark emits nothing;
+    the HAVING COUNT(*) >= 1 clause both engines now state makes them
+    agree — this pin proves (a) both emit ZERO rows on empty input,
+    and (b) the clause is load-bearing on the DuckDB side (without it
+    the oracle emits the () row, the exact divergence the allowlist
+    used to paper over)."""
+    import duckdb
+
+    from datafusion_test_spark.io import TABLES
+    from datafusion_test_spark.operators import aggregates
+    from datafusion_test_spark.registry import oracle_sql
+
+    empty = f"{corpora}/empty"
+    oracles = oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{empty}/{t}.parquet')"
+        )
+    for name in ("agg_rollup", "agg_cube", "agg_grouping_sets"):
+        assert aggregates.QUERIES[name](spark, empty).collect() == [], name
+        sql = oracles[name]
+        assert "HAVING COUNT(*) >= 1" in sql, name
+        assert con.sql(sql).fetchall() == [], name
+        # the clause is load-bearing: stripping it resurrects the
+        # standard's unwitnessed () row on the DuckDB side
+        stripped = sql.replace("HAVING COUNT(*) >= 1", "")
+        assert len(con.sql(stripped).fetchall()) == 1, name

@@ -4391,3 +4391,120 @@ def test_agg_wilson_rank_ordering_properties(spark, sf_dir):
         prev = r
     # small-sample shrinkage sanity on the formula itself
     assert wilson(3, 3) < wilson(19, 20)
+
+
+def test_eval_position_bias_matches_bruteforce(spark, sf_dir):
+    """The margin-bucketed position-confound audit must equal a
+    driver-side recomputation over the same preference pairs (the
+    pipeline_preference_pairs recipe), with position = 1-based rank of
+    event_id inside the prompt group, and every win rate a probability."""
+    import collections
+
+    from datafusion_test_spark.pipeline.evals import (
+        _LB_MIN_MARGIN,
+        eval_position_bias,
+    )
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    want = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for evs in by_user.values():
+        if len(evs) < 2:
+            continue
+        pos = {
+            r["event_id"]: i + 1
+            for i, r in enumerate(sorted(evs, key=lambda r: r["event_id"]))
+        }
+        chosen = min(evs, key=lambda r: (-r["value"], r["event_id"]))
+        rejected = min(evs, key=lambda r: (r["value"], r["event_id"]))
+        margin = chosen["value"] - rejected["value"]
+        if not (margin >= _LB_MIN_MARGIN):
+            continue
+        pc, pr = pos[chosen["event_id"]], pos[rejected["event_id"]]
+        b = ("m_10_199" if margin < 200 else "m_200_239" if margin < 240
+             else "m_240_299" if margin < 300 else "m_300_plus")
+        acc = want[b]
+        acc[0] += 1
+        acc[1] += 1 if pc < pr else 0
+        acc[2] += pc
+        acc[3] += pr
+    got = {r["margin_bucket"]: r for r in eval_position_bias(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    assert len(want) >= 2, "margin buckets degenerate on the real corpus"
+    for b, (n, w, sc, sr) in want.items():
+        g = got[b]
+        assert (g["n_pairs"], g["first_wins"]) == (n, w), b
+        assert (g["sum_pos_chosen"], g["sum_pos_rejected"]) == (sc, sr), b
+        assert g["win_rate_first"] == w / n and 0.0 <= g["win_rate_first"] <= 1.0
+
+
+def test_eval_format_bias_matches_bruteforce(spark, sf_dir):
+    """The gap-bucketed format-confound audit must equal a driver-side
+    recomputation: format score = (opens '{'/'[') + (contains '\":') +
+    (matches [0-9][0-9]), NULL payloads excluded by the observed-pairs
+    filter, and every win rate a probability.  Also pins that the score
+    DISCRIMINATES on the real corpus (at least one non-tie pair)."""
+    import collections
+    import re
+
+    from datafusion_test_spark.pipeline.evals import (
+        _LB_MIN_MARGIN,
+        eval_format_bias,
+    )
+
+    two_digits = re.compile(r"[0-9][0-9]")
+
+    def fmt(props):
+        if props is None:
+            return None
+        return (
+            (1 if props[:1] in ("{", "[") else 0)
+            + (1 if '":' in props else 0)
+            + (1 if two_digits.search(props) else 0)
+        )
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value", "props")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    want = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for evs in by_user.values():
+        if len(evs) < 2:
+            continue
+        chosen = min(evs, key=lambda r: (-r["value"], r["event_id"]))
+        rejected = min(evs, key=lambda r: (r["value"], r["event_id"]))
+        if not (chosen["value"] - rejected["value"] >= _LB_MIN_MARGIN):
+            continue
+        fc, fr = fmt(chosen["props"]), fmt(rejected["props"])
+        if fc is None or fr is None:
+            continue
+        delta, gap = fc - fr, abs(fc - fr)
+        b = ("tie" if gap == 0 else "gap_1" if gap == 1
+             else "gap_2" if gap == 2 else "gap_3")
+        acc = want[b]
+        acc[0] += 1
+        acc[1] += 1 if delta > 0 else 0
+        acc[2] += delta
+        acc[3] += fc
+        acc[4] += fr
+    got = {r["gap_bucket"]: r for r in eval_format_bias(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    assert set(want) - {"tie"}, "format score never discriminated a pair"
+    for b, (n, w, d, sc, sr) in want.items():
+        g = got[b]
+        assert (g["n_pairs"], g["fmt_wins"]) == (n, w), b
+        assert (g["sum_fmt_chosen"], g["sum_fmt_rejected"]) == (sc, sr), b
+        assert g["win_rate_fmt"] == w / n and 0.0 <= g["win_rate_fmt"] <= 1.0
+        assert g["mean_delta"] == d / n

@@ -703,3 +703,101 @@ def test_parquet_bloom_hit_ok_survives_multi_file_layout(spark, sf_dir):
     assert any(
         not flag for flags in per_file_flags for flag in flags
     ), "no file excluded any present key — multi-file state vacuous"
+
+
+def test_parquet_pageindex_string_truncation_onesided(spark, sf_dir):
+    """scan_parquet_pageindex_string's pins: (1) the string point-lookup
+    Eq predicate reaches PushedFilters on the clustered layout's scan;
+    (2) truncation OBSERVABLY fires (every key is 32 chars, every stored
+    bound is at most _PAGE_TRUNC_LEN bytes); (3) the one-sided contract
+    is non-vacuous in BOTH directions — the true min key is admitted by
+    at most half the pages (no false negatives, pruning survives
+    truncation) while a key PROVABLY ABSENT and lexically ABOVE every
+    data value (max key + 'z' — an exact index admits it in zero pages)
+    IS admitted by the incremented-max truncated bound; and a key below
+    the domain (the empty string) is admitted by zero pages."""
+    import os
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    df = connectors.scan_parquet_pageindex_string(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(key), EqualTo(key," in plan, plan
+    row = df.collect()[0]
+    for c in ("index_written", "page_granular", "ordered_ok", "trunc_real",
+              "point_contained", "point_prune_ok", "fp_admitted",
+              "below_min_excluded"):
+        assert row[c] is True, (c, row)
+
+    out = os.path.join(scratch_dir("dfts_pidxs_pin_"), "orders_pis")
+    o = table(spark, sf_dir, "orders").select(
+        connectors._pageindex_string_key().alias("key")
+    )
+    (
+        o.repartition(1)
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", connectors._PAGE_ROW_LIMIT)
+        .option(
+            "parquet.columnindex.truncate.length", connectors._PAGE_TRUNC_LEN
+        )
+        .option("parquet.page.size", 65536)
+        .option("parquet.block.size", 1048576)
+        .parquet(out)
+    )
+    agg = o.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
+    lo, hi = agg["lo"].encode(), agg["hi"].encode()
+    fp = hi + b"z"  # > every key: an EXACT index admits this in 0 pages
+    rg = idx = pages = gbad = uo = pp = fpp = bp = ob = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t, i, pg, gb, u, p, fq, b, o_ = connectors._pageindex_probe_file_str(
+            spark, os.path.join(out, f), "key", lo, fp, b""
+        )
+        rg += t; idx += i; pages += pg; gbad += gb; uo += u
+        pp += p; fpp += fq; bp += b; ob += o_
+    assert rg > 0 and idx == rg, (rg, idx)
+    assert pages > rg, f"page tier not finer than row groups: {pages}/{rg}"
+    assert gbad == 0 and uo == 0, (gbad, uo)
+    # every key is _KEY_PAD + len(_KEY_SUFFIX) = 32 chars; a stored bound
+    # within the truncate length proves the cut happened on every page
+    assert len(agg["lo"]) == connectors._KEY_PAD + len(connectors._KEY_SUFFIX)
+    assert ob == 0, f"{ob} stored bounds exceed the truncation length"
+    assert 1 <= pp and pp * 2 <= pages, f"min key in {pp}/{pages} pages"
+    assert fpp >= 1, "absent above-max key NOT admitted — truncation vacuous"
+    assert bp == 0, f"below-domain key admitted by {bp} pages"
+
+
+def test_pageindex_probe_type_asserts(spark, sf_dir):
+    """The decode-kind/type contract (ADVICE r11): pointing the INT64
+    probe at a BINARY chunk — or the BINARY probe at an INT64 chunk —
+    must fail loudly, never silently misread bounds."""
+    import os
+
+    import pytest
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    out = os.path.join(scratch_dir("dfts_pidx_type_"), "mixed")
+    (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            connectors._pageindex_string_key().alias("key"),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    f = next(
+        os.path.join(out, x)
+        for x in sorted(os.listdir(out))
+        if x.endswith(".parquet")
+    )
+    with pytest.raises(ValueError, match="INT64 bounds only"):
+        connectors._pageindex_probe_file(spark, f, "key", 0, None)
+    with pytest.raises(ValueError, match="BINARY bounds only"):
+        connectors._pageindex_probe_file_str(spark, f, "o_orderkey", b"", None, None)
