@@ -4508,3 +4508,85 @@ def test_eval_format_bias_matches_bruteforce(spark, sf_dir):
         assert (g["sum_fmt_chosen"], g["sum_fmt_rejected"]) == (sc, sr), b
         assert g["win_rate_fmt"] == w / n and 0.0 <= g["win_rate_fmt"] <= 1.0
         assert g["mean_delta"] == d / n
+
+
+def test_confound_audits_direction_on_planted_bias(spark, tmp_path):
+    """Sign-convention pin for the three preference-confound audits: the
+    engine-vs-oracle differential and the bruteforce pins share the same
+    formulas, so a FLIPPED win definition would pass both.  This corpus
+    PLANTS the bias: per prompt, the higher-reward (chosen) completion
+    is always the earlier-presented (smaller event_id), the longer, and
+    the more-formatted one — so every audit must report win rate 1.0 in
+    every populated bucket, and a flipped convention would read 0.0."""
+    import datetime
+
+    from datafusion_test_spark.pipeline.evals import (
+        eval_format_bias,
+        eval_length_bias,
+        eval_position_bias,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(10):
+        # chosen: earlier id, reward +50 + u, structured long payload
+        rows.append((2 * u, t0, u, "view", 100.0 + 50 + u,
+                     '{"answer": 42, "detail": "' + "x" * (30 + u) + '"}'))
+        # rejected: later id, base reward, plain short payload
+        rows.append((2 * u + 1, t0, u, "view", 100.0, "plain"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    pos = eval_position_bias(spark, sf).collect()
+    assert pos and all(r["win_rate_first"] == 1.0 for r in pos), pos
+    assert sum(r["n_pairs"] for r in pos) == 10
+
+    ln = eval_length_bias(spark, sf).collect()
+    assert ln and all(r["win_rate_longer"] == 1.0 for r in ln), ln
+    assert all(r["mean_delta"] > 0 for r in ln)
+
+    fmt = eval_format_bias(spark, sf).collect()
+    # chosen scores 3 ({ opener, '":', multi-digit), rejected scores 0
+    assert [r["gap_bucket"] for r in fmt] == ["gap_3"], fmt
+    assert fmt[0]["win_rate_fmt"] == 1.0 and fmt[0]["mean_delta"] == 3.0
+    assert fmt[0]["n_pairs"] == 10
+
+
+def test_confound_audits_cover_the_pair_recipe_exactly(spark, sf_dir):
+    """Recipe-drift ratchet: the three confound audits claim to audit
+    EXACTLY the pairs pipeline_preference_pairs ships.  Pin that the
+    bucket totals reconcile with the pair builder's row count — position
+    audits every pair; length/format audit the observed-payload subset
+    (equal to all pairs on this corpus, asserted via the no-NULL-props
+    precondition so a future corpus change surfaces here instead of
+    silently shrinking the audit base)."""
+    from datafusion_test_spark.pipeline.evals import (
+        eval_format_bias,
+        eval_length_bias,
+        eval_position_bias,
+    )
+    from datafusion_test_spark.pipeline.prep import pipeline_preference_pairs
+
+    n_pairs = pipeline_preference_pairs(spark, sf_dir).count()
+    assert n_pairs > 0
+    pos_total = sum(
+        r["n_pairs"] for r in eval_position_bias(spark, sf_dir).collect()
+    )
+    assert pos_total == n_pairs
+    # the corpus precondition that makes the observed-pairs filter a no-op
+    null_props = (
+        table(spark, sf_dir, "events").filter(F.col("props").isNull()).count()
+    )
+    assert null_props == 0, "precondition moved: reconcile the totals below"
+    for fn, col in (
+        (eval_length_bias, "longer_wins"),
+        (eval_format_bias, "fmt_wins"),
+    ):
+        out = fn(spark, sf_dir).collect()
+        assert sum(r["n_pairs"] for r in out) == n_pairs
+        assert all(0 <= r[col] <= r["n_pairs"] for r in out)

@@ -801,3 +801,54 @@ def test_pageindex_probe_type_asserts(spark, sf_dir):
         connectors._pageindex_probe_file(spark, f, "key", 0, None)
     with pytest.raises(ValueError, match="BINARY bounds only"):
         connectors._pageindex_probe_file_str(spark, f, "o_orderkey", b"", None, None)
+
+
+def test_parquet_pageindex_string_total_truncation_stays_onesided(spark, sf_dir):
+    """Boundary pin for the truncated-bounds contract: at
+    parquet.columnindex.truncate.length=1 every stored bound collapses to
+    a single byte (min = first byte, max = first byte incremented), so
+    page bounds stop discriminating AT ALL — every in-domain probe is
+    admitted by every page.  The one-sided guarantee must SURVIVE this
+    total collapse: pruning degrades to nothing (a pure perf loss) while
+    correctness holds — the true min key is still admitted everywhere
+    (no false negatives) and a below-domain key is still admitted
+    nowhere (prefix-truncated minima remain valid lower bounds).  This
+    is the exact reason the operator states a one-sided contract instead
+    of the INT64 tier's exact one."""
+    import os
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    out = os.path.join(scratch_dir("dfts_pidxs_t1_"), "orders_t1")
+    o = table(spark, sf_dir, "orders").select(
+        connectors._pageindex_string_key().alias("key")
+    )
+    (
+        o.repartition(1)
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", connectors._PAGE_ROW_LIMIT)
+        .option("parquet.columnindex.truncate.length", 1)
+        .option("parquet.page.size", 65536)
+        .parquet(out)
+    )
+    agg = o.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
+    lo, fp = agg["lo"].encode(), agg["hi"].encode() + b"z"
+    rg = idx = pages = pp = fpp = bp = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t, i, pg, _gb, _u, p, fq, b, _o = connectors._pageindex_probe_file_str(
+            spark, os.path.join(out, f), "key", lo, fp, b""
+        )
+        rg += t; idx += i; pages += pg; pp += p; fpp += fq; bp += b
+    assert rg > 0 and idx == rg and pages > 1, (rg, idx, pages)
+    # pruning is GONE: single-byte bounds admit the min key (and the
+    # absent above-max key) in EVERY page — the false-positive side at
+    # its maximum
+    assert pp == pages, f"min key admitted by {pp}/{pages} pages"
+    assert fpp == pages, f"absent key admitted by {fpp}/{pages} pages"
+    # ...but the correctness side is intact: no false negatives above,
+    # and the below-domain probe is still excluded everywhere
+    assert bp == 0, f"below-domain key admitted by {bp} pages"
