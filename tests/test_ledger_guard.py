@@ -93,3 +93,21 @@ def test_round_bench_records_attest_a_same_session_pair():
         "bench cell without a same-session baseline pair — run "
         f"`python bench.py --pair <prior-HEAD>` and cite it: {offenders}"
     )
+
+
+def test_bench_pair_flag_requires_an_argument():
+    """ADVICE r11: `bench.py --pair` without a rev used to die with a
+    bare IndexError deep in argv slicing.  Pin the contract: it must
+    exit nonzero with a usage message BEFORE any Spark/bench work."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py"), "--pair"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode != 0
+    assert "--pair requires a git rev" in (proc.stderr + proc.stdout)
+    assert "Traceback" not in proc.stderr
