@@ -540,3 +540,81 @@ def test_grouping_sets_witnessed_contract_on_empty_input(spark, corpora):
         # standard's unwitnessed () row on the DuckDB side
         stripped = sql.replace("HAVING COUNT(*) >= 1", "")
         assert len(con.sql(stripped).fetchall()) == 1, name
+
+
+def test_format_marker_expressions_engine_parity(spark):
+    """eval_format_bias's three structural markers must score IDENTICALLY
+    in Spark (substring/instr/rlike) and DuckDB
+    (substring/strpos/regexp_matches) on the full adversarial unicode
+    pool — the direct parity pin localizing what the end-to-end unicode
+    hash sweep verifies in aggregate (combining marks, astral letters,
+    RTL, regex metacharacters AS DATA, zero-width chars)."""
+    import duckdb
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from make_degenerate import _UNI_POOL
+
+    from pyspark.sql import functions as F
+
+    pool = list(_UNI_POOL) + ['{"k": 42}', "[1, 2]", '":', "12", "1", ""]
+    score = (
+        F.when(F.substring("s", 1, 1).isin("{", "["), 1).otherwise(0)
+        + F.when(F.instr("s", '":') > 0, 1).otherwise(0)
+        + F.when(F.col("s").rlike("[0-9][0-9]"), 1).otherwise(0)
+    )
+    got = [
+        r["f"]
+        for r in spark.createDataFrame([(s,) for s in pool], "s string")
+        .select(score.alias("f"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            """
+            SELECT (CASE WHEN substring(?, 1, 1) IN ('{', '[')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN strpos(?, '":') > 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN regexp_matches(?, '[0-9][0-9]')
+                         THEN 1 ELSE 0 END)
+            """,
+            [s, s, s],
+        ).fetchone()[0]
+        for s in pool
+    ]
+    assert got == want, [
+        (s, g, w) for s, g, w in zip(pool, got, want) if g != w
+    ]
+
+
+def test_pageindex_string_key_lpad_parity_beyond_pad_width(spark):
+    """The string page-index key uses lpad(..., 12, '0'): both engines
+    TRUNCATE to the first 12 characters when the input is longer, so the
+    derived keys stay equal even for a hypothetical >12-digit keyspace
+    (never reached by any corpus — pinned here so the shared-expression
+    claim doesn't silently rest on corpus size)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [0, 7, 999999999999, 1000000000000, 12345678901234]
+    got = [
+        r["k"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select(
+            F.concat(
+                F.lpad(F.col("v").cast("string"), 12, "0"), F.lit("x" * 20)
+            ).alias("k")
+        )
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT lpad(CAST(? AS VARCHAR), 12, '0') || repeat('x', 20)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want, list(zip(vals, got, want))
