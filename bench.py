@@ -336,6 +336,40 @@ def _run_pair_baseline(rev: str) -> dict:
     }
 
 
+def summary_record(record: dict) -> dict:
+    """Compact, self-contained summary of a full bench record.
+
+    VERDICT r12 process item 1: the driver's capture truncates bench.py's
+    single giant JSON line mid-record, leaving BENCH_r{N}.json with
+    ``"parsed": null``.  main() therefore prints THIS line (< 2 KB: headline
+    and layout totals, query counts, machine block, top-10 slowest) BEFORE
+    the full per-query record, so a truncated capture still yields a parsed
+    block.  Consumers wanting per-query times (``--pair``, round ledgers)
+    read the LAST JSON line, which remains the full record.
+    """
+    top10 = dict(
+        sorted(record["queries"].items(), key=lambda kv: -kv[1])[:10]
+    )
+    return {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "n_queries": len(record["queries"]),
+        "layout_wall_sec": record["layout_wall_sec"],
+        "n_layout": len(record["layout_queries"]),
+        "sf": record["sf"],
+        "machine": record["machine"],
+        "top10_slowest": top10,
+        "summary": True,
+        "full_record": "last JSON line on stdout",
+        **(
+            {"paired_baseline": record["paired_baseline"]}
+            if "paired_baseline" in record
+            else {}
+        ),
+    }
+
+
 def main() -> None:
     pair_rev = None
     if "--pair" in sys.argv:
@@ -373,32 +407,32 @@ def main() -> None:
     layout_times = _bench_group(spark, qs, LAYOUT, sf_dir)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "layout_queries": layout_times,
-                "layout_wall_sec": round(sum(layout_times.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "machine": {
-                    "cpus": os.cpu_count(),
-                    "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
-                    "load1_start": load_start,
-                    "load1_end": round(os.getloadavg()[0], 2),
-                    # VERDICT r9 item 3: a busy box produced broad phantom
-                    # 1.3-1.9x "regressions" in r9's driver bench; flag the
-                    # condition IN the record so no reader mistakes machine
-                    # state for a code regression.  Numbers from a flagged
-                    # run need an A/B on unchanged code before comparison.
-                    "load1_high": load_start > 2.0,
-                },
-                **({"paired_baseline": paired} if paired else {}),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "layout_queries": layout_times,
+        "layout_wall_sec": round(sum(layout_times.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "machine": {
+            "cpus": os.cpu_count(),
+            "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            "load1_start": load_start,
+            "load1_end": round(os.getloadavg()[0], 2),
+            # VERDICT r9 item 3: a busy box produced broad phantom
+            # 1.3-1.9x "regressions" in r9's driver bench; flag the
+            # condition IN the record so no reader mistakes machine
+            # state for a code regression.  Numbers from a flagged
+            # run need an A/B on unchanged code before comparison.
+            "load1_high": load_start > 2.0,
+        },
+        **({"paired_baseline": paired} if paired else {}),
+    }
+    # Compact summary FIRST (truncation-proof for the driver's capture),
+    # then the full per-query record as the LAST line (what --pair reads).
+    print(json.dumps(summary_record(record)))
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -966,10 +966,14 @@ def eval_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines state identically (event ids are unique, so the rank is
     total-order deterministic).
 
-    Per reward-MARGIN bucket (10-199 / 200-239 / 240-299 / 300+, shared
-    double CASE thresholds sized to the corpus margin quartiles so every
-    bucket is populated — bucketing by preference strength shows whether
-    position dominates exactly where the signal should be strongest) the
+    Per reward-MARGIN bucket — margin is a DOUBLE, so the buckets are
+    half-open double intervals [10,200) / [200,240) / [240,300) /
+    [300,inf), NOT the integer ranges the labels m_10_199 / m_200_239 /
+    m_240_299 / m_300_plus might suggest (ADVICE r12: a margin of 199.5
+    lands in m_10_199); shared double CASE thresholds sized to the
+    corpus margin quartiles so every bucket is populated — bucketing by
+    preference strength shows whether position dominates exactly where
+    the signal should be strongest — the
     audit reports the pair count, how often the EARLIER-POSITIONED
     response won, the win rate (one single-divide double over integer
     counts), and integer position-sum anchors.  An unconfounded pair set

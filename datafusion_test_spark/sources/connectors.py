@@ -1070,7 +1070,14 @@ def _pageindex_probe_file_str(spark: SparkSession, path: str, column: str,
     comparison is the same order); overlong_bounds counts stored bounds
     LONGER than the configured truncation length (must be zero when
     every value exceeds the limit: truncation observably fired).
-    Driver-side O(n_pages) metadata work, the _bloom_probe_file class.
+    ADVICE r12 caveat on that zero: BinaryTruncator's max-side cut keeps
+    the ORIGINAL untruncated max when the kept prefix is all 0xFF bytes
+    (incrementing the last kept byte would overflow), so overlong_bounds
+    == 0 is only guaranteed because this probe's callers derive keys
+    from ASCII digits + 'x' (every byte < 0x7f, always incrementable);
+    a caller probing arbitrary binary data must expect legal overlong
+    max bounds.  Driver-side O(n_pages) metadata work, the
+    _bloom_probe_file class.
     Asserts the chunk's primitive type is BINARY (ADVICE r11 — the
     decode-kind/type mismatch must fail loudly, not misread)."""
     jvm = spark._jvm
@@ -1181,7 +1188,13 @@ def scan_parquet_pageindex_string(spark: SparkSession, sf_dir: str) -> DataFrame
         order-preserving);
       * trunc_real — every stored bound is ≤ 16 bytes while every data
         value is 32 chars: truncation OBSERVABLY fired on every page
-        (the claim that separates this operator from the INT64 twin);
+        (the claim that separates this operator from the INT64 twin).
+        ADVICE r12: this unconditional TRUE silently depends on the key
+        derivation — BinaryTruncator keeps the ORIGINAL (overlong) max
+        when the kept prefix is all 0xFF bytes (the increment would
+        overflow); the lpad-digits + 'x'-tail keys are pure ASCII, so
+        every truncated prefix is incrementable and the fallback is
+        unreachable here by construction;
       * point_contained — the global-min key is admitted by ≥1 page:
         truncated bounds enclose true ranges, so false NEGATIVES are
         impossible (the one-sided contract's hard half);

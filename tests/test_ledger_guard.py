@@ -95,6 +95,64 @@ def test_round_bench_records_attest_a_same_session_pair():
     )
 
 
+def test_bench_summary_line_is_compact_and_self_contained():
+    """VERDICT r12 process item 1: the driver's capture truncates bench.py's
+    single giant JSON line mid-record (BENCH_r11/r12 landed with
+    ``"parsed": null``).  Pin the fix: the FIRST stdout JSON line is a
+    compact (< 2 KB) self-contained summary — headline/layout totals, query
+    counts, machine block, top-10 slowest — and main() prints it before the
+    full per-query record (which stays LAST, where --pair reads it)."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import bench
+
+    # Synthetic full record at realistic scale: 220 headline queries with
+    # long names — the size class that overflowed the driver's capture.
+    queries = {f"eval_confound_consensus_variant_{i:03d}": i * 0.017 for i in range(220)}
+    record = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "layout_queries": {f"layout_{i}": 1.0 for i in range(6)},
+        "layout_wall_sec": 6.0,
+        "sf": 0.1,
+        "machine": {
+            "cpus": 32,
+            "spark_cpus": "32",
+            "load1_start": 0.42,
+            "load1_end": 17.3,
+            "load1_high": False,
+        },
+        "paired_baseline": {
+            "rev": "0" * 40,
+            "headline_wall_sec": 132.467,
+            "load1_start": 0.0,
+            "json": "tools/bench_pair_baseline_000000000.json",
+        },
+    }
+    line = json.dumps(bench.summary_record(record))
+    assert len(line.encode()) < 2048, f"summary line {len(line)} B >= 2 KB"
+    summary = json.loads(line)  # self-contained: one parseable line
+    assert summary["summary"] is True
+    assert summary["value"] == record["value"]
+    assert summary["n_queries"] == 220
+    assert summary["layout_wall_sec"] == 6.0
+    assert summary["machine"] == record["machine"]
+    assert summary["paired_baseline"]["headline_wall_sec"] == 132.467
+    assert len(summary["top10_slowest"]) == 10
+    assert max(queries, key=queries.get) in summary["top10_slowest"]
+    # the giant per-query maps must NOT be in the summary line
+    assert "queries" not in summary and "layout_queries" not in summary
+    # print-order contract: summary line emitted before the full record
+    src = (ROOT / "bench.py").read_text()
+    assert src.index("json.dumps(summary_record(record))") < src.index(
+        "print(json.dumps(record))"
+    )
+
+
 def test_bench_pair_flag_requires_an_argument():
     """ADVICE r11: `bench.py --pair` without a rev used to die with a
     bare IndexError deep in argv slicing.  Pin the contract: it must

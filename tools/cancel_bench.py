@@ -128,6 +128,18 @@ def main_pageindex(rows: int, out: str) -> None:
     # pushed range admitting ~5% of rows: [p45, p50) of the key domain
     lo, hi = rt.approxQuantile("key", [0.45, 0.50], 0.001)
     n = rt.count()
+    # ADVICE r12: for tiny --rows the quantile floats can collapse to
+    # int(lo) == int(hi), making the pushed range EMPTY — the "skip-heavy"
+    # query then degenerates to a pure-skip scan and the sweep silently
+    # stops measuring cancellation during decode work.  Fail loudly.
+    if int(hi) <= int(lo):
+        sys.exit(
+            f"cancel_bench --pageindex: degenerate pushed range "
+            f"[{int(lo)}, {int(hi)}) admits no rows at rows={n:,} — the "
+            "sweep would measure a pure-skip scan, not cancellation during "
+            "decode.  Use a larger row count (default 2000000; need enough "
+            "rows that the p45-p50 key quantile span is non-empty)."
+        )
 
     def skip_heavy():
         return (
