@@ -241,6 +241,8 @@ HEADLINE = [
     "scan_parquet_pageindex_string",
     "eval_position_bias",
     "eval_format_bias",
+    # round-13 slate
+    "scan_parquet_pageindex_nulls",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

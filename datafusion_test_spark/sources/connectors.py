@@ -1302,6 +1302,273 @@ def scan_parquet_pageindex_string(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _pageindex_probe_file_nulls(spark: SparkSession, path: str, column: str,
+                                point: int | None, below: int | None):
+    """Null-axis twin of :func:`_pageindex_probe_file` — probe a parquet
+    file's page-level ColumnIndex for an INT64 column INCLUDING the
+    null-page structures the value-bounds probes only step around:
+    ``getNullPages()`` (per-page all-null flags — such pages store NO
+    min/max) and ``getNullCounts()`` (exact per-page null counts).
+    Per-page row counts are derived from the OffsetIndex
+    (``getFirstRowIndex(p+1) - getFirstRowIndex(p)``, last page closed
+    by the row-group row count), so the flag/count/row-count consistency
+    is checked against parquet-mr's OWN metadata, not assumed.
+
+    Returns (rg_total, rg_indexed, pages_total, granular_bad, unordered,
+    point_pages, below_pages, allnull_pages, sum_null_counts,
+    flag_mismatch, nonprefix_null_pages): the first five as in the INT64
+    probe; point/below_pages count NON-null pages whose exact [min,max]
+    admit the probe (all-null pages have no bounds and are skipped —
+    the skippability every value predicate relies on); allnull_pages
+    counts pages flagged all-null; sum_null_counts totals the per-page
+    null counts (cross-checked against the oracle's count(*) −
+    count(key)); flag_mismatch counts pages where the flag disagrees
+    with null_count == page_rows (or null_count is out of [0, rows], or
+    the null-count list is absent); nonprefix_null_pages counts pages
+    with nulls appearing AFTER a null-free page in file order — zero for
+    a NULLS-FIRST sorted layout, where null-bearing pages must form a
+    file prefix.  Driver-side O(n_pages) metadata work, the
+    _bloom_probe_file class.  INT64-only by contract (ADVICE r11)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    rg_total = rg_indexed = pages_total = granular_bad = unordered = 0
+    point_pages = below_pages = allnull_pages = 0
+    sum_null_counts = 0
+    flag_mismatch = nonprefix = 0
+    little = jvm.java.nio.ByteOrder.LITTLE_ENDIAN
+    seen_nullfree_page = False  # file-order prefix check across row groups
+    try:
+        blocks = reader.getRowGroups()
+        for i in range(blocks.size()):
+            block = blocks.get(i)
+            rg_total += 1
+            cols = block.getColumns()
+            for j in range(cols.size()):
+                cc = cols.get(j)
+                if cc.getPath().toDotString() != column:
+                    continue
+                ptype = str(cc.getPrimitiveType().getPrimitiveTypeName())
+                if ptype != "INT64":
+                    raise ValueError(
+                        f"_pageindex_probe_file_nulls decodes INT64 bounds "
+                        f"only; column {column!r} is {ptype}"
+                    )
+                ci = reader.readColumnIndex(cc)
+                oi = reader.readOffsetIndex(cc)
+                if ci is None or oi is None:
+                    break
+                rg_indexed += 1
+                n_pages = oi.getPageCount()
+                pages_total += n_pages
+                rows = block.getRowCount()
+                if n_pages * _PAGE_ROW_LIMIT < rows:
+                    granular_bad += 1
+                if str(ci.getBoundaryOrder()) == "UNORDERED":
+                    unordered += 1
+                mins, maxs, nullp = (
+                    ci.getMinValues(), ci.getMaxValues(), ci.getNullPages()
+                )
+                nc = ci.getNullCounts()
+                if nc is None:
+                    flag_mismatch += n_pages
+                    nc = [0] * n_pages
+                for p in range(n_pages):
+                    first = oi.getFirstRowIndex(p)
+                    last = (
+                        oi.getFirstRowIndex(p + 1) if p + 1 < n_pages
+                        else rows
+                    )
+                    page_rows = int(last) - int(first)
+                    nulls_p = int(nc[p])
+                    sum_null_counts += nulls_p
+                    all_null = bool(nullp[p])
+                    if not (0 <= nulls_p <= page_rows):
+                        flag_mismatch += 1
+                    if all_null != (nulls_p == page_rows):
+                        flag_mismatch += 1
+                    if nulls_p == 0:
+                        seen_nullfree_page = True
+                    elif seen_nullfree_page:
+                        nonprefix += 1
+                    if all_null:
+                        allnull_pages += 1
+                        continue  # no bounds: skippable by ANY value pred
+                    lo = mins.get(p).duplicate().order(little).getLong(0)
+                    hi = maxs.get(p).duplicate().order(little).getLong(0)
+                    if point is not None and lo <= point <= hi:
+                        point_pages += 1
+                    if below is not None and lo <= below <= hi:
+                        below_pages += 1
+                break
+    finally:
+        reader.close()
+    return (rg_total, rg_indexed, pages_total, granular_bad, unordered,
+            point_pages, below_pages, allnull_pages, sum_null_counts,
+            flag_mismatch, nonprefix)
+
+
+def scan_parquet_pageindex_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet page-index skip on the NULL-page axis — the final tier of
+    the IO-skip ladder (file min/max → row-group zone maps → row-group
+    blooms → INT64 page bounds → truncated STRING page bounds → THIS:
+    the ColumnIndex ``null_pages``/``null_counts`` fields the value
+    tiers only step around).  Real lake tables carry sparse columns
+    (optional attributes, late-arriving enrichments); clustering on such
+    a key concentrates the NULLs, and the page index then encodes
+    entire all-null page runs that (a) every value predicate can skip
+    without touching data, and (b) are exactly where an IS NULL
+    predicate must land.  At 100 TB a 33%-sparse clustered column makes
+    a third of the pages skippable for value scans — the null axis is
+    an IO cut, not bookkeeping.
+
+    Layout: orders keyed by a derived nullable surrogate — o_orderkey
+    where o_orderkey % 3 != 0, else NULL (~33% nulls, derivation stated
+    identically in the oracle) — clustered via repartition(1) +
+    sortWithinPartitions (Spark ASC sort puts NULLS FIRST, so the null
+    run leads the file) with the 1000-row page cap, the
+    scan_parquet_pageindex discipline.
+
+    Driver-verified contracts, probed through parquet-mr's OWN
+    ColumnIndex/OffsetIndex readers:
+      * n_nulls — the SUM of per-page ``getNullCounts()`` across the
+        layout, emitted as a VALUE and recomputed by the oracle as
+        count(*) − count(key): the metadata path and the SQL path must
+        agree exactly (the strongest cross-engine form — not a stated
+        constant);
+      * nullflags_ok — per page, ``getNullPages()[p]`` holds exactly
+        when null_count == page row count (rows from the OffsetIndex),
+        and every null count sits in [0, page_rows];
+      * nulls_clustered_ok — null-bearing pages form a file-order
+        PREFIX (NULLS-FIRST sort ⇒ null rows occupy the leading row
+        range ⇒ the pages that intersect it are the leading pages) —
+        the clustering claim that makes the null-run skip real;
+      * allnull_observed_ok — ≥1 page is flagged ALL-null whenever the
+        corpus has at least _PAGE_ROW_LIMIT null keys (the first page
+        holds ≤1000 rows, all inside the null prefix); vacuous below
+        that (tiny corpora legitimately blend nulls into page 1);
+      * ordered_ok / index_written / page_granular — as the INT64 twin;
+        boundary order stays ASCENDING with leading all-null pages
+        (verified: parquet-mr computes it over non-null pages only);
+      * point_contained / point_prune_ok / below_min_excluded — the
+        INT64 value-probe contracts re-proven in the PRESENCE of
+        all-null pages, which the probe skips (they store no bounds):
+        value predicates never admit an all-null page.  point_prune_ok
+        is additionally vacuous when NO non-null key exists (an all-null
+        corpus has nothing to prune toward — reachable on the const
+        degenerate corpus when the hot key ≡ 0 mod 3).
+
+    Data plane: TWO pushed predicates through normal Spark scans over
+    the layout — IS NULL (count + price sum over the null run: the
+    pages a null-aware reader admits are exactly the flagged prefix)
+    and the Eq point lookup on the min non-null key (PushedFilters pins
+    in PLANS.md cover IsNull).  The 1-row min/count aggregate and the
+    min-key multiplicity count are bounded driver-side probes (the
+    scan_manifest_prune footer class).
+
+    Reference anchor: the same pushed-lookup data plane as
+    scan_parquet_pageindex (sources/connectors.py:929); queued by
+    VERDICT r12 item 2 / ROUND12.md handoff (recipe prototyped there).
+    """
+    out = os.path.join(scratch_dir("dfts_pageidx_n_"), "orders_pageindex_nulls")
+    o = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey"))
+        .cast("bigint")
+        .alias("key"),
+        "o_totalprice",
+    )
+    (
+        o.repartition(1)
+        .sortWithinPartitions("key")  # ASC = NULLS FIRST: the null run leads
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", _PAGE_ROW_LIMIT)
+        .option("parquet.page.size", 8192)
+        .option("parquet.block.size", 1048576)
+        .parquet(out)
+    )
+    row = o.agg(
+        F.min("key").alias("lo"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.count("key").alias("nn"),
+    ).first()
+    lo, n_all, nn = row["lo"], row["n_all"], row["nn"]
+    below = None if lo is None else lo - 1
+    m_min = 0 if lo is None else o.filter(F.col("key") == lo).count()
+    rg_total = rg_indexed = pages_total = granular_bad = unordered = 0
+    point_pages = below_pages = allnull = 0
+    sum_nulls = 0
+    flag_mismatch = nonprefix = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        (t, idx, pg, gb, uo, pp, bp, an, sn, fm, npx) = (
+            _pageindex_probe_file_nulls(
+                spark, os.path.join(out, f), "key", lo, below
+            )
+        )
+        rg_total += t
+        rg_indexed += idx
+        pages_total += pg
+        granular_bad += gb
+        unordered += uo
+        point_pages += pp
+        below_pages += bp
+        allnull += an
+        sum_nulls += sn
+        flag_mismatch += fm
+        nonprefix += npx
+    index_written = rg_indexed == rg_total
+    page_granular = granular_bad == 0
+    ordered_ok = unordered == 0
+    nullflags_ok = flag_mismatch == 0
+    nulls_clustered_ok = nonprefix == 0
+    allnull_observed_ok = allnull >= 1 or (n_all - nn) < _PAGE_ROW_LIMIT
+    point_contained = lo is None or point_pages >= 1
+    point_prune_ok = (
+        lo is None  # all-null corpus: nothing to prune toward
+        or pages_total <= 1
+        or (point_pages >= 1 and point_pages * 2 <= pages_total)
+        # vacuity: the min key owns ≥ half the non-null rows (ADVICE r11)
+        or (point_pages >= 1 and 2 * m_min >= nn)
+    )
+    below_min_excluded = below_pages == 0
+    # data plane: schema-stated read (empty corpus writes a bare _SUCCESS
+    # dir); IS NULL and literal Eq both reach PushedFilters on key
+    rt = spark.read.schema("key bigint, o_totalprice double").parquet(out)
+    nullhit = rt.filter(F.col("key").isNull())
+    hit = rt.filter(F.col("key") == (lo if lo is not None else -1))
+    return (
+        rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .crossJoin(
+            nullhit.agg(
+                F.count(F.lit(1)).cast("bigint").alias("null_hit_n"),
+                dsum(F.col("o_totalprice"), "null_sum_price"),
+            )
+        )
+        .crossJoin(
+            hit.agg(
+                F.count(F.lit(1)).cast("bigint").alias("hit_n"),
+                dsum(F.col("o_totalprice"), "hit_sum_price"),
+            )
+        )
+        .withColumn("n_nulls", F.lit(int(sum_nulls)).cast("bigint"))
+        .withColumn("index_written", F.lit(bool(index_written)))
+        .withColumn("page_granular", F.lit(bool(page_granular)))
+        .withColumn("ordered_ok", F.lit(bool(ordered_ok)))
+        .withColumn("nullflags_ok", F.lit(bool(nullflags_ok)))
+        .withColumn("nulls_clustered_ok", F.lit(bool(nulls_clustered_ok)))
+        .withColumn("allnull_observed_ok", F.lit(bool(allnull_observed_ok)))
+        .withColumn("point_contained", F.lit(bool(point_contained)))
+        .withColumn("point_prune_ok", F.lit(bool(point_prune_ok)))
+        .withColumn("below_min_excluded", F.lit(bool(below_min_excluded)))
+    )
+
+
 def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-clustered parquet layout + a data-skipping proof read from the
     parquet FOOTERS — the zone-map/Z-order-lite pattern every 100 TB lake
@@ -1527,6 +1794,7 @@ QUERIES = {
     "scan_parquet_bloom": scan_parquet_bloom,
     "scan_parquet_pageindex": scan_parquet_pageindex,
     "scan_parquet_pageindex_string": scan_parquet_pageindex_string,
+    "scan_parquet_pageindex_nulls": scan_parquet_pageindex_nulls,
     "scan_row_lineage": scan_row_lineage,
     "scan_schema_evolution": scan_schema_evolution,
     "scan_json_corrupt": scan_json_corrupt,
@@ -1768,6 +2036,39 @@ ORACLE = {
             TRUE AS point_contained,
             TRUE AS point_prune_ok,
             TRUE AS fp_admitted,
+            TRUE AS below_min_excluded
+    """,
+    # null-pages tier: the SAME constant-contract pattern for the
+    # boolean probes, but n_nulls is a cross-engine VALUE — Spark emits
+    # the sum of parquet-mr's per-page null counts, the oracle recomputes
+    # count(*) - count(key) from the identical key derivation; the data
+    # plane restates BOTH pushed lookups (IS NULL and min-key Eq)
+    "scan_parquet_pageindex_nulls": """
+        WITH k AS (
+            SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                        ELSE o_orderkey END AS key,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT
+            CAST((SELECT count(*) FROM k) AS BIGINT) AS n_rows,
+            CAST((SELECT count(*) - count(key) FROM k) AS BIGINT) AS n_nulls,
+            CAST((SELECT count(*) FROM k WHERE key IS NULL) AS BIGINT)
+                AS null_hit_n,
+            (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             FROM k WHERE key IS NULL) AS null_sum_price,
+            CAST((SELECT count(*) FROM k
+                  WHERE key = (SELECT min(key) FROM k)) AS BIGINT) AS hit_n,
+            (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             FROM k WHERE key = (SELECT min(key) FROM k)) AS hit_sum_price,
+            TRUE AS index_written,
+            TRUE AS page_granular,
+            TRUE AS ordered_ok,
+            TRUE AS nullflags_ok,
+            TRUE AS nulls_clustered_ok,
+            TRUE AS allnull_observed_ok,
+            TRUE AS point_contained,
+            TRUE AS point_prune_ok,
             TRUE AS below_min_excluded
     """,
     # lineage contracts stated from the layout RULE (bucket = okey % 4,

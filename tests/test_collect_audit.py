@@ -54,6 +54,8 @@ _SITE_ALLOWLIST = {
         1, "1-row min/count aggregate picking the page-index probe key"),
     ("sources/connectors.py", "scan_parquet_pageindex_string"): (
         1, "1-row min/max/count aggregate picking the string probe keys"),
+    ("sources/connectors.py", "scan_parquet_pageindex_nulls"): (
+        1, "1-row min/count aggregate picking the null-axis probe key"),
 }
 
 

@@ -770,6 +770,84 @@ def test_parquet_pageindex_string_truncation_onesided(spark, sf_dir):
     assert bp == 0, f"below-domain key admitted by {bp} pages"
 
 
+def test_parquet_pageindex_nulls_axis(spark, sf_dir):
+    """scan_parquet_pageindex_nulls' pins: (1) BOTH data-plane predicates
+    reach PushedFilters on the clustered nullable layout — IsNull for
+    the null-run lookup, IsNotNull+EqualTo for the min-key point lookup;
+    (2) the metadata path and the SQL path agree on the null count
+    (n_nulls from parquet-mr's per-page getNullCounts() == count(*) −
+    count(key) == the pushed IS NULL scan's row count); (3) on a
+    deterministic 15k-row / ~33%-null synthetic layout the null axis is
+    OBSERVED non-vacuously: ≥4 leading ALL-null pages (flag exactly ⇔
+    null_count == page rows), null-bearing pages a strict file-order
+    prefix, boundary order still ASCENDING, per-page null counts summing
+    exactly, and the value probes never admitting a flagged page (they
+    store no bounds — the skip every value predicate relies on) while
+    the below-domain probe is admitted nowhere."""
+    import os
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    df = connectors.scan_parquet_pageindex_nulls(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNull(key)]" in plan, plan
+    assert "PushedFilters: [IsNotNull(key), EqualTo(key," in plan, plan
+    row = df.collect()[0]
+    for c in ("index_written", "page_granular", "ordered_ok",
+              "nullflags_ok", "nulls_clustered_ok", "allnull_observed_ok",
+              "point_contained", "point_prune_ok", "below_min_excluded"):
+        assert row[c] is True, (c, row)
+    o = table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderkey") % 3 != 0, 1)).alias("nn"),
+    ).first()
+    assert row["n_nulls"] == agg["n"] - agg["nn"] == row["null_hit_n"]
+
+    # synthetic layout: 15k rows, key NULL where id % 3 == 0 (5000 nulls
+    # -> at least floor(5000/1000) = 5 all-null leading pages at the
+    # 1000-row page cap; byte-cap splits only ADD pages)
+    out = os.path.join(scratch_dir("dfts_pidxn_pin_"), "synth")
+    synth = spark.range(15000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("bigint")
+        .alias("key")
+    )
+    (
+        synth.repartition(1)
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", connectors._PAGE_ROW_LIMIT)
+        .option("parquet.page.size", 8192)
+        .option("parquet.block.size", 1048576)
+        .parquet(out)
+    )
+    lo = 1  # min non-null id (0 % 3 == 0 -> NULL; 1 survives)
+    rg = idx = pages = gbad = uo = pp = bp = an = sn = fm = npx = 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        (t, i, pg, gb, u, p, b, a, s, fmm, nx) = (
+            connectors._pageindex_probe_file_nulls(
+                spark, os.path.join(out, f), "key", lo, lo - 1
+            )
+        )
+        rg += t; idx += i; pages += pg; gbad += gb; uo += u
+        pp += p; bp += b; an += a; sn += s; fm += fmm; npx += nx
+    assert rg > 0 and idx == rg, (rg, idx)
+    assert gbad == 0 and uo == 0, (gbad, uo)
+    assert sn == 5000, f"per-page null counts sum {sn} != 5000"
+    assert an >= 5, f"only {an} all-null pages on a 5000-null prefix"
+    assert fm == 0, f"{fm} flag/count/row-count mismatches"
+    assert npx == 0, f"{npx} null-bearing pages after a null-free page"
+    # the min non-null key is admitted by >= 1 page and only by non-null
+    # pages (the probe skips flagged pages: value preds never land there)
+    assert 1 <= pp <= pages - an, (pp, pages, an)
+    assert bp == 0, f"below-domain key admitted by {bp} pages"
+
+
 def test_pageindex_probe_type_asserts(spark, sf_dir):
     """The decode-kind/type contract (ADVICE r11): pointing the INT64
     probe at a BINARY chunk — or the BINARY probe at an INT64 chunk —
