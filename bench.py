@@ -243,6 +243,7 @@ HEADLINE = [
     "eval_format_bias",
     # round-13 slate
     "scan_parquet_pageindex_nulls",
+    "eval_confound_consensus",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

@@ -1152,10 +1152,134 @@ def eval_format_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_confound_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-audit confound composite — the three preference-confound
+    audits (eval_length_bias / eval_position_bias / eval_format_bias)
+    each report whether the pair set LOOKS biased along one axis, but a
+    curator's next question is about the PROMPTS: do the audits indict
+    the same pairs, and do they point the same way?  A pair that is
+    flagged by all three is a near-certain collection artifact to drop;
+    one flagged by a single axis may be a genuine quality difference
+    that happens to correlate.  (VERDICT r12 item 3 / ROUND12.md queue.)
+
+    Pairs are built ONCE with EXACTLY the pipeline_preference_pairs
+    recipe (prep.py:84 — per prompt/user: chosen = first by value DESC,
+    rejected = first by value ASC, row_number tie-breaks, ≥ 2
+    completions, reward margin ≥ 10) and ALL THREE per-pair signals are
+    computed from the same scan — the composite audits the same base
+    the three single-axis audits audit (reconciliation pinned in
+    tests/test_operators.py):
+      * L — length: 'W' if the chosen payload is LONGER (the
+        length-bias direction), 'L' if shorter, 'T' on ties, 'N' when
+        either payload is NULL (not auditable — the observed-pairs
+        discipline, here kept as an explicit outcome instead of a
+        filter so the three audits' different bases stay visible);
+      * P — position: 'W' if the chosen completion was presented
+        EARLIER (row_number over event_id inside the prompt group);
+        never ties — chosen and rejected are distinct events;
+      * F — format: 'W' if the chosen payload scores higher on the
+        three structural markers (opens '{'/'[', contains '":',
+        matches [0-9][0-9] — eval_format_bias's exact expressions),
+        'L'/'T'/'N' as for length.
+
+    Output: one row per consensus PATTERN (the 3-char L‖P‖F string,
+    ≤ 32 distinct values — bounded regardless of corpus size) with
+    n_confounds (how many audits flag the pattern, i.e. its 'W' count),
+    the prompt count, and integer delta/rank anchors.  Direction
+    consistency is read directly off the pattern ('WWW'/'LLL' = the
+    axes agree; mixed letters = they disagree), and "flagged by exactly
+    k of 3" is the n_confounds histogram.
+
+    Scale (100 TB): one scan; all four windows partition by the prompt
+    key over ONE hash exchange; the pair join keys on the prompt; the
+    final aggregate is a map-side-combined groupBy onto ≤ 32 pattern
+    rows.  No corpus-wide state anywhere.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    score = (
+        F.when(F.substring("props", 1, 1).isin("{", "["), 1).otherwise(0)
+        + F.when(F.instr("props", '":') > 0, 1).otherwise(0)
+        + F.when(F.col("props").rlike("[0-9][0-9]"), 1).otherwise(0)
+    )
+    fmt = F.when(F.col("props").isNotNull(), score)  # NULL payload → NULL
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    w_bot = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    w_pos = Window.partitionBy("user_id").orderBy(F.asc("event_id"))
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.length("props").alias("len"),
+        fmt.alias("fmt"),
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    chosen = ranked.filter((F.col("r_top") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("value").alias("cv"),
+        F.col("len").alias("len_c"),
+        F.col("fmt").alias("fmt_c"),
+        F.col("pos").alias("pos_c"),
+    )
+    rejected = ranked.filter(F.col("r_bot") == 1).select(
+        "user_id",
+        F.col("value").alias("rv"),
+        F.col("len").alias("len_r"),
+        F.col("fmt").alias("fmt_r"),
+        F.col("pos").alias("pos_r"),
+    )
+    pairs = chosen.join(rejected, "user_id").filter(
+        (F.col("cv") - F.col("rv")) >= _LB_MIN_MARGIN
+    )
+
+    def flag(c, r):
+        return (
+            F.when(F.col(c).isNull() | F.col(r).isNull(), "N")
+            .when(F.col(c) > F.col(r), "W")
+            .when(F.col(c) < F.col(r), "L")
+            .otherwise("T")
+        )
+
+    sig = pairs.select(
+        flag("len_c", "len_r").alias("lf"),
+        F.when(F.col("pos_c") < F.col("pos_r"), "W").otherwise("L").alias("pf"),
+        flag("fmt_c", "fmt_r").alias("ff"),
+        (F.col("len_c") - F.col("len_r")).alias("len_delta"),
+        "pos_c",
+        "pos_r",
+        (F.col("fmt_c") - F.col("fmt_r")).alias("fmt_delta"),
+    ).select(
+        F.concat("lf", "pf", "ff").alias("pattern"),
+        (
+            F.when(F.col("lf") == "W", 1).otherwise(0)
+            + F.when(F.col("pf") == "W", 1).otherwise(0)
+            + F.when(F.col("ff") == "W", 1).otherwise(0)
+        ).cast("int").alias("n_confounds"),
+        "len_delta",
+        "pos_c",
+        "pos_r",
+        "fmt_delta",
+    )
+    return sig.groupBy("pattern", "n_confounds").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prompts"),
+        F.sum("len_delta").cast("bigint").alias("sum_len_delta"),
+        F.sum("pos_c").cast("bigint").alias("sum_pos_chosen"),
+        F.sum("pos_r").cast("bigint").alias("sum_pos_rejected"),
+        F.sum("fmt_delta").cast("bigint").alias("sum_fmt_delta"),
+    )
+
+
 QUERIES = {
     "eval_length_bias": eval_length_bias,
     "eval_position_bias": eval_position_bias,
     "eval_format_bias": eval_format_bias,
+    "eval_confound_consensus": eval_confound_consensus,
     "eval_krippendorff_alpha": eval_krippendorff_alpha,
     "eval_elo_bt": eval_elo_bt,
     "eval_bootstrap_ci": eval_bootstrap_ci,
@@ -1396,6 +1520,67 @@ ORACLE = {
                CAST(SUM(fmt_rejected) AS BIGINT) AS sum_fmt_rejected
         FROM pairs
         GROUP BY 1
+    """,
+    # the pair recipe verbatim ONCE, all three per-pair signals from the
+    # same scan; the pattern letters and n_confounds are the identical
+    # CASE ladders, sums skip the 'N' (NULL payload) rows in both engines
+    "eval_confound_consensus": f"""
+        WITH r AS (
+            SELECT user_id, event_id, value, length(props) AS len,
+                   CASE WHEN props IS NULL THEN NULL ELSE
+                       (CASE WHEN substring(props, 1, 1) IN ('{{', '[')
+                             THEN 1 ELSE 0 END)
+                       + (CASE WHEN strpos(props, '":') > 0
+                               THEN 1 ELSE 0 END)
+                       + (CASE WHEN regexp_matches(props, '[0-9][0-9]')
+                               THEN 1 ELSE 0 END)
+                   END AS fmt,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS r_top,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value ASC, event_id
+                   ) AS r_bot,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ) AS pos,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        chosen AS (
+            SELECT user_id, value AS cv, len AS len_c, fmt AS fmt_c,
+                   pos AS pos_c
+            FROM r WHERE r_top = 1 AND n >= 2
+        ),
+        rejected AS (
+            SELECT user_id, value AS rv, len AS len_r, fmt AS fmt_r,
+                   pos AS pos_r
+            FROM r WHERE r_bot = 1
+        ),
+        pairs AS (
+            SELECT len_c, len_r, fmt_c, fmt_r, pos_c, pos_r,
+                   CASE WHEN len_c IS NULL OR len_r IS NULL THEN 'N'
+                        WHEN len_c > len_r THEN 'W'
+                        WHEN len_c < len_r THEN 'L' ELSE 'T' END AS lf,
+                   CASE WHEN pos_c < pos_r THEN 'W' ELSE 'L' END AS pf,
+                   CASE WHEN fmt_c IS NULL OR fmt_r IS NULL THEN 'N'
+                        WHEN fmt_c > fmt_r THEN 'W'
+                        WHEN fmt_c < fmt_r THEN 'L' ELSE 'T' END AS ff
+            FROM chosen c JOIN rejected j USING (user_id)
+            WHERE c.cv - j.rv >= {_LB_MIN_MARGIN}
+        )
+        SELECT lf || pf || ff AS pattern,
+               CAST((CASE WHEN lf = 'W' THEN 1 ELSE 0 END)
+                    + (CASE WHEN pf = 'W' THEN 1 ELSE 0 END)
+                    + (CASE WHEN ff = 'W' THEN 1 ELSE 0 END) AS INT)
+                   AS n_confounds,
+               CAST(count(*) AS BIGINT) AS n_prompts,
+               CAST(SUM(len_c - len_r) AS BIGINT) AS sum_len_delta,
+               CAST(SUM(pos_c) AS BIGINT) AS sum_pos_chosen,
+               CAST(SUM(pos_r) AS BIGINT) AS sum_pos_rejected,
+               CAST(SUM(fmt_c - fmt_r) AS BIGINT) AS sum_fmt_delta
+        FROM pairs
+        GROUP BY 1, 2
     """,
     # same md5 draws (presence/flip), same integer coincidence identities
     # (m² − Σn² off-diagonal mass, 2/(m−1) ∈ {1,2} weights), one half-up

@@ -4557,6 +4557,144 @@ def test_confound_audits_direction_on_planted_bias(spark, tmp_path):
     assert fmt[0]["n_pairs"] == 10
 
 
+def test_eval_confound_consensus_matches_bruteforce(spark, sf_dir):
+    """The inter-audit composite must equal a driver-side recomputation
+    over the same preference pairs: per pair the L/P/F letters (length /
+    position / format, 'W' = the confound direction won, 'N' = payload
+    not auditable), n_confounds = the pattern's 'W' count, and the
+    integer delta/rank anchors.  Also reconciles the composite's total
+    prompt count with pipeline_preference_pairs — the composite audits
+    EXACTLY the pairs the builder ships (no observed-pairs filter: the
+    'N' letter keeps unauditable axes visible instead of dropping the
+    pair)."""
+    import collections
+    import re
+
+    from datafusion_test_spark.pipeline.evals import (
+        _LB_MIN_MARGIN,
+        eval_confound_consensus,
+    )
+    from datafusion_test_spark.pipeline.prep import pipeline_preference_pairs
+
+    two_digits = re.compile(r"[0-9][0-9]")
+
+    def fmt(props):
+        if props is None:
+            return None
+        return (
+            (1 if props[:1] in ("{", "[") else 0)
+            + (1 if '":' in props else 0)
+            + (1 if two_digits.search(props) else 0)
+        )
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value", "props")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    want = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    n_pairs_bf = 0
+    for evs in by_user.values():
+        if len(evs) < 2:
+            continue
+        pos = {
+            r["event_id"]: i + 1
+            for i, r in enumerate(sorted(evs, key=lambda r: r["event_id"]))
+        }
+        chosen = min(evs, key=lambda r: (-r["value"], r["event_id"]))
+        rejected = min(evs, key=lambda r: (r["value"], r["event_id"]))
+        if not (chosen["value"] - rejected["value"] >= _LB_MIN_MARGIN):
+            continue
+        n_pairs_bf += 1
+        lc = len(chosen["props"]) if chosen["props"] is not None else None
+        lr = len(rejected["props"]) if rejected["props"] is not None else None
+        fc, fr = fmt(chosen["props"]), fmt(rejected["props"])
+
+        def letter(c, r):
+            if c is None or r is None:
+                return "N"
+            return "W" if c > r else "L" if c < r else "T"
+
+        pc, pr = pos[chosen["event_id"]], pos[rejected["event_id"]]
+        pat = (
+            letter(lc, lr)
+            + ("W" if pc < pr else "L")
+            + letter(fc, fr)
+        )
+        acc = want[pat]
+        acc[0] += 1
+        if lc is not None and lr is not None:
+            acc[1] += lc - lr
+        acc[2] += pc
+        acc[3] += pr
+        if fc is not None and fr is not None:
+            acc[4] += fc - fr
+    got = {
+        r["pattern"]: r
+        for r in eval_confound_consensus(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert len(want) >= 2, "consensus patterns degenerate on the real corpus"
+    for pat, (n, ld, sc, sr, fd) in want.items():
+        g = got[pat]
+        assert g["n_confounds"] == pat.count("W"), pat
+        assert g["n_prompts"] == n, pat
+        assert (g["sum_pos_chosen"], g["sum_pos_rejected"]) == (sc, sr), pat
+        if "N" not in (pat[0],):
+            assert g["sum_len_delta"] == ld, pat
+        if "N" not in (pat[2],):
+            assert g["sum_fmt_delta"] == fd, pat
+    # recipe coverage: the composite's base IS the pair builder's output
+    assert sum(r["n_prompts"] for r in got.values()) == n_pairs_bf
+    assert n_pairs_bf == pipeline_preference_pairs(spark, sf_dir).count()
+
+
+def test_eval_confound_consensus_planted_two_of_three(spark, tmp_path):
+    """VERDICT r12 item 3's done-criterion: on a planted corpus where a
+    known prompt's chosen completion is the earlier-presented AND longer
+    but LESS-formatted one, the composite must flag it by exactly 2 of
+    the 3 audits — pattern 'WWL', n_confounds 2 — and a contrast cohort
+    planted with all three confounds must land at 'WWW', n_confounds 3.
+    A flipped letter convention (or a miscounted histogram) cannot pass:
+    the planted directions are asymmetric across the axes."""
+    import datetime
+
+    from datafusion_test_spark.pipeline.evals import eval_confound_consensus
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):  # WWL cohort: earlier + longer + plain text
+        rows.append((2 * u, t0, u, "view", 200.0,
+                     "plain verbose answer " + "x" * 40))
+        rows.append((2 * u + 1, t0, u, "view", 100.0, '{"a": 42}'))
+    for u in range(6, 10):  # WWW cohort: earlier + longer + structured
+        rows.append((2 * u, t0, u, "view", 200.0,
+                     '{"answer": 42, "detail": "' + "y" * 40 + '"}'))
+        rows.append((2 * u + 1, t0, u, "view", 100.0, "no"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    out = {
+        r["pattern"]: r for r in eval_confound_consensus(spark, sf).collect()
+    }
+    assert set(out) == {"WWL", "WWW"}, out
+    assert out["WWL"]["n_confounds"] == 2 and out["WWL"]["n_prompts"] == 6
+    assert out["WWW"]["n_confounds"] == 3 and out["WWW"]["n_prompts"] == 4
+    # direction anchors: the planted deltas are positive for length on
+    # both cohorts, negative for format on the WWL cohort
+    assert out["WWL"]["sum_len_delta"] > 0 and out["WWL"]["sum_fmt_delta"] < 0
+    assert out["WWW"]["sum_len_delta"] > 0 and out["WWW"]["sum_fmt_delta"] > 0
+
+
 def test_confound_audits_cover_the_pair_recipe_exactly(spark, sf_dir):
     """Recipe-drift ratchet: the three confound audits claim to audit
     EXACTLY the pairs pipeline_preference_pairs ships.  Pin that the
