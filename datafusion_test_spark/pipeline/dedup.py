@@ -906,8 +906,21 @@ def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte without a portable-hash contract; at 100 TB the key
     would be xxhash64(chunk) to shrink shuffle width — same plan shape.
     Docs shorter than one chunk have no chunks and cannot pair (the
-    ascending-sequence guard: Spark's sequence(1, 0) is DESCENDING, so
-    the length filter is load-bearing, not cosmetic).
+    regex needs exactly _CHUNK_LEN chars per match, so the length filter
+    is belt-and-braces, not load-bearing).
+
+    Chunking is ONE LINEAR regex scan — r13 scale fix, found by the 10x
+    sweep (tools/scale10_sweep.py): the original
+    transform(sequence(1, n), k -> substring(text, (k-1)*L+1, L)) is an
+    INTERPRETED HOF whose every substring seeks O(k·L) code points from
+    the string start (UTF8String.substring has no byte index), i.e.
+    O(len²) per document — a 1-2.5 MB doc pinned one executor thread for
+    15+ minutes.  regexp_extract_all(text, '(?s).{{{L}}}') emits the
+    identical consecutive full-width code-point chunks (Java regex
+    consumes one CODE POINT per '.', same unit substring counts; DOTALL
+    so newline-class chars stay inside chunks) in a single O(len) pass.
+    The same disease/fix pair as r9's five entry points — this is entry
+    point six: Spark-side per-index substring inside a lambda.
     """
     docs = (
         table(spark, sf_dir, "documents")
@@ -919,9 +932,7 @@ def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, cast(length(text) div {_CHUNK_LEN}"
-                    f" as int)), k -> substring(text, (k-1)*{_CHUNK_LEN}+1,"
-                    f" {_CHUNK_LEN}))"
+                    f"regexp_extract_all(text, '(?s).{{{_CHUNK_LEN}}}', 0)"
                 )
             ).alias("chunk"),
         )
@@ -976,14 +987,14 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
     )
+    # one linear regex scan (r13 scale fix, the dedup_chunk O(len²)
+    # disease): greedy '.{1,L}' emits consecutive full-width segments
+    # plus the trailing partial — exactly the ceil(len/L) segmentation,
+    # still lossless (concat of matches == original text)
     paras = docs.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(1, cast(ceil(length(text) /"
-                f" {_PARA_LEN}.0) as int)), k -> substring(text,"
-                f" (k-1)*{_PARA_LEN}+1, {_PARA_LEN}))"
-            )
+            F.expr(f"regexp_extract_all(text, '(?s).{{1,{_PARA_LEN}}}', 0)")
         ).alias("pos", "para"),
     )
     winners = paras.groupBy("para").agg(

@@ -596,18 +596,12 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc text itself crosses the shuffle once, in chunk-sized pieces.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    m = f"(length(text) DIV {_BP_CHUNK})"
+    # one linear regex scan (r13 scale fix, the dedup_chunk O(len²)
+    # disease): greedy '.{1,B}' = the full 40-char slices plus the tail
+    # remainder, byte-identical to the old concat(full-blocks, tail)
     chunks = d.selectExpr(
         "doc_id",
-        f"""concat(
-              CASE WHEN length(text) >= {_BP_CHUNK}
-                   THEN transform(sequence(1, cast({m} as int)),
-                        k -> substring(text, (k-1)*{_BP_CHUNK}+1, {_BP_CHUNK}))
-                   ELSE cast(array() as array<string>) END,
-              CASE WHEN length(text) % {_BP_CHUNK} != 0
-                   THEN array(substring(text, cast({m}*{_BP_CHUNK}+1 as int)))
-                   ELSE cast(array() as array<string>) END
-            ) AS cs""",
+        f"regexp_extract_all(text, '(?s).{{1,{_BP_CHUNK}}}', 0) AS cs",
     ).select("doc_id", F.posexplode("cs").alias("pos", "chunk"))
     freq = (
         chunks.select("doc_id", "chunk")

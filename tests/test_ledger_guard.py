@@ -95,6 +95,124 @@ def test_round_bench_records_attest_a_same_session_pair():
     )
 
 
+def test_no_per_index_substring_inside_transform_sequence():
+    """Scale ratchet for r9-disease entry point SIX, found by the r13
+    10x sweep (tools/scale10_sweep.py): chunking text via
+    ``transform(sequence(1, n), k -> substring(text, (k-1)*L+1, L))`` is
+    an INTERPRETED HOF whose every substring seeks O(k·L) code points
+    from the string start (UTF8String.substring has no byte index) —
+    O(len²) per document; a 1-2.5 MB doc pinned an executor thread for
+    15+ minutes.  The linear shape is ONE regex scan:
+    ``regexp_extract_all(text, '(?s).{L}')`` (full blocks) or
+    ``'(?s).{1,L}'`` (ceil segmentation incl. the tail) — identical
+    code-point chunks, O(len).  This guard fails any package source that
+    re-introduces a substring call inside a transform-over-sequence
+    lambda, in either the SQL-string or the pyspark-Column form."""
+    import ast
+
+    offenders = []
+    pkg = ROOT / "datafusion_test_spark"
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        docstrings = set()
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
+                       ast.ClassDef)
+            ) and (
+                node.body
+                and isinstance(node.body[0], ast.Expr)
+                and isinstance(node.body[0].value, ast.Constant)
+                and isinstance(node.body[0].value.value, str)
+            ):
+                docstrings.add(id(node.body[0].value))
+        for node in ast.walk(tree):
+            # SQL-string form: one string literal carrying both the
+            # transform(sequence(...)) opener and a substring( lambda body
+            # (docstrings exempt — they may DESCRIBE the forbidden shape)
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and id(node) not in docstrings
+            ):
+                s = node.value.lower()
+                if "transform(sequence" in s and "substring(" in s:
+                    offenders.append((str(py.relative_to(ROOT)), "sql",
+                                      node.lineno))
+            # Column-DSL form: F.transform(F.sequence(...), lambda ...:
+            # ... F.substring(...) ...)
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "transform"
+                and node.args
+                and isinstance(node.args[0], ast.Call)
+                and isinstance(node.args[0].func, ast.Attribute)
+                and node.args[0].func.attr == "sequence"
+            ):
+                for sub in ast.walk(node):
+                    if (
+                        isinstance(sub, ast.Call)
+                        and isinstance(sub.func, ast.Attribute)
+                        and sub.func.attr == "substring"
+                    ):
+                        offenders.append((str(py.relative_to(ROOT)), "dsl",
+                                          node.lineno))
+                        break
+    assert not offenders, (
+        "O(len²) per-index substring inside a transform(sequence(...)) "
+        "lambda — use one regexp_extract_all scan instead "
+        f"(see dedup_chunk): {offenders}"
+    )
+
+
+def test_chunking_rewrites_match_the_lambda_semantics(spark):
+    """Equivalence pin for the r13 linear chunking rewrite: on an
+    adversarial pool (astral code points, combining marks, newlines,
+    CR/LF, U+2028, empty string, exact-multiple and off-by-one lengths)
+    the regexp_extract_all chunks must equal the old
+    transform(sequence)/substring chunks element-for-element — full
+    40-blocks for dedup_chunk's shape, ceil segmentation for
+    dedup_paragraph's / text_boilerplate_strip's."""
+    texts = [
+        "",
+        "short",
+        "x" * 40,
+        "x" * 41,
+        "x" * 399,
+        "x" * 400,
+        ("ab c\n" * 25)[:97],
+        "línea ñ𝕊𝕋" * 13,          # astral + combining-adjacent
+        ("é" * 50),            # combining marks across boundaries
+        "a b c\rd\ne" * 20,  # line separators inside chunks
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # the old lambdas carry the operators' original guards: Spark's
+    # sequence(1, 0) is DESCENDING, so an unguarded empty/short text
+    # produced garbage — the guards were load-bearing in the old shape
+    for L, (new_expr, old_expr) in {
+        40: (
+            "regexp_extract_all(text, '(?s).{40}', 0)",
+            "CASE WHEN length(text) >= 40 THEN"
+            " transform(sequence(1, cast(length(text) div 40 as int)),"
+            " k -> substring(text, (k-1)*40+1, 40))"
+            " ELSE cast(array() as array<string>) END",
+        ),
+        60: (
+            "regexp_extract_all(text, '(?s).{1,60}', 0)",
+            "CASE WHEN length(text) > 0 THEN"
+            " transform(sequence(1, cast(ceil(length(text) / 60.0) as int)),"
+            " k -> substring(text, (k-1)*60+1, 60))"
+            " ELSE cast(array() as array<string>) END",
+        ),
+    }.items():
+        rows = df.selectExpr(
+            f"{new_expr} AS new", f"{old_expr} AS old"
+        ).collect()
+        for r, t in zip(rows, texts):
+            assert r["new"] == r["old"], (L, t[:30], r)
+
+
 def test_bench_summary_line_is_compact_and_self_contained():
     """VERDICT r12 process item 1: the driver's capture truncates bench.py's
     single giant JSON line mid-record (BENCH_r11/r12 landed with
