@@ -921,9 +921,20 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the word itself never reaches the output — carry md5(word) as the
     # sequence key, NOT the word: a symbol row per character times the
     # full word string is O(len²) bytes per word (a single 100 KB token
-    # OOMed the executor; 32 hex bytes per row is flat at any word length)
-    seq = vocab.select(
-        F.md5(F.col("w").cast("binary")).alias("word"),
+    # OOMed the executor; 32 hex bytes per row is flat at any word length).
+    # r13 scale fix (found by tools/scale10_sweep.py at a 1 M-char giant
+    # token): the md5 must be projected BELOW the explode — selecting
+    # md5(w) NEXT TO posexplode puts it in the Project ABOVE the
+    # Generate, where it re-hashes the FULL word once per emitted symbol
+    # row (O(len²) bytes hashed per word; the plan pin in
+    # tests/test_plans.py::test_bpe_md5_projected_below_generate holds
+    # the keyed shape).  As a pre-projected attribute it is computed
+    # once per word and copied per row.
+    keyed = vocab.select(
+        F.md5(F.col("w").cast("binary")).alias("word"), "wcount", "w"
+    )
+    seq = keyed.select(
+        "word",
         "wcount",
         F.posexplode(
             F.concat(F.split("w", ""), F.array(F.lit(_BPE_EOW)))

@@ -770,6 +770,50 @@ def test_parquet_pageindex_string_truncation_onesided(spark, sf_dir):
     assert bp == 0, f"below-domain key admitted by {bp} pages"
 
 
+def test_bpe_md5_projected_below_generate(spark, sf_dir):
+    """Plan-shape ratchet for the r13 bpe scale fix (found by the 10x
+    sweep): md5(word) must be computed BELOW the symbol posexplode —
+    selecting it NEXT TO the explode puts it in the Project ABOVE the
+    Generate, where it re-hashes the FULL word once per emitted symbol
+    row (O(len²) bytes hashed per word: the 1 M-char giant token went
+    from hours to seconds).  The pin rebuilds the operator's exact seq
+    plan and asserts the optimized plan evaluates md5 beneath the
+    Generate node (as a pass-through attribute above it)."""
+    from datafusion_test_spark.io import table as _table
+
+    d = _table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    keyed = vocab.select(
+        F.md5(F.col("w").cast("binary")).alias("word"), "wcount", "w"
+    )
+    seq = keyed.select(
+        "word",
+        "wcount",
+        F.posexplode(
+            F.concat(F.split("w", ""), F.array(F.lit("</w>")))
+        ).alias("pos", "sym"),
+    )
+    plan = seq._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    gen_idx = next(
+        i for i, l in enumerate(lines) if "posexplode" in l.lower()
+    )
+    md5_idx = next(i for i, l in enumerate(lines) if "md5(" in l)
+    # top-down plan string: a SMALLER index is ABOVE; md5 must sit at or
+    # below the Generate node, never in a Project above it
+    assert md5_idx >= gen_idx, plan
+    # and the operator still returns the pinned sf0.001 merge table shape
+    from datafusion_test_spark.pipeline.text import text_bpe_train
+
+    out = text_bpe_train(spark, sf_dir).collect()
+    assert len(out) >= 1
+    assert all(r["merged"] == r["left_sym"] + r["right_sym"] for r in out)
+
+
 def test_parquet_pageindex_nulls_axis(spark, sf_dir):
     """scan_parquet_pageindex_nulls' pins: (1) BOTH data-plane predicates
     reach PushedFilters on the clustered nullable layout — IsNull for

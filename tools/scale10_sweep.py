@@ -26,6 +26,11 @@ excess is reported at observed strength with the suspected cause.
 
 Usage: python tools/scale10_sweep.py [sf_dir=/root/testdata/sf0.1]
                                      [out_dir=/tmp/spark_graft_scale10]
+                                     [--resume path.jsonl]
+
+--resume skips entries already recorded in the given jsonl (one
+{"entry": ...} record per line) — the sweep stops mid-run when it FINDS
+a quadratic entry (that is its job), gets the fix, and resumes.
 """
 
 from __future__ import annotations
@@ -93,8 +98,23 @@ def build_corpus(sf_dir: str, out_dir: str) -> None:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale10"
+    argv = sys.argv[1:]
+    done: set[str] = set()
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        resume_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        with open(resume_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and "entry" in rec:
+                    done.add(rec["entry"])
+        print(json.dumps({"resumed": len(done)}))
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    out_dir = argv[1] if len(argv) > 1 else "/tmp/spark_graft_scale10"
     build_corpus(sf_dir, out_dir)
 
     from datafusion_test_spark.pipeline import dedup, text
@@ -110,6 +130,8 @@ def main() -> None:
 
     results = []
     for name, fn in sorted(entries.items()):
+        if name in done:
+            continue
         s01 = run(fn, sf_dir)
         x10 = run(fn, out_dir)
         ratio = round(x10 / s01, 2) if s01 > 0 else None
