@@ -233,30 +233,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.encode("text", "utf-8").alias("payload")
     )
-    n_frames = F.ceil(F.octet_length("payload") / F.lit(frame)).cast("int")
+    # frames sliced via the string (testdata text is pure ASCII, so
+    # char offsets == byte offsets; a real video payload would slice
+    # the BLOB directly — DuckDB's oracle dialect lacks blob substring,
+    # hence the string route for the differential).  r13 scale fix (the
+    # dedup_chunk O(len²) disease, strided flavor): per-exploded-row
+    # substring(text, frame_idx*256+1, 256) seeks O(frame_idx) code
+    # points from the string start per frame — O(len²/stride) per doc.
+    # Linear shape: ALL char chunks in ONE regexp scan (computed below
+    # the Generate, once per doc), then the generator zips the strided
+    # byte-count-based index sequence with O(1) array element access —
+    # (idx, frame) struct pairs exploded together so the chunk array is
+    # consumed by the generator, never carried per-row.  The frame COUNT
+    # stays byte-based (ceil(n_bytes/256)) while chunks are char-based,
+    # exactly the original mixed semantics: strided indexes past the
+    # char-chunk array (non-ASCII payloads) yield '' frames, matching
+    # substring-beyond-length.
+    base = d.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.expr(f"regexp_extract_all(text, '(?s).{{1,{frame}}}', 0)").alias(
+            "fr"
+        ),
+    )
+    pairs = F.expr(
+        f"transform(sequence(0, cast(ceil(n_bytes / {frame}) as int) - 1,"
+        f" {stride}), i -> struct(i AS frame_idx,"
+        f" coalesce(try_element_at(fr, i + 1), '') AS f))"
+    )
     return (
-        d.select(
-            "doc_id",
-            "text",
-            F.octet_length("payload").alias("n_bytes"),
-            F.explode(
-                F.sequence(F.lit(0), n_frames - 1, F.lit(stride))
-            ).alias("frame_idx"),
-        )
-        # frames sliced via the string (testdata text is pure ASCII, so
-        # char offsets == byte offsets; a real video payload would slice
-        # the BLOB directly — DuckDB's oracle dialect lacks blob substring,
-        # hence the string route for the differential)
-        .select(
+        base.select(
+            "doc_id", "n_bytes", F.explode(pairs).alias("s")
+        ).select(
             "doc_id",
             "n_bytes",
-            "frame_idx",
-            F.octet_length(
-                F.encode(
-                    F.expr(f"substring(text, frame_idx * {frame} + 1, {frame})"),
-                    "utf-8",
-                )
-            ).alias("frame_bytes"),
+            F.col("s.frame_idx").alias("frame_idx"),
+            F.octet_length(F.encode(F.col("s.f"), "utf-8")).alias(
+                "frame_bytes"
+            ),
         )
     )
 

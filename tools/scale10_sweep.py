@@ -117,11 +117,26 @@ def main() -> None:
     out_dir = argv[1] if len(argv) > 1 else "/tmp/spark_graft_scale10"
     build_corpus(sf_dir, out_dir)
 
-    from datafusion_test_spark.pipeline import dedup, text
+    from datafusion_test_spark.pipeline import (
+        curation,
+        dedup,
+        multimodal,
+        prep,
+        quality,
+        similarity,
+        text,
+    )
     from datafusion_test_spark.session import get_session
 
     spark = get_session("scale10-sweep")
-    entries = {**dedup.QUERIES, **text.QUERIES}
+    # every module whose entries read the scaled documents/embeddings
+    # tables (evals/ops over the unscaled events table are skipped —
+    # their x10 leg would measure nothing)
+    entries = {
+        **dedup.QUERIES, **text.QUERIES, **quality.QUERIES,
+        **curation.QUERIES, **prep.QUERIES, **similarity.QUERIES,
+        **multimodal.QUERIES,
+    }
 
     def run(fn, d) -> float:
         t0 = time.perf_counter()
