@@ -4695,6 +4695,39 @@ def test_eval_confound_consensus_planted_two_of_three(spark, tmp_path):
     assert out["WWW"]["sum_len_delta"] > 0 and out["WWW"]["sum_fmt_delta"] > 0
 
 
+def test_eval_confound_consensus_null_payload_stays_visible(spark, tmp_path):
+    """The composite's 'N' letter contract: a NULL payload makes the
+    length and format axes UNAUDITABLE for that pair, and the composite
+    must keep the pair visible under 'N' letters instead of silently
+    dropping it (the single-axis audits filter such pairs out — the
+    composite is where their differing bases are reconciled, so the 'N'
+    outcome is load-bearing).  Plants 3 prompts whose CHOSEN payload is
+    NULL (earlier-presented winner): pattern must be exactly 'NWN',
+    n_confounds 1 (only position flags), with NULL delta anchors."""
+    import datetime
+
+    from datafusion_test_spark.pipeline.evals import eval_confound_consensus
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(3):
+        rows.append((2 * u, t0, u, "view", 200.0, None))  # chosen: NULL props
+        rows.append((2 * u + 1, t0, u, "view", 100.0, '{"a": 42}'))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = eval_confound_consensus(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["pattern"] == "NWN", out
+    assert out[0]["n_confounds"] == 1 and out[0]["n_prompts"] == 3
+    assert out[0]["sum_len_delta"] is None  # no auditable length pair
+    assert out[0]["sum_fmt_delta"] is None
+    assert out[0]["sum_pos_chosen"] == 3  # the earlier slot, 3 prompts
+
+
 def test_confound_audits_cover_the_pair_recipe_exactly(spark, sf_dir):
     """Recipe-drift ratchet: the three confound audits claim to audit
     EXACTLY the pairs pipeline_preference_pairs ships.  Pin that the

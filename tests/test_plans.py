@@ -892,6 +892,40 @@ def test_parquet_pageindex_nulls_axis(spark, sf_dir):
     assert bp == 0, f"below-domain key admitted by {bp} pages"
 
 
+def test_parquet_pageindex_nulls_allnull_corpus_vacuity(spark, tmp_path):
+    """Boundary pin for the null-axis operator's ALL-NULL branch (the
+    const degenerate corpus reaches it when the hot key ≡ 0 mod 3; this
+    pin makes the branch local and deterministic): every o_orderkey a
+    multiple of 3 ⇒ the derived key is NULL on every row ⇒ lo is None.
+    point_prune_ok must take its all-null vacuity branch (nothing to
+    prune toward), point_contained/below_min_excluded hold vacuously,
+    every page is flagged all-null, the metadata null count equals the
+    row count equals the pushed IS NULL scan's count, and the min-key
+    lookup returns zero rows."""
+    from datafusion_test_spark.sources import connectors
+
+    (
+        spark.range(3000)
+        .selectExpr(
+            "CAST(id * 3 AS BIGINT) AS o_orderkey",
+            "CAST(id AS DOUBLE) AS o_totalprice",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/orders.parquet")
+    )
+    row = connectors.scan_parquet_pageindex_nulls(
+        spark, str(tmp_path)
+    ).collect()[0]
+    for c in ("index_written", "page_granular", "ordered_ok",
+              "nullflags_ok", "nulls_clustered_ok", "allnull_observed_ok",
+              "point_contained", "point_prune_ok", "below_min_excluded"):
+        assert row[c] is True, (c, row)
+    assert row["n_rows"] == row["n_nulls"] == row["null_hit_n"] == 3000
+    assert row["hit_n"] == 0 and row["hit_sum_price"] is None
+    assert row["null_sum_price"] is not None  # the null run HAS payloads
+
+
 def test_pageindex_probe_type_asserts(spark, sf_dir):
     """The decode-kind/type contract (ADVICE r11): pointing the INT64
     probe at a BINARY chunk — or the BINARY probe at an INT64 chunk —
