@@ -225,10 +225,12 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: slice each payload into fixed
     256-byte 'frames' (stands in for video frame extraction — no codecs in
-    container), keep every 4th frame.  Fully columnar: substring on binary +
-    sequence/explode, no Python.  At 100 TB the explode multiplies rows by
-    frames-per-item, so the frame stride (sampling rate) is the knob that
-    keeps output bounded."""
+    container), keep every 4th frame.  Fully columnar, no Python: ONE
+    regexp_extract_all chunk scan per doc below the Generate, then the
+    generator explodes (idx, frame) struct pairs zipped from the strided
+    index sequence (r13 linear shape — see the inline note).  At 100 TB
+    the explode multiplies rows by frames-per-item, so the frame stride
+    (sampling rate) is the knob that keeps output bounded."""
     frame, stride = 256, 4
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.encode("text", "utf-8").alias("payload")
@@ -256,9 +258,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fr"
         ),
     )
+    # empty-payload guard (ADVICE r13): ceil(0/256)-1 = -1 makes
+    # sequence(0, -1, 4) throw 'Illegal sequence boundaries', so the upper
+    # bound is floored at 0 and the spurious index is filtered by the
+    # i*frame < n_bytes predicate (for n_bytes > 0 the predicate is
+    # equivalent to i <= ceil(n_bytes/frame)-1, so non-empty docs are
+    # untouched; an empty doc yields zero frames, matching the oracle's
+    # empty generate_series)
     pairs = F.expr(
-        f"transform(sequence(0, cast(ceil(n_bytes / {frame}) as int) - 1,"
-        f" {stride}), i -> struct(i AS frame_idx,"
+        f"transform(filter(sequence(0, greatest(cast(ceil(n_bytes /"
+        f" {frame}) as int) - 1, 0), {stride}),"
+        f" i -> i * {frame} < n_bytes), i -> struct(i AS frame_idx,"
         f" coalesce(try_element_at(fr, i + 1), '') AS f))"
     )
     return (

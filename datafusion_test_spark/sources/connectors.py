@@ -1374,7 +1374,15 @@ def _pageindex_probe_file_nulls(spark: SparkSession, path: str, column: str,
                     ci.getMinValues(), ci.getMaxValues(), ci.getNullPages()
                 )
                 nc = ci.getNullCounts()
-                if nc is None:
+                # absent null-count list: count the chunk's pages ONCE as
+                # the defect and skip the per-page flag/count consistency
+                # checks (they would re-trigger on every all-null page via
+                # the substituted zeros, double-counting the same absence —
+                # ADVICE r13); the substituted zeros still feed
+                # sum_null_counts, so the cross-engine n_nulls VALUE check
+                # catches the absence independently
+                nc_absent = nc is None
+                if nc_absent:
                     flag_mismatch += n_pages
                     nc = [0] * n_pages
                 for p in range(n_pages):
@@ -1387,9 +1395,9 @@ def _pageindex_probe_file_nulls(spark: SparkSession, path: str, column: str,
                     nulls_p = int(nc[p])
                     sum_null_counts += nulls_p
                     all_null = bool(nullp[p])
-                    if not (0 <= nulls_p <= page_rows):
+                    if not nc_absent and not (0 <= nulls_p <= page_rows):
                         flag_mismatch += 1
-                    if all_null != (nulls_p == page_rows):
+                    if not nc_absent and all_null != (nulls_p == page_rows):
                         flag_mismatch += 1
                     if nulls_p == 0:
                         seen_nullfree_page = True

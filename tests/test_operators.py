@@ -4761,3 +4761,35 @@ def test_confound_audits_cover_the_pair_recipe_exactly(spark, sf_dir):
         out = fn(spark, sf_dir).collect()
         assert sum(r["n_pairs"] for r in out) == n_pairs
         assert all(0 <= r[col] <= r["n_pairs"] for r in out)
+
+
+def test_mm_frame_sample_empty_and_null_payloads(spark, tmp_path):
+    """Empty-payload guard pin (ADVICE r13): a zero-length text used to
+    drive sequence(0, ceil(0/256)-1 = -1, 4) into 'Illegal sequence
+    boundaries' at runtime.  An empty doc must now yield ZERO frames
+    (matching the oracle's empty generate_series) and a NULL doc must
+    keep dropping out of the explode, while a real doc's strided frames
+    are untouched."""
+    from datafusion_test_spark.pipeline.multimodal import mm_frame_sample
+
+    spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, None, "en", "s", None),
+            (3, "x" * 1200, "en", "s", 1200),
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    rows = mm_frame_sample(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc, "empty payload must yield zero frames"
+    assert 2 not in by_doc, "NULL payload must yield zero frames"
+    # 1200 bytes -> ceil(1200/256) = 5 frames, stride 4 keeps idx 0 and 4;
+    # frame 4 covers bytes [1024, 1200) = 176 bytes
+    got = sorted((r["frame_idx"], r["frame_bytes"]) for r in by_doc[3])
+    assert got == [(0, 256), (4, 176)], got
