@@ -244,6 +244,8 @@ HEADLINE = [
     # round-13 slate
     "scan_parquet_pageindex_nulls",
     "eval_confound_consensus",
+    # round-14 slate
+    "scan_parquet_pageindex_reader",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):
@@ -315,13 +317,12 @@ def _run_pair_baseline(rev: str) -> dict:
             env={**os.environ, "PYTHONPATH": pypath},
             cwd=wt,
         )
-        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not json_lines:
+        baseline = _full_record_from_stdout(proc.stdout)
+        if baseline is None:
             raise RuntimeError(
-                f"baseline rev {rev[:9]} printed no JSON record line; "
+                f"baseline rev {rev[:9]} printed no full JSON record line; "
                 f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
             )
-        baseline = json.loads(json_lines[-1])
     finally:
         subprocess.run(
             ["git", "-C", root, "worktree", "remove", "--force", wt],
@@ -339,16 +340,40 @@ def _run_pair_baseline(rev: str) -> dict:
     }
 
 
+def _full_record_from_stdout(stdout: str) -> dict | None:
+    """Locate the FULL per-query bench record among stdout's JSON lines by
+    CONTENT (a ``queries`` map and no ``summary`` marker), not by position.
+
+    VERDICT r13 process item 1: position-based reads broke twice — the
+    driver keeps the LAST 2000 chars of stdout (so the summary must be the
+    final line), while r13's ``--pair`` read ``json_lines[-1]`` (so moving
+    the summary last would have handed --pair the summary).  Content-based
+    location works for both print orders, including old baseline revs that
+    still print the record last."""
+    for line in stdout.splitlines():
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and "queries" in rec and not rec.get("summary"):
+            return rec
+    return None
+
+
 def summary_record(record: dict) -> dict:
     """Compact, self-contained summary of a full bench record.
 
-    VERDICT r12 process item 1: the driver's capture truncates bench.py's
-    single giant JSON line mid-record, leaving BENCH_r{N}.json with
-    ``"parsed": null``.  main() therefore prints THIS line (< 2 KB: headline
-    and layout totals, query counts, machine block, top-10 slowest) BEFORE
-    the full per-query record, so a truncated capture still yields a parsed
-    block.  Consumers wanting per-query times (``--pair``, round ledgers)
-    read the LAST JSON line, which remains the full record.
+    VERDICT r12 process item 1 + r13 process item 1: the driver keeps the
+    LAST ~2000 characters of stdout, so the giant single-line record left
+    BENCH_r{11,12}.json with ``"parsed": null`` — and r13's summary-FIRST
+    placement still did (the tail was the head-truncated record line).
+    main() therefore prints THIS line (< 2 KB: headline and layout totals,
+    query counts, machine block, top-10 slowest) as the FINAL stdout line,
+    with the full per-query record before it.  Consumers wanting per-query
+    times (``--pair``, round ledgers) locate the record line by CONTENT via
+    :func:`_full_record_from_stdout`, never by position.
     """
     top10 = dict(
         sorted(record["queries"].items(), key=lambda kv: -kv[1])[:10]
@@ -364,7 +389,7 @@ def summary_record(record: dict) -> dict:
         "machine": record["machine"],
         "top10_slowest": top10,
         "summary": True,
-        "full_record": "last JSON line on stdout",
+        "full_record": "the earlier stdout JSON line carrying a queries map",
         **(
             {"paired_baseline": record["paired_baseline"]}
             if "paired_baseline" in record
@@ -432,10 +457,12 @@ def main() -> None:
         },
         **({"paired_baseline": paired} if paired else {}),
     }
-    # Compact summary FIRST (truncation-proof for the driver's capture),
-    # then the full per-query record as the LAST line (what --pair reads).
-    print(json.dumps(summary_record(record)))
+    # Full per-query record first, compact summary as the FINAL stdout line:
+    # the driver keeps the LAST 2000 chars of stdout, so the summary must
+    # close the stream (--pair finds the record line by content, not
+    # position — see _full_record_from_stdout).
     print(json.dumps(record))
+    print(json.dumps(summary_record(record)))
 
 
 if __name__ == "__main__":

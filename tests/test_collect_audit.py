@@ -56,6 +56,8 @@ _SITE_ALLOWLIST = {
         1, "1-row min/max/count aggregate picking the string probe keys"),
     ("sources/connectors.py", "scan_parquet_pageindex_nulls"): (
         1, "1-row min/count aggregate picking the null-axis probe key"),
+    ("sources/connectors.py", "scan_parquet_pageindex_reader"): (
+        1, "1-row count/min/max aggregate deriving the k1/k2 probe range"),
 }
 
 

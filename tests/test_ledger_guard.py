@@ -214,12 +214,14 @@ def test_chunking_rewrites_match_the_lambda_semantics(spark):
 
 
 def test_bench_summary_line_is_compact_and_self_contained():
-    """VERDICT r12 process item 1: the driver's capture truncates bench.py's
-    single giant JSON line mid-record (BENCH_r11/r12 landed with
-    ``"parsed": null``).  Pin the fix: the FIRST stdout JSON line is a
-    compact (< 2 KB) self-contained summary — headline/layout totals, query
-    counts, machine block, top-10 slowest — and main() prints it before the
-    full per-query record (which stays LAST, where --pair reads it)."""
+    """VERDICT r12 item 4 / r13 item 3: the driver keeps the LAST ~2000
+    chars of stdout, so the summary must be the FINAL stdout line (r13's
+    summary-FIRST placement still left BENCH_r13.json ``"parsed": null`` —
+    the tail was the head-truncated record line).  Pin the fix: the summary
+    is compact (< 2 KB), self-contained — headline/layout totals, query
+    counts, machine block, top-10 slowest — printed AFTER the full
+    per-query record, and --pair locates the record line by CONTENT
+    (queries map, no summary marker), never by position."""
     import json
     import sys
 
@@ -264,11 +266,25 @@ def test_bench_summary_line_is_compact_and_self_contained():
     assert max(queries, key=queries.get) in summary["top10_slowest"]
     # the giant per-query maps must NOT be in the summary line
     assert "queries" not in summary and "layout_queries" not in summary
-    # print-order contract: summary line emitted before the full record
+    # print-order contract: the summary closes stdout (the driver's
+    # 2000-char tail capture must land on it), full record printed BEFORE
     src = (ROOT / "bench.py").read_text()
-    assert src.index("json.dumps(summary_record(record))") < src.index(
-        "print(json.dumps(record))"
+    assert src.index("print(json.dumps(record))") < src.index(
+        "json.dumps(summary_record(record))"
     )
+    # --pair locates the full record by content in EITHER print order
+    # (old baseline revs print record-last, current code record-first),
+    # skipping the summary line and non-JSON noise
+    rec_line = json.dumps(record)
+    sum_line = json.dumps(bench.summary_record(record))
+    for stdout in (
+        f"warn: noise\n{rec_line}\n{sum_line}\n",
+        f"{sum_line}\n{rec_line}\n",
+        f"{rec_line}\n",
+    ):
+        found = bench._full_record_from_stdout(stdout)
+        assert found is not None and found["queries"] == record["queries"]
+    assert bench._full_record_from_stdout(f"{sum_line}\n") is None
 
 
 def test_bench_pair_flag_requires_an_argument():

@@ -1008,3 +1008,104 @@ def test_parquet_pageindex_string_total_truncation_stays_onesided(spark, sf_dir)
     # ...but the correctness side is intact: no false negatives above,
     # and the below-domain probe is still excluded everywhere
     assert bp == 0, f"below-domain key admitted by {bp} pages"
+
+
+def test_parquet_pageindex_reader_skips_strictly(spark, tmp_path):
+    """Reader-skip pins (VERDICT r13 item 2): on a deterministic
+    30k-row / ~33%-null single-row-group 1000-row-page layout, Spark's
+    vectorized reader must OBSERVABLY skip pages — the scan node's own
+    numOutputRows with page-index filtering ON is strictly below the
+    OFF path on both predicate axes, within parquet-mr's admitted-row
+    budget, and never materializes an all-null page for the value range
+    (the admitted budget excludes them by construction).  The entry's
+    contract booleans must all hold non-vacuously on the same corpus,
+    and both data-plane predicates must reach PushedFilters."""
+    import os
+
+    from datafusion_test_spark._util import scratch_dir
+    from datafusion_test_spark.sources import connectors
+
+    # synthetic orders: keys 1..30000, derived key NULL where % 3 == 0
+    (
+        spark.range(1, 30001)
+        .selectExpr(
+            "CAST(id AS BIGINT) AS o_orderkey",
+            "CAST(id AS DOUBLE) / 7 AS o_totalprice",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/orders.parquet")
+    )
+    df = connectors.scan_parquet_pageindex_reader(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNull(key)]" in plan, plan
+    assert (
+        "PushedFilters: [IsNotNull(key), GreaterThanOrEqual(key," in plan
+    ), plan
+    row = df.collect()[0]
+    for c in ("single_rowgroup_ok", "index_written", "disabled_null_full",
+              "disabled_range_full", "enabled_null_bounded",
+              "enabled_range_bounded", "reader_skips_null",
+              "reader_skips_range"):
+        assert row[c] is True, (c, row)
+    assert row["n_rows"] == 30000 and row["null_hit_n"] == 10000
+
+    # the raw separation, re-measured through the entry's own helpers on
+    # the entry's own layout discipline (strictness the boolean contracts
+    # only claim vacuity-guarded)
+    out = os.path.join(scratch_dir("dfts_pidxr_pin_"), "synth")
+    synth = spark.range(1, 30001).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("bigint")
+        .alias("key"),
+        (F.col("id").cast("double") / 7).alias("o_totalprice"),
+    )
+    (
+        synth.repartition(1)
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", connectors._PAGE_ROW_LIMIT)
+        .option("parquet.page.size", 8192)
+        .option("parquet.block.size", 1073741824)
+        .parquet(out)
+    )
+    # non-null span 1..30000 minus multiples of 3 -> lo=1, hi=29999,
+    # k1 = 1 + 14999, k2 = k1 + 299 (the entry's derivation, restated)
+    k1, k2 = 1 + 29998 // 2, 1 + 29998 // 2 + max(29998 // 100, 1)
+    f = next(
+        os.path.join(out, x)
+        for x in sorted(os.listdir(out))
+        if x.endswith(".parquet")
+    )
+    (rg, idx, pages, rows_meta, adm_range, adm_null) = (
+        connectors._pageindex_admitted_rows(spark, f, "key", k1, k2)
+    )
+    assert rg == 1 and idx == 1 and rows_meta == 30000
+    assert pages >= 30, f"{pages} pages on a 30k-row 1000-row-page layout"
+    # null prefix = 10000 rows -> ~10-11 null-bearing pages; the range
+    # spans ~300 keys (~200 non-null rows) -> 1-2 pages
+    assert 10000 <= adm_null <= 12000, adm_null
+    assert 0 < adm_range <= 3000, adm_range
+    schema = "key bigint, o_totalprice double"
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        en_n = connectors._scan_metric_rows(
+            spark, out, schema, F.col("key").isNull(), True
+        )
+        dis_n = connectors._scan_metric_rows(
+            spark, out, schema, F.col("key").isNull(), False
+        )
+        rpred = (F.col("key") >= k1) & (F.col("key") <= k2)
+        en_r = connectors._scan_metric_rows(spark, out, schema, rpred, True)
+        dis_r = connectors._scan_metric_rows(spark, out, schema, rpred, False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert dis_n == 30000 and dis_r == 30000, (dis_n, dis_r)
+    assert 0 < en_n <= adm_null, (en_n, adm_null)
+    assert 0 < en_r <= adm_range, (en_r, adm_range)
+    # the strict separations the 100 TB claim rests on
+    assert en_n < dis_n and en_r < dis_r, (en_n, dis_n, en_r, dis_r)
+    # value range on the null-heavy layout: all-null pages never read
+    assert en_r <= 3000, f"range scan materialized {en_r} rows"
