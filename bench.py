@@ -246,6 +246,7 @@ HEADLINE = [
     "eval_confound_consensus",
     # round-14 slate
     "scan_parquet_pageindex_reader",
+    "eval_confound_drilldown",
 ]
 
 # Pay-once LAYOUT builders (bucketBy/partitionBy/zorder warehouse writes):

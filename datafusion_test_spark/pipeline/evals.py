@@ -1195,6 +1195,35 @@ def eval_confound_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate is a map-side-combined groupBy onto ≤ 32 pattern
     rows.  No corpus-wide state anywhere.
     """
+    return _confound_pair_signals(spark, sf_dir).select(
+        F.concat("lf", "pf", "ff").alias("pattern"),
+        (
+            F.when(F.col("lf") == "W", 1).otherwise(0)
+            + F.when(F.col("pf") == "W", 1).otherwise(0)
+            + F.when(F.col("ff") == "W", 1).otherwise(0)
+        ).cast("int").alias("n_confounds"),
+        "len_delta",
+        "pos_c",
+        "pos_r",
+        "fmt_delta",
+    ).groupBy("pattern", "n_confounds").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prompts"),
+        F.sum("len_delta").cast("bigint").alias("sum_len_delta"),
+        F.sum("pos_c").cast("bigint").alias("sum_pos_chosen"),
+        F.sum("pos_r").cast("bigint").alias("sum_pos_rejected"),
+        F.sum("fmt_delta").cast("bigint").alias("sum_fmt_delta"),
+    )
+
+
+def _confound_pair_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base of eval_confound_consensus and eval_confound_drilldown:
+    the pipeline_preference_pairs recipe executed ONCE with all three
+    per-pair confound letters (lf/pf/ff), the integer delta/rank anchors,
+    the prompt key, and the reward margin — the consensus entry folds it
+    onto the ≤ 32 pattern rows, the drill-down filters it to the WWW
+    cohort and top-k's it.  Semantics are verbatim the r13 consensus body
+    (that docstring carries the contract); only the final projection
+    moved into the callers."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     score = (
         F.when(F.substring("props", 1, 1).isin("{", "["), 1).otherwise(0)
@@ -1246,7 +1275,8 @@ def eval_confound_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("T")
         )
 
-    sig = pairs.select(
+    return pairs.select(
+        "user_id",
         flag("len_c", "len_r").alias("lf"),
         F.when(F.col("pos_c") < F.col("pos_r"), "W").otherwise("L").alias("pf"),
         flag("fmt_c", "fmt_r").alias("ff"),
@@ -1254,24 +1284,55 @@ def eval_confound_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_c",
         "pos_r",
         (F.col("fmt_c") - F.col("fmt_r")).alias("fmt_delta"),
-    ).select(
-        F.concat("lf", "pf", "ff").alias("pattern"),
-        (
-            F.when(F.col("lf") == "W", 1).otherwise(0)
-            + F.when(F.col("pf") == "W", 1).otherwise(0)
-            + F.when(F.col("ff") == "W", 1).otherwise(0)
-        ).cast("int").alias("n_confounds"),
-        "len_delta",
-        "pos_c",
-        "pos_r",
-        "fmt_delta",
+        (F.col("cv") - F.col("rv")).alias("margin"),
     )
-    return sig.groupBy("pattern", "n_confounds").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_prompts"),
-        F.sum("len_delta").cast("bigint").alias("sum_len_delta"),
-        F.sum("pos_c").cast("bigint").alias("sum_pos_chosen"),
-        F.sum("pos_r").cast("bigint").alias("sum_pos_rejected"),
-        F.sum("fmt_delta").cast("bigint").alias("sum_fmt_delta"),
+
+
+_DRILL_TOPK = 20  # bounded curator artifact regardless of corpus size
+
+
+def eval_confound_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curator's actionable artifact on top of eval_confound_consensus
+    (VERDICT r13 item 4 / ROUND13.md handoff): WHICH prompts are flagged
+    by ALL THREE confound audits?  The consensus entry answers "do the
+    audits agree" as a ≤ 32-row pattern histogram; this drill-down emits
+    the n_confounds = 3 cohort itself — the near-certain collection
+    artifacts a curator drops first — as a BOUNDED top-k list ordered by
+    reward margin (the most confident preferences that are still fully
+    confounded are the worst training signal), tie-broken by prompt id.
+
+    Same single-scan pair recipe as the consensus (shared
+    _confound_pair_signals base, reconciliation pinned in
+    tests/test_operators.py): a prompt appears here exactly when its
+    pair's pattern is 'WWW' — chosen is longer AND presented earlier AND
+    more structured than rejected.
+
+    Columns: the prompt key, the reward margin (cv − rv, the exact
+    double both engines compute from the stored values), and the three
+    integer anchors the consensus sums (len_delta / positions /
+    fmt_delta), so each flagged row carries its own evidence.
+
+    Scale (100 TB): the top-k is orderBy + limit — Spark plans
+    TakeOrderedAndProject (per-partition heap + single bounded merge),
+    never a global sort or an unpartitioned window; everything below it
+    is the consensus' one-exchange window stack.  Output ≤ 20 rows
+    regardless of corpus size.
+    """
+    sig = _confound_pair_signals(spark, sf_dir)
+    return (
+        sig.filter(
+            (F.col("lf") == "W") & (F.col("pf") == "W") & (F.col("ff") == "W")
+        )
+        .select(
+            "user_id",
+            "margin",
+            F.col("len_delta").cast("bigint").alias("len_delta"),
+            F.col("pos_c").cast("bigint").alias("pos_chosen"),
+            F.col("pos_r").cast("bigint").alias("pos_rejected"),
+            F.col("fmt_delta").cast("bigint").alias("fmt_delta"),
+        )
+        .orderBy(F.desc("margin"), F.asc("user_id"))
+        .limit(_DRILL_TOPK)
     )
 
 
@@ -1280,6 +1341,7 @@ QUERIES = {
     "eval_position_bias": eval_position_bias,
     "eval_format_bias": eval_format_bias,
     "eval_confound_consensus": eval_confound_consensus,
+    "eval_confound_drilldown": eval_confound_drilldown,
     "eval_krippendorff_alpha": eval_krippendorff_alpha,
     "eval_elo_bt": eval_elo_bt,
     "eval_bootstrap_ci": eval_bootstrap_ci,
@@ -1581,6 +1643,67 @@ ORACLE = {
                CAST(SUM(fmt_c - fmt_r) AS BIGINT) AS sum_fmt_delta
         FROM pairs
         GROUP BY 1, 2
+    """,
+    # the WWW cohort from the identical pair recipe, top-k by margin with
+    # the user_id tie-break — margin is the exact double cv − rv both
+    # engines compute from the same stored values, so ordering and the
+    # k-boundary agree bit-for-bit
+    "eval_confound_drilldown": f"""
+        WITH r AS (
+            SELECT user_id, event_id, value, length(props) AS len,
+                   CASE WHEN props IS NULL THEN NULL ELSE
+                       (CASE WHEN substring(props, 1, 1) IN ('{{', '[')
+                             THEN 1 ELSE 0 END)
+                       + (CASE WHEN strpos(props, '":') > 0
+                               THEN 1 ELSE 0 END)
+                       + (CASE WHEN regexp_matches(props, '[0-9][0-9]')
+                               THEN 1 ELSE 0 END)
+                   END AS fmt,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS r_top,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value ASC, event_id
+                   ) AS r_bot,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ) AS pos,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        chosen AS (
+            SELECT user_id, value AS cv, len AS len_c, fmt AS fmt_c,
+                   pos AS pos_c
+            FROM r WHERE r_top = 1 AND n >= 2
+        ),
+        rejected AS (
+            SELECT user_id, value AS rv, len AS len_r, fmt AS fmt_r,
+                   pos AS pos_r
+            FROM r WHERE r_bot = 1
+        ),
+        pairs AS (
+            SELECT user_id, cv - rv AS margin,
+                   len_c - len_r AS len_delta, pos_c, pos_r,
+                   fmt_c - fmt_r AS fmt_delta,
+                   CASE WHEN len_c IS NULL OR len_r IS NULL THEN 'N'
+                        WHEN len_c > len_r THEN 'W'
+                        WHEN len_c < len_r THEN 'L' ELSE 'T' END AS lf,
+                   CASE WHEN pos_c < pos_r THEN 'W' ELSE 'L' END AS pf,
+                   CASE WHEN fmt_c IS NULL OR fmt_r IS NULL THEN 'N'
+                        WHEN fmt_c > fmt_r THEN 'W'
+                        WHEN fmt_c < fmt_r THEN 'L' ELSE 'T' END AS ff
+            FROM chosen c JOIN rejected j USING (user_id)
+            WHERE c.cv - j.rv >= {_LB_MIN_MARGIN}
+        )
+        SELECT user_id, margin,
+               CAST(len_delta AS BIGINT) AS len_delta,
+               CAST(pos_c AS BIGINT) AS pos_chosen,
+               CAST(pos_r AS BIGINT) AS pos_rejected,
+               CAST(fmt_delta AS BIGINT) AS fmt_delta
+        FROM pairs
+        WHERE lf = 'W' AND pf = 'W' AND ff = 'W'
+        ORDER BY margin DESC, user_id
+        LIMIT {_DRILL_TOPK}
     """,
     # same md5 draws (presence/flip), same integer coincidence identities
     # (m² − Σn² off-diagonal mass, 2/(m−1) ∈ {1,2} weights), one half-up

@@ -4793,3 +4793,74 @@ def test_mm_frame_sample_empty_and_null_payloads(spark, tmp_path):
     # frame 4 covers bytes [1024, 1200) = 176 bytes
     got = sorted((r["frame_idx"], r["frame_bytes"]) for r in by_doc[3])
     assert got == [(0, 256), (4, 176)], got
+
+
+def test_eval_confound_drilldown_planted_www_prompts(spark, tmp_path):
+    """VERDICT r13 item 4's done-criterion: on the planted WWL/WWW corpus
+    a KNOWN prompt id flagged by all three audits must appear in the
+    drill-down list — and ONLY the WWW cohort appears (the 2-of-3 cohort
+    must not).  Margin-ties resolve by prompt id, so the full output
+    order is pinned, and the per-row anchors must carry the planted
+    directions (longer, earlier, more structured)."""
+    import datetime
+
+    from datafusion_test_spark.pipeline.evals import eval_confound_drilldown
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):  # WWL cohort: must NOT be flagged
+        rows.append((2 * u, t0, u, "view", 200.0,
+                     "plain verbose answer " + "x" * 40))
+        rows.append((2 * u + 1, t0, u, "view", 100.0, '{"a": 42}'))
+    for u in range(6, 10):  # WWW cohort: the curator's drop list
+        rows.append((2 * u, t0, u, "view", 200.0 + u,
+                     '{"answer": 42, "detail": "' + "y" * 40 + '"}'))
+        rows.append((2 * u + 1, t0, u, "view", 100.0, "no"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = eval_confound_drilldown(spark, str(tmp_path)).collect()
+    # margins 106+u descend with u, so the planted order is 9, 8, 7, 6
+    assert [r["user_id"] for r in out] == [9, 8, 7, 6], out
+    for r in out:
+        assert r["margin"] == 100.0 + r["user_id"]
+        assert r["len_delta"] > 0, r  # chosen longer
+        assert r["pos_chosen"] == 1 and r["pos_rejected"] == 2, r  # earlier
+        assert r["fmt_delta"] > 0, r  # chosen more structured
+
+
+def test_eval_confound_drilldown_topk_bound(spark, tmp_path):
+    """The drill-down's 100 TB contract is its BOUND: 25 planted WWW
+    prompts with distinct margins must yield exactly the top 20 by
+    margin — the 5 smallest-margin prompts fall off the list, and the
+    plan is a TakeOrderedAndProject (per-partition heap + bounded
+    merge), never a global Sort or an unpartitioned window."""
+    import datetime
+
+    from datafusion_test_spark.pipeline.evals import (
+        _DRILL_TOPK,
+        eval_confound_drilldown,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(25):
+        rows.append((2 * u, t0, u, "view", 200.0 + u,
+                     '{"answer": 42, "detail": "' + "y" * 40 + '"}'))
+        rows.append((2 * u + 1, t0, u, "view", 100.0, "no"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    df = eval_confound_drilldown(spark, str(tmp_path))
+    out = df.collect()
+    assert len(out) == _DRILL_TOPK == 20
+    # top 20 margins = users 24..5 descending; users 0..4 fall off
+    assert [r["user_id"] for r in out] == list(range(24, 4, -1)), out
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
