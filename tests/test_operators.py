@@ -4864,3 +4864,51 @@ def test_eval_confound_drilldown_topk_bound(spark, tmp_path):
     assert [r["user_id"] for r in out] == list(range(24, 4, -1)), out
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sim_pairwise_topk_hot_block_cap_is_deterministic(spark, tmp_path):
+    """Hot-block bound pin (VERDICT r13 item 5): sim_pairwise_topk's
+    label blocks degrade to a deterministic md5(vec_id)-ordered sample
+    of _SIM_BLOCK_CAP vectors when over-dense.  Plant a 600-vector
+    single-label block with TWO exact-duplicate pairs: one whose ids
+    hold the two LOWEST md5 ranks (inside any cap), one whose ids hold
+    the two HIGHEST (outside the 512 cap).  The inside pair must be the
+    top hit at cos 1.0; the outside pair must not appear anywhere in
+    the top-10 — the cap's sampling, not similarity, excluded it, and
+    the oracle states the identical rank so both engines agree."""
+    import hashlib
+    import random
+
+    from datafusion_test_spark.pipeline.similarity import (
+        _SIM_BLOCK_CAP,
+        sim_pairwise_topk,
+    )
+
+    assert _SIM_BLOCK_CAP == 512
+    ids = list(range(600))
+    ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    inside = sorted(ranked[:2])     # md5 ranks 1, 2
+    outside = sorted(ranked[-2:])   # md5 ranks 599, 600 — beyond the cap
+    rng = random.Random(7)
+    twin_x = [1.0] + [0.0] * 63
+    twin_y = [0.0, 1.0] + [0.0] * 62
+    rows = []
+    for i in ids:
+        if i in inside:
+            vec = twin_x
+        elif i in outside:
+            vec = twin_y
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, 0, vec))
+    spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    out = sim_pairwise_topk(spark, str(tmp_path)).collect()
+    assert (out[0]["vec_a"], out[0]["vec_b"]) == tuple(inside), out[0]
+    assert out[0]["cos_sim"] == 1.0
+    assert tuple(outside) not in {(r["vec_a"], r["vec_b"]) for r in out}
+    # and the capped base is what the join saw: no other 1.0 pair
+    assert all(r["cos_sim"] < 1.0 for r in out[1:]), out
