@@ -209,6 +209,14 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unicode-adjacent, >64/>253 overflow, and multi-match rows).
 _EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+1-555-[0-9]{4}"  # literal-prefixed: scan restarts are O(1)
+# text_pii_scrub giant-doc segmentation (code points): docs past the
+# threshold are chunked + repartitioned so one multi-MB doc spreads over
+# many tasks instead of pinning one; both stated identically in the
+# oracle.  The chunk size is 1000 because DuckDB's RE2 caps counted
+# repetition at {{1,1000}} — Java would take far larger chunks, but the
+# boundary-straddle contract requires IDENTICAL chunking in both engines
+_PII_GIANT = 131072  # routing threshold: docs above this get chunked
+_PII_CHUNK = 1000    # chunk size for the segmented regex pass
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,13 +261,60 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
-    return aug.select(
+    # Giant-doc segmentation (VERDICT r13 item 8): the regex pass is
+    # linear per doc, but one multi-MB doc = one task = the straggler the
+    # 10x sweep priced at 22 s.  Docs past _PII_GIANT code points are
+    # split with the r13 linear chunker (ONE '(?s).{{1,n}}' regex scan —
+    # never a per-index substring HOF), the chunks hash-repartitioned on
+    # (doc_id, idx) so one doc's chunks land on MANY tasks, scrubbed
+    # per chunk, and reassembled by a groupBy(doc_id) sum/bool_and —
+    # order-free aggregates, so no ordered concat is needed.  The
+    # boundary-straddle contract is STATED in both engines: a match
+    # crossing a chunk boundary is not a match (the oracle chunks with
+    # the identical regex, so both engines agree exactly); normal-sized
+    # docs (and NULL texts) keep the untouched single-pass path, so the
+    # shuffle moves only the rare giant docs' bytes.
+    norm = aug.filter(
+        F.col("text").isNull() | (F.length("text") <= _PII_GIANT)
+    ).select(
         "doc_id",
         F.regexp_count("text", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
         F.regexp_count("text", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
         F.length(scrubbed).alias("scrubbed_len"),
         (~scrubbed.rlike(_EMAIL_RE) & ~scrubbed.rlike(_PHONE_RE)).alias("clean"),
     )
+    chunk_sc = F.regexp_replace(
+        F.regexp_replace("chunk", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    giant = (
+        aug.filter(F.length("text") > _PII_GIANT)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"regexp_extract_all(text, '(?s).{{1,{_PII_CHUNK}}}', 0)"
+                )
+            ).alias("idx", "chunk"),
+        )
+        .repartition("doc_id", "idx")
+        .select(
+            "doc_id",
+            F.regexp_count("chunk", F.lit(_EMAIL_RE)).alias("ne"),
+            F.regexp_count("chunk", F.lit(_PHONE_RE)).alias("np"),
+            F.length(chunk_sc).alias("sl"),
+            (~chunk_sc.rlike(_EMAIL_RE) & ~chunk_sc.rlike(_PHONE_RE)).alias(
+                "cl"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ne").cast("int").alias("n_emails"),
+            F.sum("np").cast("int").alias("n_phones"),
+            F.sum("sl").cast("int").alias("scrubbed_len"),
+            F.bool_and("cl").alias("clean"),
+        )
+    )
+    return norm.unionByName(giant)
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,6 +1438,20 @@ ORACLE = {
                        '{_PII_EMAIL}', '<EMAIL>', 'g'),
                        '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
             FROM aug
+            WHERE text IS NULL OR length(text) <= {_PII_GIANT}
+        ),
+        gch AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text,
+                       '(?s).{{1,{_PII_CHUNK}}}')) AS chunk
+            FROM aug WHERE length(text) > {_PII_GIANT}
+        ),
+        gs AS (
+            SELECT doc_id, chunk,
+                   regexp_replace(regexp_replace(chunk,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+            FROM gch
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
@@ -1391,6 +1460,17 @@ ORACLE = {
                (NOT regexp_matches(scrubbed, '{_PII_EMAIL}')
                 AND NOT regexp_matches(scrubbed, '{_PII_PHONE}')) AS clean
         FROM s
+        UNION ALL
+        SELECT doc_id,
+               CAST(SUM(len(regexp_extract_all(chunk, '{_PII_EMAIL}'))) AS INT)
+                   AS n_emails,
+               CAST(SUM(len(regexp_extract_all(chunk, '{_PII_PHONE}'))) AS INT)
+                   AS n_phones,
+               CAST(SUM(length(scrubbed)) AS INT) AS scrubbed_len,
+               bool_and(NOT regexp_matches(scrubbed, '{_PII_EMAIL}')
+                        AND NOT regexp_matches(scrubbed, '{_PII_PHONE}'))
+                   AS clean
+        FROM gs GROUP BY doc_id
     """,
     "text_profile": """
         SELECT COUNT(*) AS n_docs,

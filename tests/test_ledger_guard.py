@@ -95,6 +95,38 @@ def test_round_bench_records_attest_a_same_session_pair():
     )
 
 
+def test_round_ledgers_attest_a_scale10_sweep():
+    """VERDICT r13 item 6: the 10x scale sweep is the only gate that has
+    caught the O(len²) class (r9, r13 — three sites each time, every one
+    invisible to hash checks and priced as 'fine' by every smaller
+    corpus).  From round 14 on, any closing ROUND*.md (one that reports
+    a headline bench number) must also attest a scale10 sweep run on
+    final product code: the token "scale10" plus a pointer to the sweep
+    record (tools/scale10_sweep*.jsonl) plus the no-undeclared-regression
+    attestation word "undeclared" (as in "no undeclared entry >10x",
+    covering both regression and absence of new entries from the
+    sweep)."""
+    offenders = []
+    for md in sorted(ROOT.glob("ROUND*.md")):
+        n = int("".join(c for c in md.stem if c.isdigit()) or 0)
+        if n < 14:
+            continue  # the standing gate starts at r14
+        text = md.read_text()
+        if "headline" not in text.lower():
+            continue  # not a closing ledger yet
+        if (
+            "scale10" not in text
+            or "tools/scale10_sweep" not in text
+            or "undeclared" not in text.lower()
+        ):
+            offenders.append(md.name)
+    assert not offenders, (
+        "closing round ledger without a scale10 sweep attestation — run "
+        "`python tools/scale10_sweep.py` on final product code and attest "
+        f"'no undeclared entry >10x' citing the jsonl record: {offenders}"
+    )
+
+
 def test_no_per_index_substring_inside_transform_sequence():
     """Scale ratchet for r9-disease entry point SIX, found by the r13
     10x sweep (tools/scale10_sweep.py): chunking text via

@@ -4912,3 +4912,61 @@ def test_sim_pairwise_topk_hot_block_cap_is_deterministic(spark, tmp_path):
     assert tuple(outside) not in {(r["vec_a"], r["vec_b"]) for r in out}
     # and the capped base is what the join saw: no other 1.0 pair
     assert all(r["cos_sim"] < 1.0 for r in out[1:]), out
+
+
+def test_text_pii_scrub_giant_doc_segmentation(spark, tmp_path):
+    """Giant-doc segmentation pin (VERDICT r13 item 8): a doc past
+    _PII_GIANT code points is scrubbed through 1000-char chunks spread
+    over many tasks, with the boundary-straddle contract stated: a match
+    crossing a chunk boundary is NOT a match (in both engines — the
+    oracle chunks identically).  Plants one giant doc carrying an email
+    fully inside a chunk AND an email straddling a 1000-char boundary:
+    the unchunked text holds 2 matches, the chunked pass must count
+    exactly the python bruteforce twin's per-chunk total (1), and the
+    planted +10M row (suffix appended by the query itself) must still
+    count its appended PII — the suffix lands inside the final chunks."""
+    import re
+
+    from datafusion_test_spark.pipeline.text import (
+        _EMAIL_RE,
+        _PII_CHUNK,
+        _PII_GIANT,
+        text_pii_scrub,
+    )
+
+    text = "x" * 3000 + " a1@example.com "       # contained in chunk 3
+    text += "x" * (6994 - len(text)) + " b2@example.com "  # straddles 7000
+    text += "x" * (140000 - len(text))
+    assert len(text) == 140000 > _PII_GIANT
+    # python bruteforce twin of the chunked pass
+    chunks = [text[i:i + _PII_CHUNK] for i in range(0, len(text), _PII_CHUNK)]
+    n_full = len(re.findall(_EMAIL_RE, text))
+    n_chunked = sum(len(re.findall(_EMAIL_RE, c)) for c in chunks)
+    assert n_full == 2 and n_chunked == 1, (n_full, n_chunked)
+    exp_len = sum(len(re.sub(_EMAIL_RE, "<EMAIL>", c)) for c in chunks)
+
+    spark.createDataFrame(
+        [(5, text, "en", "s", len(text))],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {r["doc_id"]: r for r in text_pii_scrub(spark, str(tmp_path)).collect()}
+    assert set(out) == {5, 10000005}
+    base = out[5]
+    assert base["n_emails"] == n_chunked == 1
+    assert base["n_phones"] == 0
+    assert base["scrubbed_len"] == exp_len
+    assert base["clean"] is True  # straddle residue is not a full match
+    # the planted row: same giant text + the appended suffix, re-derived
+    # through the same chunked twin
+    ptext = text + " contact user5@example.com or +1-555-0100"
+    pchunks = [
+        ptext[i:i + _PII_CHUNK] for i in range(0, len(ptext), _PII_CHUNK)
+    ]
+    planted = out[10000005]
+    assert planted["n_emails"] == sum(
+        len(re.findall(_EMAIL_RE, c)) for c in pchunks
+    ) == 2
+    assert planted["n_phones"] == 1
