@@ -94,6 +94,36 @@ def rh_signature(vec: Column, bits: int = 8, dim: int = 64) -> Column:
     return out
 
 
+def spark_dot_sql(a: str, b: str) -> str:
+    """Spark-SQL-text form of :func:`dot` — parses to the IDENTICAL
+    expression tree (same zip_with/aggregate nodes, same casts, same fold
+    order).  Exists because building deep HOF Columns through py4j costs
+    ~1 ms per API call; a plan that embeds this fold k×dim times (the IVF
+    argmax) spends more driver time CONSTRUCTING the expression than
+    executing it (r14 measurement: 1.47 s build vs 1.35 s exec for the
+    2-round Lloyd plan).  One F.expr parse is one py4j call."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def spark_norm2_sql(a: str) -> str:
+    """Spark-SQL-text form of :func:`norm2` (see spark_dot_sql)."""
+    return (
+        f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def spark_cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL-text form of :func:`cosine` (see spark_dot_sql)."""
+    return (
+        f"({spark_dot_sql(a, b)} / "
+        f"(SQRT({spark_norm2_sql(a)}) * SQRT({spark_norm2_sql(b)})))"
+    )
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` (index-based zip, double fold)."""
     return (

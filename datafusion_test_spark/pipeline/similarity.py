@@ -289,22 +289,35 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cid): each vector's nearest centroid by cosine (spherical
-    k-means assignment).  Centroids are k rows — always broadcast; the
-    crossJoin fans each vector out k ways WITHIN its partition and the
-    argmax collapses back map-side (partial max before the one O(N)
-    shuffle), so assignment never moves more than N rows."""
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+def _ivf_assign(vecs: DataFrame, cent: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id[, *carry], cid): each vector's nearest centroid by cosine
+    (spherical k-means assignment), computed MAP-ONLY (r14 optimization,
+    guide §2.4): the k-row centroid relation is packed into ONE
+    array<struct> row (collect_list — never a driver collect) and
+    broadcast; the per-vector argmax is an ``array_max`` over the
+    transformed array, so assignment shuffles NOTHING (the pre-r14 shape
+    fanned N×k rows through a groupBy(vec_id) exchange every Lloyd round).
+
+    ``array_max(transform(...))`` keeps the exact struct-ordering
+    semantics of the old ``max(struct(cos, ncid))`` aggregate (NaN ranks
+    above any double, NULL fields rank lowest), so ties still break to
+    the smallest cid — matching the probe ordering in sim_ivf so the
+    assigned cell is always probed.  ``carry`` forwards extra columns
+    (e.g. the embedding) so consumers need no join back onto ``vecs``."""
+    from ._expr import spark_cosine_sql
+
+    packed = F.broadcast(
+        cent.agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
     )
-    # argmax via struct max; ties break to the smallest cid (matches the
-    # probe ordering in sim_ivf so the assigned cell is always probed)
-    return scored.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("ncid"))).alias("best")
-    ).select("vec_id", (-F.col("best.ncid")).alias("cid"))
+    # one F.expr parse instead of ~k·d py4j Column calls (see spark_dot_sql)
+    best_cid = F.expr(
+        "-array_max(transform(cents, c -> named_struct("
+        f"'cos', {spark_cosine_sql('embedding', 'c.cvec')}, "
+        "'ncid', -c.cid))).ncid"
+    )
+    return vecs.crossJoin(packed).select(
+        "vec_id", *carry, best_cid.alias("cid")
+    )
 
 
 def ivf_centroids(
@@ -312,20 +325,22 @@ def ivf_centroids(
 ) -> DataFrame:
     """IVF coarse quantizer: k spherical-k-means centroids over (vec_id,
     embedding), trained with `iters` Lloyd rounds expressed as DataFrame
-    ops — assignment (crossJoin argmax, O(N·k) compute / O(N) shuffle) and
-    the mean update (posexplode → per-(cid,dim) avg → array reassembly,
-    O(N·d) rows through one shuffle).  Seeds are the k hash-lowest vec_ids:
-    deterministic and scan-cheap (TakeOrderedAndProject), no stored model.
-    Each round's centroids are eagerly localCheckpointed so round r+1's
-    lineage starts from materialized data, not a 2^r-deep recompute — and
-    NOT persisted: a persisted plan's shuffles bypass AQE partition
-    coalescing on a vanilla session (canChangeCachedPlanOutputPartitioning
-    defaults false), which ran the k-row aggregates as 200-task stages in
-    the driver's environment (r3: 4.4 s driver vs 1.2 s tuned-session for
-    sim_ivf).  At 100 TB: train on a sample
-    (centroids need statistical, not total, coverage), then one final
-    assignment pass writes the cell id as a partition/bucket column — every
-    later query is a cell-pruned scan.
+    ops — MAP-ONLY assignment (broadcast packed centroids + HOF argmax,
+    O(N·k) compute / ZERO shuffle — see _ivf_assign) and the mean update
+    as one map-side-combined groupBy(cid) with _DIM element-wise avg
+    aggregates (k partial rows per task through one Exchange).  Seeds are
+    the k hash-lowest vec_ids: deterministic and scan-cheap
+    (TakeOrderedAndProject), no stored model.  The whole training is ONE
+    lazy plan (rounds nest through broadcast subqueries, linear depth)
+    with a single eager localCheckpoint at the end — cent has multiple
+    consumers in every caller — and NOT persisted: a persisted plan's
+    shuffles bypass AQE partition coalescing on a vanilla session
+    (canChangeCachedPlanOutputPartitioning defaults false), which ran the
+    k-row aggregates as 200-task stages in the driver's environment (r3:
+    4.4 s driver vs 1.2 s tuned-session for sim_ivf).  At 100 TB: train
+    on a sample (centroids need statistical, not total, coverage), then
+    one final assignment pass writes the cell id as a partition/bucket
+    column — every later query is a cell-pruned scan.
     """
     cent = (
         vecs.orderBy(F.xxhash64("vec_id"))
@@ -337,25 +352,28 @@ def ivf_centroids(
             F.col("embedding").alias("cvec"),
         )
     )
-    prev = None
     for _ in range(iters):
-        assign = _ivf_assign(vecs, cent)
-        cent = (
-            vecs.join(assign, "vec_id")
-            .select("cid", F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
+        # map-only assignment carrying the embedding (no join back onto
+        # vecs), then the mean update as ONE map-side-combined groupBy(cid)
+        # with _DIM element-wise avg aggregates — the pre-r14 shape paid
+        # per round: an N-row assignment shuffle, an N-row join, a
+        # posexplode to N×d rows, TWO more exchanges ((cid,pos) then cid)
+        # and an eager localCheckpoint job.  The whole training is now one
+        # lazy plan: per round one Exchange of k partial-agg rows, one
+        # final checkpoint (cent has multiple consumers in every caller).
+        assign = _ivf_assign(vecs, cent, carry=("embedding",))
+        mean_arr = "array({})".format(
+            ", ".join(
+                f"avg(CAST(element_at(embedding, {d + 1}) AS DOUBLE))"
+                for d in range(_DIM)
             )
-            .coalesce(1)  # k rows
-            .localCheckpoint(eager=True)
         )
-    return cent
+        cent = (
+            assign.groupBy("cid")
+            .agg(F.expr(mean_arr).alias("cvec"))
+            .coalesce(1)  # k rows
+        )
+    return cent.localCheckpoint(eager=True)
 
 
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,8 +394,19 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ContextCleaner when the DataFrames go out of scope — which also
     # retires the old cross-invocation _IVF_CACHES bookkeeping (ADVICE r3)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
+    # single-split testdata would run the CPU-heavy HOF argmax (training +
+    # assignment, O(N·k·d) interpreted lambda evals) on ONE core — spread
+    # once and materialize; every consumer (2 Lloyd rounds, the final
+    # assignment, q, the counts) reads the same blocks (io.parallel
+    # policy: skip when the scan is already parallel)
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    e = e.localCheckpoint(eager=True)
     cent = ivf_centroids(spark, e)
-    assign = _ivf_assign(e, cent).localCheckpoint(eager=True)
+    # carry the embedding through the map-only assignment so the candidate
+    # set needs no join back onto e (r14: one less exchange per consumer)
+    assign = _ivf_assign(e, cent, carry=("embedding",)).localCheckpoint(eager=True)
     q = F.broadcast(
         e.join(
             F.broadcast(e.agg(F.min("vec_id").alias("qid"))),
@@ -392,11 +421,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     # two consumers (top-1 ranking and the pruning count) — materialize once
-    cand = (
-        assign.join(F.broadcast(probes), "cid")
-        .join(e, "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    cand = assign.join(F.broadcast(probes), "cid").localCheckpoint(eager=True)
     top1 = (
         cand.crossJoin(q)
         .withColumn("cos", cosine(F.col("embedding"), F.col("qvec")))
@@ -512,20 +537,33 @@ def _pq_l2(a, b):
     )
 
 
-def _pq_assign(subvecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid): nearest codebook entry per subspace.  The
-    codebook is m*k rows — always broadcast; the per-sub join fans each
-    subvector out k ways and the argmin collapses map-side (same shape as
-    _ivf_assign).  Ties break to the smallest cid, so identical subvectors
-    ALWAYS encode to identical codes — the determinism the planted-twin
-    invariant rides on."""
-    scored = subvecs.join(F.broadcast(cent), "sub").select(
-        "vec_id", "sub", "cid", _pq_l2(F.col("sv"), F.col("cvec")).alias("d2")
+def _pq_assign(subvecs: DataFrame, cent: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id, sub[, *carry], cid): nearest codebook entry per subspace,
+    computed MAP-ONLY (same r14 rewrite as _ivf_assign): the m*k-row
+    codebook is packed into ONE array<struct> row and broadcast; each
+    subvector row filters its own subspace's k entries out of the array
+    and takes ``array_min`` over the transformed (d2, cid) structs — no
+    k-way fan-out, no groupBy(vec_id, sub) exchange.  ``array_min`` keeps
+    the exact ordering semantics of the old ``min(struct(d2, cid))``
+    aggregate, so ties still break to the smallest cid and identical
+    subvectors ALWAYS encode to identical codes — the determinism the
+    planted-twin invariant rides on."""
+    packed = F.broadcast(
+        cent.agg(F.collect_list(F.struct("sub", "cid", "cvec")).alias("cents"))
     )
-    return (
-        scored.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("best"))
-        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
+    # one F.expr parse instead of ~k·d py4j Column calls (see spark_dot_sql);
+    # the l2 fold is the SQL text of _pq_l2 (same zip_with/aggregate/power)
+    l2 = (
+        "aggregate(zip_with(sv, c.cvec, (x, y) -> "
+        "POWER(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
+        "0.0D, (acc, d) -> acc + d)"
+    )
+    best_cid = F.expr(
+        "array_min(transform(filter(cents, c -> c.sub = sub), "
+        f"c -> named_struct('d2', {l2}, 'cid', c.cid))).cid"
+    )
+    return subvecs.crossJoin(packed).select(
+        "vec_id", "sub", *carry, best_cid.alias("cid")
     )
 
 
@@ -568,7 +606,14 @@ def _twin_e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # usable vectors only: a NaN/Inf-poisoned embedding (NULL post
         # io.table guard) is never indexed or twinned (ieee corpus, r7)
         base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
-        e = _with_planted_twin(base).localCheckpoint(eager=True)
+        e = _with_planted_twin(base)
+        # spread the single-split scan before checkpointing: every PQ/IVF
+        # training pass over the twin corpus is HOF-compute-heavy and
+        # would otherwise run on the union's 1+1 partitions (r14)
+        par = spark.sparkContext.defaultParallelism
+        if e.rdd.getNumPartitions() < par:
+            e = e.repartition(par)
+        e = e.localCheckpoint(eager=True)
         _ANN_CACHE[key] = e
     return e
 
@@ -585,7 +630,12 @@ def _twin_ivf(spark: SparkSession, sf_dir: str):
     if v is None:
         e = _twin_e(spark, sf_dir)
         cent = ivf_centroids(spark, e)
-        assign = _ivf_assign(e, cent).localCheckpoint(eager=True)
+        # carry the embedding: consumers that need it (embed_pq_residual's
+        # residual build) skip the join back onto e; cid-only consumers
+        # prune the column (r14)
+        assign = _ivf_assign(e, cent, carry=("embedding",)).localCheckpoint(
+            eager=True
+        )
         v = (cent, assign)
         _ANN_CACHE[key] = v
     return v
@@ -610,12 +660,15 @@ def _pq_train(spark: SparkSession, e: DataFrame):
     (subspace is just a grouping column).  Shared by embed_pq (codec
     invariants) and sim_ivfpq (IVF-PQ search).
 
-    Eager localCheckpoint, not persist: (a) the Lloyd loop re-reads the
-    subvector relation every round so lineage must truncate
-    (dedup_clusters lesson), (b) a persisted plan's shuffles bypass AQE
-    partition coalescing on a vanilla session
-    (canChangeCachedPlanOutputPartitioning=false default), which turned
-    the tiny per-round aggregates into 200-task stages.
+    Eager localCheckpoint, not persist: (a) the subvector relation is
+    read by every Lloyd round, the codes assignment and the callers'
+    LUTs, so its lineage must truncate once (dedup_clusters lesson),
+    (b) a persisted plan's shuffles bypass AQE partition coalescing on a
+    vanilla session (canChangeCachedPlanOutputPartitioning=false
+    default), which turned the tiny per-round aggregates into 200-task
+    stages.  The rounds themselves are one lazy plan (r14: map-only
+    assignment + single-exchange mean update, see _pq_assign) with a
+    single checkpoint of the final codebook.
     """
     par = max(2, min(spark.sparkContext.defaultParallelism, 8))
     subvecs = _pq_subvecs(e).repartition(par).localCheckpoint(eager=True)
@@ -633,22 +686,26 @@ def _pq_train(spark: SparkSession, e: DataFrame):
         "sub", "cid", F.col("sv").alias("cvec")
     )
     for _ in range(2):
-        assign = _pq_assign(subvecs, cent)
-        cent = (
-            subvecs.join(assign, ["vec_id", "sub"])
-            .select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("sub", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
+        # map-only assignment carrying the subvector (no join back onto
+        # subvecs), then the mean update as ONE map-side-combined
+        # groupBy(sub, cid) with _PQ_SUB element-wise avg aggregates —
+        # the pre-r14 shape paid per round: an assignment shuffle, a
+        # (vec_id, sub) join, a posexplode and two more exchanges plus an
+        # eager checkpoint job.  One lazy plan, one final checkpoint
+        # (cent is read by the codes assignment and by every caller's LUT).
+        assign = _pq_assign(subvecs, cent, carry=("sv",))
+        mean_arr = "array({})".format(
+            ", ".join(
+                f"avg(CAST(element_at(sv, {d + 1}) AS DOUBLE))"
+                for d in range(_PQ_SUB)
             )
-            .coalesce(1)  # m*k = 64 rows
-            .localCheckpoint(eager=True)
         )
+        cent = (
+            assign.groupBy("sub", "cid")
+            .agg(F.expr(mean_arr).alias("cvec"))
+            .coalesce(1)  # m*k = 64 rows
+        )
+    cent = cent.localCheckpoint(eager=True)
     codes = _pq_assign(subvecs, cent).localCheckpoint(eager=True)
     return subvecs, cent, codes
 
@@ -749,9 +806,10 @@ def embed_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(F.col("embedding").isNotNull())
     e = _twin_e(spark, sf_dir)
     cent, assign = _twin_ivf(spark, sf_dir)
+    # the memoized assignment already carries the embedding (r14): the
+    # residual build is one broadcast join on cid, no shuffle join onto e
     res = (
-        e.join(assign, "vec_id")
-        .join(F.broadcast(cent), "cid")
+        assign.join(F.broadcast(cent), "cid")
         .select(
             "vec_id",
             "cid",

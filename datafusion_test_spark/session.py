@@ -22,6 +22,7 @@ O(200k-800k) partitions via AQE's coalescing from a high initial number).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -71,14 +72,28 @@ def _quiet_bounded_window_warnings(spark: SparkSession) -> None:
         pass  # log4j2 API unavailable (e.g. Spark Connect); warning is cosmetic
 
 
+# Sessions already tuned this process (io.table calls tune() on EVERY read;
+# re-applying 13 confs + a log4j call is ~5 ms of py4j chatter per call —
+# measurable across a 200-query bench).  WeakSet so a closed session's entry
+# does not pin the object; a brand-new session (new object) is re-tuned.
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    """Apply runtime confs to an existing session (driver-provided or ours).
+
+    Idempotent and memoized per session object: the confs are dynamic but
+    constant, so one application per session is enough (r14 optimization:
+    guide §1 — per-query driver overhead multiplies across the bench)."""
+    if spark in _TUNED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build; defaults are acceptable
     _quiet_bounded_window_warnings(spark)
+    _TUNED.add(spark)
     return spark
 
 
