@@ -536,8 +536,8 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision.  The resampling is the POISSON bootstrap (each row enters
     resample b with weight ~ Poisson(1)) rather than index resampling:
     per-row weights are a pure map-side function of (event_id, b), so
-    the plan is scan → B-fold weight expansion (broadcast 200-row spine,
-    no shuffle) → one groupBy(b) with map-side combine — at 100 TB there
+    the plan is scan → B-fold weight expansion (a sequence(1,B) explode,
+    no join, no shuffle) → one groupBy(b) with map-side combine — at 100 TB there
     is no global row-index to sample from, which is exactly why
     production bootstraps at scale are Poisson.
 
@@ -560,9 +560,22 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_id", F.col("value").alias("v"))
     )
-    spine = spark.range(1, _BOOT_B + 1).select(
-        F.col("id").cast("int").alias("b")
-    )
+    # the B-fold weight expansion evaluates an md5 per (row, b) — O(N·B)
+    # digest work that a single-split local scan would run on ONE core
+    # (r14 plan audit; guide §2.5 input skew).  Spread the 16-byte base
+    # rows once when the scan is under-parallel (io.parallel policy: a
+    # real lake's scan already has thousands of splits — no-op there).
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    # B-fold expansion as a sequence-explode (same rows as the old
+    # broadcast-spine crossJoin, minus the BroadcastNestedLoopJoin
+    # machinery), with the md5 draw MATERIALIZED in its own projection:
+    # inside the CASE WHEN chain Spark's subexpression elimination does
+    # not fire (branches are conditionally evaluated), so the pre-r14
+    # shape recomputed the digest up to 8× per (row, b).  `h` is
+    # referenced 8 times, which is exactly what stops CollapseProject
+    # from re-inlining it (the _exploded_shingles discipline).
     h = F.substring(
         F.md5(
             F.concat(
@@ -574,12 +587,19 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         8,
     )
-    w = F.when(h < _BOOT_CDF_HEX[0], 0)
+    hc = F.col("h")
+    w = F.when(hc < _BOOT_CDF_HEX[0], 0)
     for _i in range(1, 8):
-        w = w.when(h < _BOOT_CDF_HEX[_i], _i)
+        w = w.when(hc < _BOOT_CDF_HEX[_i], _i)
     w = w.otherwise(8)
-    bs = base.crossJoin(F.broadcast(spine)).select(
-        "b", "v", w.alias("w")
+    bs = (
+        base.select(
+            "v",
+            F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("b"),
+            "event_id",
+        )
+        .select("b", "v", h.alias("h"))
+        .select("b", "v", w.alias("w"))
     )
     means = (
         bs.groupBy("b")
@@ -595,10 +615,21 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # bounded global window: exactly B <= 200 rows by construction
+    # bounded global windows: exactly B <= 200 rows by construction.  bb
+    # (the valid-resample count) comes from the SAME single-partition
+    # window pass as rn — the pre-r14 shape computed it as a separate
+    # aggregate over `means`, which re-executed the whole O(N·B)
+    # weight-expansion subtree a second time (no reuse across the two
+    # consumers; r14 plan audit showed the scan + BNLJ + groupBy twice).
+    w_all = Window.orderBy("mean_b", "b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     rn = F.row_number().over(Window.orderBy("mean_b", "b"))
-    r = means.select("mean_b", rn.alias("rn"))
-    tot = r.agg(F.count(F.lit(1)).cast("long").alias("bb"))
+    r = means.select(
+        "mean_b",
+        rn.alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("bb"),
+    )
     full = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         half_up(
@@ -608,8 +639,7 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_rank = F.expr("(bb * 25 + 999) div 1000")
     hi_rank = F.expr("(bb * 975 + 999) div 1000")
     return (
-        r.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(full))
+        r.crossJoin(F.broadcast(full))
         .groupBy("n", "bb", "mean_value")
         .agg(
             F.min(F.when(F.col("rn") == lo_rank, F.col("mean_b"))).alias(
