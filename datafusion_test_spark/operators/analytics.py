@@ -412,31 +412,52 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # both loop carriers are checkpointed PRE-PARTITIONED on their join
+    # keys (count = shuffle.partitions so ENSURE_REQUIREMENTS recognizes
+    # the layout): localCheckpoint preserves outputPartitioning, so the
+    # per-round join onto edges and the left join onto nodes add NO
+    # exchange on the carrier side — the pre-r14 shape re-shuffled the
+    # full edge list every round (r14, guide §2.4; this is the
+    # "pre-partition edges by src" production layout, realized locally)
+    shp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         li.unionByName(
             li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        .repartition(shp, "src")
+        .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
     nodes = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(shp, "node")
+        .sortWithinPartitions("node")
         .localCheckpoint(eager=True)
     )
+    # pr carries deg through the rounds: the contribution is then a pure
+    # projection of pr — the pre-r14 shape paid a pr⋈nodes join (two
+    # exchanges) per round just to re-fetch deg (r14, guide §2.4)
     pr = nodes.select(
-        "node", F.lit(_PR_SCALE).cast("long").alias("pr")
+        "node", "deg", F.lit(_PR_SCALE).cast("long").alias("pr")
     )
     for _ in range(_PR_ITERS):
-        contrib = pr.join(nodes, "node").select(
+        contrib = pr.select(
             F.col("node").alias("cnode"), F.expr("pr DIV deg").alias("c")
         )
+        # merge hint: the checkpointed carriers' stats are opaque to the
+        # planner, which otherwise BROADCASTS the 2|E|-row edge list every
+        # round (observed in the r14 plan audit); with the hint both
+        # sides' preserved hash layouts line up — no exchange, and the
+        # pre-sorted edges skip their SMJ sort
         inc = (
-            edges.join(contrib, edges["src"] == contrib["cnode"])
+            edges.hint("merge").join(contrib, edges["src"] == contrib["cnode"])
             .groupBy(edges["dst"].alias("node"))
             .agg(F.sum("c").alias("m"))
         )
-        pr = nodes.join(inc, "node", "left").select(
+        pr = nodes.hint("merge").join(inc, "node", "left").select(
             "node",
+            "deg",
             (
                 F.lit(_PR_BASE)
                 + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")

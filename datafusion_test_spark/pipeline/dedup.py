@@ -570,27 +570,38 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
         ["label"],
     ).withColumn("nrm", F.sqrt(norm2(F.col("embedding"))))
-    a, b = e.alias("a"), e.alias("b")
+    # Spread the PROBE side when the scan is under-parallel (r14, guide
+    # §2.5): the pair loop — |block|² interpreted-HOF cosines — runs on
+    # the stream side of the join, and a single-split local file put ALL
+    # of it on one task (plan audit: 4.5 s single-core).  On a real lake
+    # the scan has thousands of splits and this is a no-op check.
+    a_src = e
+    par = spark.sparkContext.defaultParallelism
+    if a_src.rdd.getNumPartitions() < par:
+        a_src = a_src.repartition(par)
+    a, b = a_src.alias("a"), e.alias("b")
+    cos = cosine_prenormed(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
+    )
+    # the threshold lives in the JOIN condition, AFTER the cheap id test:
+    # a post-join .filter() gets ANDed in FRONT of the residual condition,
+    # making every candidate pair pay the O(d) cosine fold before the
+    # (vec_id <) test halves the pair set (r14 plan audit) — conjunct
+    # order short-circuits, so cheap-first is ~2x less fold work
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (cos >= 0.95),
         )
-        .withColumn(
-            "cos",
-            cosine_prenormed(
-                F.col("a.embedding"),
-                F.col("b.embedding"),
-                F.col("a.nrm"),
-                F.col("b.nrm"),
-            ),
-        )
-        .filter(F.col("cos") >= 0.95)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round("cos", 4).alias("cos_sim"),
+            F.round(cos, 4).alias("cos_sim"),
         )
     )
 
@@ -838,12 +849,15 @@ def _star_contract(edges: DataFrame, par: int) -> DataFrame:
             .select("u", F.least("mn", "u").alias("m"))
         )
         # persisted: consumed twice below (mins2 aggregate + the re-attach
-        # join), and its lineage contains the whole large-star stage
+        # join), and its lineage contains the whole large-star stage.
+        # NOT distinct'd (r14): duplicates — two neighbors re-attaching v
+        # to the same m — cannot change mins2's min or the re-attach SET
+        # (E_new is distinct'd), so the per-round dedup exchange bought
+        # nothing; |ls| stays <= |sym_e| either way.
         ls = (
             sym_e.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
             .coalesce(par)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
