@@ -30,11 +30,33 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Reader-schema memo, keyed by (applicationId, path).  spark.read.parquet
+# re-infers the schema from footers on EVERY call — measured 97 ms/call
+# warm vs 24 ms with an explicit schema (r14, guide §1: per-query driver
+# overhead multiplies across a 200-query bench making ~600 table() calls).
+# Same immutability contract as similarity._ANN_CACHE: parquet files under
+# a path are immutable for the application's lifetime; a caller that
+# rewrites a corpus in place must call clear_schema_cache().  This caches
+# METADATA only (a StructType), never rows or results.
+_SCHEMA_CACHE: dict = {}
+
+
+def clear_schema_cache() -> None:
+    """Drop all memoized reader schemas (see contract above)."""
+    _SCHEMA_CACHE.clear()
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (schema-on-read from parquet footers)."""
     tune(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long (see session.RUNTIME_CONFS) -> microsecond timestamp.
         # Integer DIV, not `/`: ns epochs overflow double's 53-bit mantissa.

@@ -1730,6 +1730,12 @@ def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        # materialized once (r14): the distinct basket relation feeds FIVE
+        # consumers (the basket count, both pair-join sides, and the two
+        # support lookups) — un-materialized, the plan re-ran the scan +
+        # distinct exchange per consumer (plan audit: 4 identical
+        # hashpartitioning(o,p) exchanges)
+        .localCheckpoint(eager=True)
     )
     n_baskets = li.select("o").distinct().count()
     supp = li.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))

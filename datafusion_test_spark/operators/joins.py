@@ -516,7 +516,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (o, "orders_b", "o_orderkey"),
         (li, "lineitem_b", "l_orderkey"),
     ):
-        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).option(
+        # repartition on the bucket key before the bucketed write (r14):
+        # the single-split local scan otherwise writes all 8 buckets from
+        # ONE serial task; hash-distributing first gives 8 parallel
+        # writer tasks, one file per bucket — the same hash distribution
+        # mode a production bucketed write uses to avoid small files
+        df.repartition(8, F.col(key)).write.mode("overwrite").bucketBy(
+            8, key
+        ).sortBy(key).option(
             "path", os.path.join(wh, name)
         ).saveAsTable(f"dfts_bucketdb.{name}")
     joined = (

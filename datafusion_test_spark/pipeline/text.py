@@ -1013,6 +1013,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
         merges.append((rnd, l, r, l + r, int(c)))
+        # Measured negative result (r14): folding the gaps-and-islands
+        # into running-sum windows over the FULL relation (island =
+        # pos − running cand-count, parity by a (word, island) running
+        # sum) removes the join-back but drags every row through two
+        # extra exchanges per round — 4.9 s → 9.0 s at sf0.1.  The
+        # filter + row_number + left-join shape keeps the full relation
+        # partitioned by (word) throughout; only the small candidate
+        # side re-exchanges.  Keep it.
         cand = seq.select(
             "word", "wcount", "pos", "sym",
             (
