@@ -40,17 +40,43 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # METADATA only (a StructType), never rows or results.
 _SCHEMA_CACHE: dict = {}
 
+# Finished-plan memo (same key and immutability contract): the DataFrame
+# object returned by table() — a logical plan, never rows.
+_DF_CACHE: dict = {}
+
 
 def clear_schema_cache() -> None:
-    """Drop all memoized reader schemas (see contract above)."""
+    """Drop all memoized reader schemas and table plans (contract above)."""
     _SCHEMA_CACHE.clear()
+    _DF_CACHE.clear()
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (schema-on-read from parquet footers)."""
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
+    """Read one testdata table (schema-on-read from parquet footers).
+
+    The finished DataFrame (a logical PLAN — no rows, no results) is also
+    memoized per (applicationId, path): building it costs ~34 ms of py4j
+    even with the schema cached, ~600 times per bench run.  DataFrames
+    are immutable, so handing every caller the same object is safe;
+    queries that self-join one table already derive both sides from a
+    single table() result.
+
+    ``fresh=True`` bypasses the plan memo (the schema memo still
+    applies) and returns a relation with NEW expression ids — required
+    where two sides of a cogroup must bind distinct attributes
+    (udf_cogrouped's self-cogroup hazard: with shared ids the analyzer
+    binds the right side's pandas arguments to the LEFT's expression
+    ids; pinned by tests/test_plans.py::test_udf_cogrouped_binds_
+    distinct_sides, which caught this when the r14 plan memo landed)."""
     tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = (spark.sparkContext.applicationId, path)
+    if not fresh:
+        cached = _DF_CACHE.get(key)
+        if cached is not None:
+            return cached
     sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         df = spark.read.parquet(path)
@@ -76,6 +102,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from ._util import finite_vec
 
         df = df.withColumn("embedding", finite_vec("embedding"))
+    if not fresh:
+        _DF_CACHE[key] = df
     return df
 
 

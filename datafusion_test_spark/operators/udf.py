@@ -220,8 +220,10 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "click"
         )
     ).select("user_id", "ts")
+    # fresh=True: io.table's r14 plan memo would hand both sides the SAME
+    # expression ids, re-creating exactly the mis-binding documented above
     purchases = sane_ts_filter(
-        table(spark, sf_dir, "events").filter(
+        table(spark, sf_dir, "events", fresh=True).filter(
             F.col("event_type") == "purchase"
         )
     ).select("user_id", "ts")

@@ -1211,9 +1211,18 @@ def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the same EXISTS guard (degenerate-corpus gate, round 5)
         return spark.createDataFrame([], schema)
     bits = lsh_bits(n_total)
+    # r14 (guide §6): spread the single-split scan so the 2^bits-fold
+    # signature HOF computes in parallel, then hash-distribute on the
+    # partition column so each bucket is written by exactly ONE task —
+    # one file per bucket directory (the production distribution mode
+    # for partitioned writes), instead of one serial task writing all
+    # 2^bits directories
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
     sig = e.withColumn(
         "bucket", rh_signature(F.col("embedding"), bits=bits, dim=_DIM)
-    )
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "bucket")
     out = os.path.join(scratch_dir("dfts_lshidx_"), "lsh_index")
     sig.write.mode("overwrite").partitionBy("bucket").parquet(out)
     idx = spark.read.parquet(out)
