@@ -406,6 +406,16 @@ def main() -> None:
         if idx + 1 >= len(sys.argv):
             sys.exit("bench.py: --pair requires a git rev argument")
         pair_rev = sys.argv[idx + 1]
+    # optional settle time between the baseline leg and the HEAD leg
+    # (ROUND14 handoff): --pair runs the legs back-to-back, so the HEAD
+    # leg otherwise starts against the baseline leg's residual load
+    # (r13 leg-2 load1 1.47, r14 2.28 — both flagged-adjacent)
+    cooldown = 0
+    if "--cooldown" in sys.argv:
+        cidx = sys.argv.index("--cooldown")
+        if cidx + 1 >= len(sys.argv):
+            sys.exit("bench.py: --cooldown requires a seconds argument")
+        cooldown = int(sys.argv[cidx + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Machine condition recorded IN the output (VERDICT r3 item 5): a uniform
@@ -416,6 +426,8 @@ def main() -> None:
     # the baseline leg runs FIRST (own subprocess, own SparkSession) so
     # both legs share the box state of one session
     paired = _run_pair_baseline(pair_rev) if pair_rev else None
+    if paired and cooldown:
+        time.sleep(cooldown)
 
     load_start = round(os.getloadavg()[0], 2)
     spark = get_session("bench")
