@@ -51,6 +51,8 @@ def profile(spark, name, fn, sf_dir, reps, explain_dir=None):
         t2 = time.perf_counter()
         builds.append(round(t1 - t0, 3))
         execs.append(round(t2 - t1, 3))
+        # job counts are per-rep (each rep uses fresh group ids); report the
+        # FINAL rep's counts — steady-state, matching total_best's min-rep idea
         jobs_b = _jobs_in_group(sc, gb)
         jobs_e = _jobs_in_group(sc, ge)
         if explain_dir and i == 0:
@@ -92,6 +94,10 @@ def main():
         import glob
         recs = sorted(glob.glob(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_r*_pair_final.json")))
+        if not recs:
+            sys.exit("profile_query.py: --top needs a tools/bench_r*_pair_final.json "
+                     "pair record; none found — run bench.py --pair first or name "
+                     "queries explicitly")
         rec = json.load(open(recs[-1]))["head_record"]
         names += [k for k, _ in sorted(rec["queries"].items(), key=lambda kv: -kv[1])[:topn]]
 
