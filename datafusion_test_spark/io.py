@@ -44,6 +44,14 @@ _SCHEMA_CACHE: dict = {}
 # object returned by table() — a logical plan, never rows.
 _DF_CACHE: dict = {}
 
+# applicationId the caches were filled under.  A long-lived process that
+# cycles sessions would otherwise accumulate entries for stopped sessions
+# forever, each pinning py4j/JVM-backed objects (ADVICE r14): when table()
+# sees a DIFFERENT applicationId, the previous session's entries are dead
+# weight — evict them all.  Keys still carry the appId, so correctness
+# never depended on this; it is purely a leak bound.
+_CACHE_APP: list = [None]
+
 
 def clear_schema_cache() -> None:
     """Drop all memoized reader schemas and table plans (contract above)."""
@@ -72,7 +80,13 @@ def table(
     distinct_sides, which caught this when the r14 plan memo landed)."""
     tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, path)
+    app = spark.sparkContext.applicationId
+    if _CACHE_APP[0] != app:
+        if _CACHE_APP[0] is not None:
+            _SCHEMA_CACHE.clear()
+            _DF_CACHE.clear()
+        _CACHE_APP[0] = app
+    key = (app, path)
     if not fresh:
         cached = _DF_CACHE.get(key)
         if cached is not None:

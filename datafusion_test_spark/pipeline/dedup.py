@@ -349,25 +349,24 @@ def minhash_pairs(
     tok = _exploded_shingles(
         _words_of(docs, spark.sparkContext.defaultParallelism), alias="s"
     ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(p)))
+    # 32 permutation mins and 8 band structs as SQL strings — one py4j
+    # parse per expression instead of ~6 Column calls per term (r15, same
+    # rationale as simhash_pairs above; h*a+b stays positive and < 2^63,
+    # so SQL `%` matches the Column `%` exactly).
     sig = tok.groupBy("doc_id").agg(
         *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh{k}")
+            F.expr(f"min((h * {a} + {b}) % {p}) AS mh{k}")
             for k, (a, b) in enumerate(perms)
         ]
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[f"mh{4 * bi + r}" for r in range(4)]).alias("bkey"),
-                    )
-                    for bi in range(8)
-                ]
-            )
-        ).alias("bk"),
+    bands_sql = ", ".join(
+        "struct(CAST({bi} AS INT) AS band, xxhash64({cols}) AS bkey)".format(
+            bi=bi, cols=", ".join(f"mh{4 * bi + r}" for r in range(4))
+        )
+        for bi in range(8)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({bands_sql})) AS bk"
     ).select("doc_id", "bk.band", "bk.bkey")
     # Persist the POST-cap index: it is consumed three times (both self-join
     # sides + the harness's alive set) — caching pre-cap `bands` instead
@@ -482,33 +481,33 @@ def simhash_pairs(
     # instead of 64 sums, signature bit-identical via vote = 2·cnt − n_tok)
     # changed the warm sf0.1 wall by < 5% — the band self-join dominates,
     # not the vote aggregation — so the simpler unpacked form stays.
-    vote_sums = [
-        F.sum(F.expr(f"CAST(shiftright(h, {i}) & 1 AS INT) * 2 - 1")).alias(f"b{i}")
+    # The 64 vote sums, the 64-term signature fold, and the 4 band structs
+    # are built as SQL STRINGS parsed in ONE py4j call each (r15; the
+    # _expr.spark_*_sql discipline from r14's IVF work): the Column-object
+    # loop cost ~1.3 s of py4j chatter per build — more than the query's
+    # execution.  Expressions are semantically identical (same CASE/CAST
+    # shapes), so signatures are bit-identical to the r4 form.
+    voted = tok.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(CAST(shiftright(h, {i}) & 1 AS INT) * 2 - 1) AS b{i}")
+            for i in range(64)
+        ]
+    )
+    sig_sql = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({(1 << i) if i < 63 else -(1 << 63)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(64)
-    ]
-    voted = tok.groupBy("doc_id").agg(*vote_sums)
-    sig_expr = F.lit(0).cast("long")
-    for i in range(64):
-        sig_expr = sig_expr + F.when(
-            F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    sig = voted.select("doc_id", sig_expr.alias("simhash"))
-    banded = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), 16 * bi)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bkey"),
-                    )
-                    for bi in range(4)
-                ]
-            )
-        ).alias("bk"),
+    )
+    sig = voted.selectExpr(
+        "doc_id", f"CAST(0 AS BIGINT) + {sig_sql} AS simhash"
+    )
+    bands_sql = ", ".join(
+        f"struct(CAST({bi} AS INT) AS band,"
+        f" shiftright(simhash, {16 * bi}) & 65535 AS bkey)"
+        for bi in range(4)
+    )
+    banded = sig.selectExpr(
+        "doc_id", "simhash", f"explode(array({bands_sql})) AS bk"
     ).select("doc_id", "simhash", "bk.band", "bk.bkey")
     # post-cap persist: see minhash_pairs — 3 consumers read this cache
     capped = _drop_hot(banded, ["band", "bkey"]).persist(

@@ -79,14 +79,29 @@ def _quiet_bounded_window_warnings(spark: SparkSession) -> None:
 _TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
+# Sentinel conf for the memo-staleness probe below.  timeZone is the one
+# whose drift silently changes RESULTS (timestamp-derived values), so it is
+# the right canary for "external driver code mutated runtime confs".
+_SENTINEL_CONF = "spark.sql.session.timeZone"
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-provided or ours).
 
     Idempotent and memoized per session object: the confs are dynamic but
     constant, so one application per session is enough (r14 optimization:
-    guide §1 — per-query driver overhead multiplies across the bench)."""
+    guide §1 — per-query driver overhead multiplies across the bench).
+    The memo is guarded by ONE sentinel conf read per call (ADVICE r14):
+    a driver-provided session whose runtime confs are mutated by external
+    code after the first tune() re-pins the FULL set the moment the
+    sentinel drifts — ~0.3 ms/call instead of the ~5 ms full re-apply,
+    keeping the docstring's 'driver-provided or ours' contract honest."""
     if spark in _TUNED:
-        return spark
+        try:
+            if spark.conf.get(_SENTINEL_CONF) == RUNTIME_CONFS[_SENTINEL_CONF]:
+                return spark
+        except Exception:
+            return spark  # conf API unavailable; nothing to re-pin with
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -106,6 +121,15 @@ def get_session(app_name: str = "datafusion_test_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # STATIC conf (build-time only): PySpark 4's per-DataFrame-API-call
+        # call-site capture costs ~3 py4j round trips + a Python stack walk
+        # per call — measured 35% of plan-BUILD time across the r15 query
+        # profile (errors/utils._with_origin).  Production drivers building
+        # hundreds of plans want it off; error messages lose only the
+        # Python call-site line, never the error itself.  A driver-provided
+        # session keeps its own setting (static conf — tune() cannot and
+        # does not touch it).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

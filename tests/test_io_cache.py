@@ -74,3 +74,98 @@ def test_memoized_plan_still_scans_files(spark):
     a = table(spark, SF, "orders")
     b = table(spark, SF, "orders", fresh=True)
     assert a.count() == b.count()
+
+
+def test_cogroup_sites_take_a_fresh_side():
+    """ADVICE r14 (medium): the plan memo hands every table() caller ONE
+    shared DataFrame object, so a self-cogroup whose two sides come from
+    the same table silently mis-binds the right side's pandas arguments
+    (udf_cogrouped's documented hazard; plain self-joins are safe — the
+    analyzer deduplicates conflicting attribute ids for joins, but NOT
+    for cogroup binding).  This lint fails ANY package function that
+    cogroups after reading the same table twice without taking at least
+    one side with fresh=True — so the safety is no longer a single
+    hand-patched site."""
+    import ast
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1] / "datafusion_test_spark"
+    )
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        for fn in (
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ):
+            if not any(
+                isinstance(n, ast.Attribute) and n.attr == "cogroup"
+                for n in ast.walk(fn)
+            ):
+                continue
+            reads: dict = {}
+            for n in ast.walk(fn):
+                is_table_call = isinstance(n, ast.Call) and (
+                    (isinstance(n.func, ast.Name) and n.func.id == "table")
+                    or (
+                        isinstance(n.func, ast.Attribute)
+                        and n.func.attr == "table"
+                    )
+                )
+                if (
+                    is_table_call
+                    and len(n.args) >= 3
+                    and isinstance(n.args[2], ast.Constant)
+                ):
+                    fresh = any(
+                        kw.arg == "fresh"
+                        and isinstance(kw.value, ast.Constant)
+                        and kw.value.value
+                        for kw in n.keywords
+                    ) or (
+                        len(n.args) >= 4
+                        and isinstance(n.args[3], ast.Constant)
+                        and n.args[3].value
+                    )
+                    reads.setdefault(n.args[2].value, []).append(fresh)
+            for name, flags in reads.items():
+                if len(flags) >= 2 and not any(flags):
+                    offenders.append(
+                        f"{py.name}:{fn.name} cogroups but reads "
+                        f"'{name}' {len(flags)}x without fresh=True"
+                    )
+    assert not offenders, offenders
+
+
+def test_stale_session_entries_evicted(spark):
+    """ADVICE r14: entries for a DIFFERENT applicationId (a stopped
+    session) are dead weight pinning JVM-backed objects; the first
+    table() call under a new appId must purge them."""
+    import datafusion_test_spark.io as io
+
+    table(spark, SF, "orders")
+    io._SCHEMA_CACHE[("dead-app", "x")] = "sentinel"
+    io._DF_CACHE[("dead-app", "x")] = "sentinel"
+    io._CACHE_APP[0] = "dead-app"  # simulate: caches were filled under it
+    table(spark, SF, "orders")
+    assert not any(k[0] == "dead-app" for k in io._SCHEMA_CACHE)
+    assert not any(k[0] == "dead-app" for k in io._DF_CACHE)
+
+
+def test_tune_repins_after_external_conf_mutation(spark):
+    """ADVICE r14: the tune() memo must not let a driver-provided session
+    whose runtime confs were mutated by EXTERNAL code run un-pinned; the
+    sentinel probe re-applies the full set on drift."""
+    from datafusion_test_spark.session import RUNTIME_CONFS, tune
+
+    tune(spark)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        tune(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        for k, v in RUNTIME_CONFS.items():
+            assert spark.conf.get(k, v) == v
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
