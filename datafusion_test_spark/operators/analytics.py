@@ -616,6 +616,39 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CN_TOPK = 100
 
 
+def _basket_pairs(li: DataFrame):
+    """Per-order (part, part) pair expansion of the order↔part edge list
+    WITHOUT the distinct + self-join (r15, guide §2.4): ONE groupBy(o)
+    builds each order's sorted distinct part set, then two streamed
+    generators emit the a < b pairs from each basket.  The r14 shape paid
+    a distinct exchange on (o, p) PLUS two re-exchanges on o for the
+    self-join; this shape pays the one groupBy(o) exchange, and the
+    basket relation is shared with degree consumers via AQE exchange
+    reuse.  Work and memory stay Σ basket² STREAMED (posexplode first,
+    then a per-row slice — never a basket²-sized array value), the same
+    bound as the self-join, still never all-pairs across orders.
+
+    Returns (baskets, pairs): baskets = (o, ps) over ALL orders including
+    a NULL-key group (degree consumers count those rows exactly like the
+    old distinct did); pairs = (a, b) with a < b from non-NULL orders
+    only (the self-join's o = o condition never matched NULL keys, so the
+    NULL group must not pair with itself here either).
+    """
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    )
+    pairs = (
+        baskets.filter(F.col("o").isNotNull())
+        .select("ps", F.posexplode("ps").alias("i", "a"))
+        .select("a", F.expr("explode(slice(ps, i + 2, size(ps))) AS b"))
+    )
+    return baskets, pairs
+
+
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbors link prediction on the order↔part graph — the
     classic 'bought together' signal: for every part pair co-occurring in
@@ -624,24 +657,23 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     one divide, half-up rounded; output is the top-100 under the total
     (common desc, part_a, part_b) order.
 
-    Scale shape: pairs are generated PER ORDER (self-join of the
-    order→part edge list on the order key), so the blow-up is Σ
-    basket-size² — bounded by the biggest basket (7 lines in TPC-H),
+    Scale shape: pairs are generated PER ORDER (_basket_pairs: one
+    groupBy(o) basket build + streamed HOF pair expansion — r15; the r14
+    self-join needed three exchanges for the same stream), so the blow-up
+    is Σ basket-size² — bounded by the biggest basket (7 lines in TPC-H),
     never by a part's popularity; a hot PART costs only its degree in the
     count join.  This is the same per-container expansion the inverted-
     index dedup uses, with baskets as containers.  The degree join is a
     map-side-combined aggregate joined back on the pair's two keys.
     """
-    e = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    baskets, bp = _basket_pairs(table(spark, sf_dir, "lineitem"))
+    deg = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
-    a, b = e.alias("a"), e.alias("b")
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        bp.groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= 2)
     )
@@ -893,17 +925,9 @@ def graph_connected_components(
     """
     from ..pipeline.dedup import _star_contract
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
+    _, bp = _basket_pairs(table(spark, sf_dir, "lineitem"))
     edges = (
-        a.join(
-            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
-        )
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        bp.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("src", "dst")
@@ -958,15 +982,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployments iterate to fixpoint with the dedup_clusters
     localCheckpoint loop; 3 declared rounds keep the oracle exact.
     """
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
+    _, bp = _basket_pairs(table(spark, sf_dir, "lineitem"))
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        bp.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .distinct()
         # eager localCheckpoint per loop carrier (the dedup_clusters
         # finding): without it every round re-executes the basket

@@ -872,7 +872,14 @@ def _star_contract(edges: DataFrame, par: int) -> DataFrame:
             .select(F.col("node").alias("u"), F.col("m").alias("v"))
             .distinct()
             .coalesce(par)
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r15): the signature probe below is the very
+            # next action and materializes these blocks itself — an eager
+            # checkpoint here ran a SECOND near-identical job per round
+            # (~0.5 s/query at sf0.1).  Lineage truncation is identical
+            # (the plan wraps the checkpoint RDD either way), and the
+            # probe runs strictly before any other consumer, so the
+            # blocks are always cached before round t+1 reads them.
+            .localCheckpoint(eager=False)
         )
         # Fixpoint detection by edge-set signature (count + xxhash64 XOR —
         # xor, not sum: order-independent, cannot overflow under ANSI, and

@@ -576,29 +576,29 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape recomputed the digest up to 8× per (row, b).  `h` is
     # referenced 8 times, which is exactly what stops CollapseProject
     # from re-inlining it (the _exploded_shingles discipline).
-    h = F.substring(
-        F.md5(
-            F.concat(
-                F.col("event_id").cast("string"),
-                F.lit(":"),
-                F.col("b").cast("string"),
-            )
-        ),
-        1,
-        8,
-    )
+    # md5 input pieces are hoisted OUT of the O(N·B) expansion (r15):
+    # `cast(event_id as string)` is computed once per BASE row (N casts,
+    # not N·B), and the exploded array carries the pre-concatenated
+    # ":{b}" suffix strings alongside b — the per-pair work is then ONE
+    # concat + md5, where the pre-r15 shape paid two casts and a 3-part
+    # concat per pair.  The md5 INPUT bytes are identical, so w and every
+    # downstream value are bit-identical.
+    h = F.substring(F.md5(F.concat(F.col("eid_s"), F.col("bp.bs"))), 1, 8)
     hc = F.col("h")
     w = F.when(hc < _BOOT_CDF_HEX[0], 0)
     for _i in range(1, 8):
         w = w.when(hc < _BOOT_CDF_HEX[_i], _i)
     w = w.otherwise(8)
+    b_pairs = ", ".join(
+        f"struct({b} AS b, ':{b}' AS bs)" for b in range(1, _BOOT_B + 1)
+    )
     bs = (
         base.select(
             "v",
-            F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("b"),
-            "event_id",
+            F.col("event_id").cast("string").alias("eid_s"),
         )
-        .select("b", "v", h.alias("h"))
+        .select("v", "eid_s", F.expr(f"explode(array({b_pairs})) AS bp"))
+        .select(F.col("bp.b").alias("b"), "v", h.alias("h"))
         .select("b", "v", w.alias("w"))
     )
     means = (

@@ -988,13 +988,21 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = vocab.select(
         F.md5(F.col("w").cast("binary")).alias("word"), "wcount", "w"
     )
+    # LAZY checkpoints throughout the loop (r15): each round's FIRST
+    # action is the top-pair collect, which materializes the previous
+    # round's checkpoint blocks itself — eager ran a second near-identical
+    # job per round, and the FINAL round's seq rewrite (which nothing
+    # consumes: only the collected tops reach the output) executed for
+    # nothing.  Lineage truncation is identical; within a round every
+    # consumer (pc, cand, flagged) runs after the collect, so it always
+    # reads cached blocks.
     seq = keyed.select(
         "word",
         "wcount",
         F.posexplode(
             F.concat(F.split("w", ""), F.array(F.lit(_BPE_EOW)))
         ).alias("pos", "sym"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges = []
     wnd = Window.partitionBy("word").orderBy("pos")
@@ -1058,10 +1066,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.row_number().over(wnd) - 1).alias("pos"),
                 F.when(F.col("take"), F.lit(l + r)).otherwise(F.col("sym")).alias("sym"),
             )
-            # eager checkpoint: 6 rounds of stacked windows+joins otherwise
+            # checkpoint: 6 rounds of stacked windows+joins otherwise
             # compound the lineage (the dedup_clusters star-contraction
-            # lesson); each round restarts from a materialized relation
-            .localCheckpoint(eager=True)
+            # lesson); each round restarts from a materialized relation.
+            # Lazy (r15): the next round's top collect materializes it,
+            # and the never-consumed final-round rewrite is skipped.
+            .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(
         merges,
