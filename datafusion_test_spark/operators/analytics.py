@@ -641,12 +641,19 @@ def _basket_pairs(li: DataFrame):
         .groupBy("o")
         .agg(F.array_sort(F.collect_set("p")).alias("ps"))
     )
-    pairs = (
+    return baskets, _pairs_of_baskets(baskets)
+
+
+def _pairs_of_baskets(baskets: DataFrame) -> DataFrame:
+    """The streamed a < b pair expansion over a (o, ps) basket relation —
+    split out so callers that materialize the basket relation (e.g.
+    join_basket_lift's multi-consumer checkpoint) can expand pairs from
+    the CHECKPOINTED blocks."""
+    return (
         baskets.filter(F.col("o").isNotNull())
         .select("ps", F.posexplode("ps").alias("i", "a"))
         .select("a", F.expr("explode(slice(ps, i + 2, size(ps))) AS b"))
     )
-    return baskets, pairs
 
 
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1744,23 +1751,25 @@ def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .._util import half_up
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        # materialized once (r14): the distinct basket relation feeds FIVE
-        # consumers (the basket count, both pair-join sides, and the two
-        # support lookups) — un-materialized, the plan re-ran the scan +
-        # distinct exchange per consumer (plan audit: 4 identical
-        # hashpartitioning(o,p) exchanges)
-        .localCheckpoint(eager=True)
+    baskets, _ = _basket_pairs(table(spark, sf_dir, "lineitem"))
+    # materialized once (r14; r15 moved the checkpoint to the BASKET
+    # relation — one row per order instead of one per (o, p), and the
+    # distinct + self-join became the streamed _pairs_of_baskets
+    # expansion): it feeds FOUR consumers (the basket count, the pair
+    # expansion, and via supp the two support lookups) — un-materialized,
+    # the plan re-ran the scan + grouping exchange per consumer
+    baskets = baskets.localCheckpoint(eager=True)
+    # one row per distinct order (a NULL order key groups to one row,
+    # exactly like the old distinct-o count)
+    n_baskets = baskets.count()
+    supp = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_p"))
     )
-    n_baskets = li.select("o").distinct().count()
-    supp = li.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        _pairs_of_baskets(baskets)
+        .groupBy(F.col("a").alias("pa"), F.col("b").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
     )
