@@ -420,17 +420,19 @@ def plan_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Local-scale calibration, documented because the defaults are sized
     for production: skewedPartitionThresholdInBytes/advisoryPartitionSize
     default to 256 MB/64 MB — correct at 100 TB, unreachable on a MB-scale
-    test corpus — so the probe scales them down (64/128 KB) so the
-    optimizer faces the same RELATIVE skew (hot partition ~100x median)
-    it would see from a hot tenant at scale; production keeps the
-    defaults.  The threshold sits between the compressed median (~tens
-    of KB at sf0.1) and the hot partition at the contract's 20k-probe-row
-    floor (>=18k hot rows ≈ >150 KB compressed — 2x+ above threshold),
-    and the 128 KB advisory bounds the split to tens of slices: the r14
-    values (8/16 KB, factor 1.0) marked EVERY partition skewed and
-    shredded the hot one into ~hundreds of sub-tasks, a task storm that
-    made this probe's wall erratic (2-12 s) at 32 cores (r15; guide §2.5
-    — AQE split granularity must stay proportional to partition size).
+    test corpus — so the probe scales them down (8/16 KB) to face the
+    optimizer with the same RELATIVE skew (hot partition ~100x median) it
+    would see from a hot tenant at scale; production keeps the defaults.
+    The byte sizes must stay THIS small: at the contract's 20k-probe-row
+    floor a cloned-row corpus (the dup degenerate mode) compresses its
+    ~0.9·N-row hot partition to ~tens of KB, and the advisory must sit
+    well under that for the split to produce >= 2 slices (a 64/128 KB
+    recalibration attempt in r15 failed exactly there).  What the r14
+    values got WRONG was the factor: 1.0 marked EVERY partition skewed
+    (non-hot partitions always exceed 1.0x the median), so all 16 got
+    shredded to 16 KB slices — factor 2.0 restores the default semantics
+    (only the genuinely hot partition splits; the ~100x-median hot one
+    clears 2.0x on every corpus the 20k floor admits).
     AQE splits a skewed partition at MAPPER granularity, so a single-row-
     group local file (one map task) can never split — the round-robin
     ``repartition(16)`` stands in for the thousands of map tasks a real
@@ -447,8 +449,8 @@ def plan_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     confs = {
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.shuffle.partitions": "16",
     }
     old = {k: spark.conf.get(k, None) for k in confs}
